@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001 (smoke check).
+``queries()`` / ``oracle_sql()`` — the registered operator suite from
+ml_data_wrangler_spark.plans (one entry per implemented SURVEY.md §2
+operator / extension; oracle present wherever the op is
+SQL-expressible).
 """
 
 from __future__ import annotations
@@ -13,26 +13,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ml_data_wrangler_spark.plans import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text pipeline over sf0.001 documents — cleanse (F1) →
+    PII scrub (F2) → tokenize → top-20 token counts (SURVEY.md §7.2
+    step 2)."""
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.functions.text import cleanse_text, pii_scrub, tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cleansed = docs.select(
+        "doc_id", pii_scrub(cleanse_text(F.col("text"))).alias("clean")
+    )
+    return (
+        cleansed.select(F.explode(tokenize(F.col("clean"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    north-star extensions). Computed columns are aliased identically
+    in the Spark plan and the oracle SQL."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirrors. Missing keys (LDA, MinHash,
+    SimHash, IVF/LSH ANN, lemmatize) are approximate/model-based ops →
+    rows-only check by design."""
+    return registry.oracle_sql()

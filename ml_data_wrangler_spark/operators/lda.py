@@ -1,0 +1,170 @@
+"""LDA topic modeling (SURVEY.md §2.7 M1-M5) on MLlib.
+
+Reference mapping (LDA_logic.py):
+  * LdaMulticore(corpus, id2word, iterations, num_topics, workers,
+    passes, random_state) → pyspark.ml.clustering.LDA(k, maxIter,
+    seed, optimizer="online"). ``workers`` has no analog (parallelism =
+    partitions); ``passes`` folds into maxIter (SURVEY.md §7.4.5).
+  * random_state per train (LDA_logic.py:59-67) → explicit ``seed``
+    parameter (reproducibility, SURVEY.md §7.4.1).
+  * coherence sweep k=1..19 (LDA_logic.py:317-357) → lda_sweep over an
+    explicit k range; coherence = UMass computed EXACTLY from
+    document co-occurrence counts as a DataFrame job (gensim c_v has
+    no Spark built-in; UMass is the exact-from-counts variant —
+    SURVEY.md §7.4.2).
+  * input validation (LDA_logic.py:145-168) → validate_lda_params with
+    the same bounds (passes < 20, iterations < 200).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_lda_params(num_topics: int, iterations: int, passes: int) -> None:
+    """F3 — same bounds as the reference (LDA_logic.py:145-168)."""
+    for name, v in (("num_topics", num_topics), ("iterations", iterations), ("passes", passes)):
+        if not isinstance(v, int) or v < 1:
+            raise ValueError(f"{name} must be a positive integer, got {v!r}")
+    if passes >= 20:
+        raise ValueError("passes must be < 20")
+    if iterations >= 200:
+        raise ValueError("iterations must be < 200")
+
+
+def fit_lda(bow_df: DataFrame, k: int, max_iter: int = 20, seed: int = 42,
+            features_col: str = "bow"):
+    """M1 — train one LDA model (online optimizer: streaming-friendly,
+    scales over partitions; the distributed analog of LdaMulticore)."""
+    from pyspark.ml.clustering import LDA
+
+    lda = LDA(k=k, maxIter=max_iter, seed=seed, featuresCol=features_col,
+              optimizer="online")
+    return lda.fit(bow_df)
+
+
+def topics_df(model, vocabulary: list[str], n_terms: int = 5) -> DataFrame:
+    """M4-ish — describeTopics with term strings resolved from the
+    vocabulary; returns DataFrame[topic, term, weight]."""
+    spark = model.describeTopics(n_terms).sparkSession
+    vocab_arr = F.array(*[F.lit(w) for w in vocabulary])
+    return (
+        model.describeTopics(n_terms)
+        .select(
+            "topic",
+            F.explode(
+                F.arrays_zip(
+                    F.col("termIndices").alias("idx"),
+                    F.col("termWeights").alias("w"),
+                )
+            ).alias("tw"),
+        )
+        .select(
+            F.col("topic").cast("long").alias("topic"),
+            F.element_at(vocab_arr, F.col("tw.idx") + 1).alias("term"),
+            F.round(F.col("tw.w"), 6).alias("weight"),
+        )
+    )
+
+
+def topic_term_distribution(model) -> list[list[float]]:
+    """Topic-term distributions, one list per topic, each summing to 1.
+
+    MLlib's online-optimizer ``topicsMatrix`` holds UNNORMALIZED
+    variational counts (lambda); this normalizes each topic column into
+    the probability distribution the reference's gensim
+    ``show_topics`` exposes (LDA_logic.py:124-134). Driver-side on a
+    vocabSize × k matrix — tiny by construction (vocab ≤ 5000).
+    """
+    mat = model.topicsMatrix()
+    k = mat.numCols
+    v = mat.numRows
+    out = []
+    for j in range(k):
+        col = [mat[i, j] for i in range(v)]
+        s = sum(col) or 1.0
+        out.append([x / s for x in col])
+    return out
+
+
+def umass_coherence(tokens: DataFrame, topic_terms: list[list[str]], eps: float = 1.0) -> list[float]:
+    """UMass coherence per topic, exact from corpus counts.
+
+    C(t) = Σ_{m=2..M} Σ_{l=1..m-1} log((D(w_m, w_l) + eps) / D(w_l))
+
+    D(·) document frequencies come from ONE distributed job over the
+    distinct (doc, token) pairs restricted to the union of topic terms
+    (a tiny broadcast set); pair counts via a self-join blocked on
+    doc_id. Only the final O(topics × M²) arithmetic is driver-side.
+    """
+    all_terms = sorted({w for terms in topic_terms for w in terms})
+    if not all_terms:
+        return [0.0 for _ in topic_terms]
+    dt = (
+        tokens.select("doc_id", F.explode("tokens").alias("token"))
+        .where(F.col("token").isin(all_terms))
+        .distinct()
+    )
+    dt.cache()
+    single = {r["token"]: r["df"] for r in dt.groupBy("token").agg(F.count("*").alias("df")).collect()}
+    a, b = dt.alias("a"), dt.alias("b")
+    pair_rows = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    dt.unpersist()
+    pair = {(r["w1"], r["w2"]): r["df"] for r in pair_rows}
+
+    def d2(x: str, y: str) -> int:
+        return pair.get((x, y) if x < y else (y, x), 0)
+
+    scores = []
+    for terms in topic_terms:
+        s = 0.0
+        for m in range(1, len(terms)):
+            for l in range(m):
+                wl, wm = terms[l], terms[m]
+                if single.get(wl, 0) > 0:
+                    s += math.log((d2(wm, wl) + eps) / single[wl])
+        scores.append(s)
+    return scores
+
+
+def lda_sweep(
+    bow_df: DataFrame,
+    tokens: DataFrame,
+    vocabulary: list[str],
+    k_values: range,
+    max_iter: int = 10,
+    seed: int = 42,
+    n_terms: int = 10,
+) -> DataFrame:
+    """M3 — the coherence sweep: train LDA per k (driver loop, each fit
+    a distributed job), score UMass coherence of the top-``n_terms``
+    terms, return DataFrame[k, coherence]. The reference swept k=1..19
+    with a fresh random seed per run (LDA_logic.py:338, 59-67); here
+    the seed is pinned and the k range is explicit."""
+    spark = bow_df.sparkSession
+    bow_df.cache()
+    rows = []
+    for k in k_values:
+        model = fit_lda(bow_df, k=k, max_iter=max_iter, seed=seed)
+        desc = model.describeTopics(n_terms).collect()
+        topic_terms = [
+            [vocabulary[i] for i in r["termIndices"]] for r in desc
+        ]
+        coh = umass_coherence(tokens, topic_terms)
+        avg = sum(coh) / len(coh) if coh else 0.0
+        rows.append((k, round(avg, 6)))
+    bow_df.unpersist()
+    return spark.createDataFrame(rows, schema="k bigint, coherence double")
+
+
+def top_5_topics(model, vocabulary: list[str], n_terms: int = 5) -> DataFrame:
+    """M4 — first five topics (get_top_5_topic, LDA_logic.py:124-134)."""
+    return topics_df(model, vocabulary, n_terms).where(F.col("topic") < 5)

@@ -1,0 +1,132 @@
+"""Multimodal columns (north-star extension, BASELINE.json).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs riding alongside. The Spark-side plumbing — schemas,
+partition-aware batch iteration via ``mapInPandas``, Arrow transfer of
+binary blobs, output shapes — is real and tested; the codec step is a
+deterministic STUB (media libraries are not in this environment) kept
+behind one function so a real decoder (PIL/torchaudio/ffmpeg) drops in
+without touching the Spark plumbing.
+
+Scale design: decode/feature-extract are per-row map operators —
+zero shuffle; batch size bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+large blobs can't OOM a worker; blobs never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, content_hash string, "
+    "feature array<float>"
+)
+
+
+def _decode_stub(content: bytes, kind: str) -> np.ndarray:
+    """STUB decoder — deterministic fake in place of PIL/ffmpeg.
+
+    Real deployments replace this one function (e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(content)))``). The fake
+    derives an 8-dim feature from the bytes so tests get stable,
+    content-dependent output with the exact production signature.
+    """
+    if content is None or len(content) == 0:
+        return np.zeros(8, dtype=np.float32)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    chunks = np.array_split(arr.astype(np.float64), 8)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode + featurize via mapInPandas: per-partition Arrow batch
+    iterator, one decode call per row, no shuffle, no driver transit."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(c, k).tolist()
+                for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "content_hash": [
+                        hashlib.md5(c if c is not None else b"").hexdigest()
+                        for c in pdf["content"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes blobs through the stub 'resize'
+    (identity on bytes, metadata updated) — schema/partitioning shape
+    of a real resize operator."""
+    return media.where(F.col("kind") == "image").withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.format").alias("format"),
+        ),
+    )
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (posexplode over the sampling grid); the decode of each frame is
+    the stub. Demonstrates the explode-shape (1 video → N frames)."""
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_idx", "frame_ts_ms"),
+        "content",
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.xxhash64(F.col("content"), F.col("frame_ts_ms")).alias("frame_token"),
+    )

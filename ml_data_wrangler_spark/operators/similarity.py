@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Three tiers:
+  * brute-force cosine top-k — the exact baseline; query side broadcast,
+    score+rank distributed over the corpus partitions. Exact answer,
+    cost O(|queries| × |corpus|) — fine when the query set is small.
+  * IVF (inverted-file) ANN — KMeans-partition the corpus, search only
+    the nprobe closest centroids per query. The 100 TB path: corpus is
+    hash-partitioned by cluster id, each query probes a few partitions.
+  * random-hyperplane LSH ANN — BucketedRandomProjectionLSH on
+    L2-normalized vectors (cosine ≈ monotone in euclidean distance on
+    the unit sphere), constant-size bucket keys.
+
+All scoring is JVM-side (functions/vectors.py); no Python in the
+per-pair inner loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector the k most similar
+    corpus vectors (self-matches excluded).
+
+    Returns (query_id, neighbor_id, sim, rank) with a TOTAL order
+    (rounded sim DESC, neighbor_id ASC) so ranks are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Fit the IVF structure: (assigned corpus, centroid DataFrame).
+
+    The assigned corpus is repartitioned by cluster_id — on a real
+    cluster this co-locates each posting list so a probe reads few
+    partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    feat = _to_ml_vector(corpus, vec_col, "_features")
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features").repartition("cluster_id")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cluster_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe phase: route each query to its nprobe nearest centroids,
+    score only those clusters' members, take top-k."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qc = q.join(F.broadcast(centroids))
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_similarity(F.col("qvec"), F.col("centroid")), 6)),
+        "cluster_id",
+    )
+    routed = (
+        qc.withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "cluster_id")
+    )
+    cand = routed.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            "cluster_id",
+        ),
+        "cluster_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def lsh_ann_pairs(
+    corpus: DataFrame,
+    distance_threshold: float = 1.0,
+    num_hash_tables: int = 4,
+    bucket_length: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor PAIRS on L2-normalized vectors via
+    BucketedRandomProjectionLSH (random hyperplane projections).
+    Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+
+    feat = _to_ml_vector(corpus, vec_col, "_raw")
+    norm = Normalizer(inputCol="_raw", outputCol="_features", p=2.0)
+    feat = norm.transform(feat)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        bucketLength=bucket_length,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, distance_threshold, distCol="dist")
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("vec_a"),
+            F.col(f"datasetB.{id_col}").alias("vec_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("est_cosine"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Deduplication operators over `documents` (north-star extension —
+BASELINE.json): exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale notes:
+  * exact dedup = one hash-shuffle on the fingerprint — the cheapest
+    possible formulation at 100 TB (no pairwise anything);
+  * n-gram Jaccard goes through an inverted shingle index (explode →
+    self-equi-join on shingle) so cost is Σ posting-list², not n² —
+    the standard candidate-pair formulation;
+  * MinHash-LSH (qd03) replaces the exact index with banded hashing so
+    the join key space is constant-size; approximate → rows-only check;
+  * SimHash (qd04) reduces each document to one 32-bit signature —
+    bucket-collision candidates, no pairwise at all until verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+from ml_data_wrangler_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+from ml_data_wrangler_spark.plans.text_queries import SQL_TOKS
+
+
+@query(
+    "qd01_exact_dedup",
+    oracle="""
+SELECT fp AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY fp
+""",
+)
+def qd01(spark, sf_dir):
+    """Exact dedup: group by normalized-text fingerprint, keep the
+    lowest doc_id (deterministic keeper policy)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "qd02_ngram_jaccard_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+""",
+)
+def qd02(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.6 via the inverted
+    shingle index (the exact baseline MinHash approximates)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+
+
+@query("qd03_minhash_near_dups")  # approximate → rows-only oracle
+def qd03(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (MLlib MinHashLSH,
+    approxSimilarityJoin; shingles → sparse vectors via HashingTF).
+    Approximate by construction — the driver records a rows-only check;
+    tests assert it finds every qd02 exact pair (recall) on fixtures."""
+    return minhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.5, seed=42
+    )
+
+
+@query("qd04_simhash_buckets")  # xxhash64-based → not oracle-expressible
+def qd04(spark, sf_dir):
+    """SimHash signatures + bucket sizes: 32-bit signatures from
+    xxhash64 token hashes (pure array/bit expressions, no UDF); docs
+    sharing a signature are near-dup candidates."""
+    sigs = simhash_signatures(t(spark, sf_dir, "documents"), bits=32)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 1)
+    )

@@ -1,0 +1,201 @@
+"""Event/time-series queries over the `events` table: tumbling and
+sliding windows, sessionization, JSON extraction, distinct users.
+
+These are the BATCH duals of the Structured Streaming operators in
+ml_data_wrangler_spark/streaming/ — same window semantics, so the
+oracle that checks these also validates the streaming windowing logic
+(tests/test_streaming.py asserts streaming == batch on the same input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.plans._util import dbl, money, t
+from ml_data_wrangler_spark.plans.registry import query
+
+
+@query(
+    "qe01_hourly_by_type",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def qe01(spark, sf_dir):
+    """Tumbling 1-hour window per event type — F.window() (the same
+    operator Structured Streaming uses) with epoch-aligned buckets."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "qe02_daily_active_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def qe02(spark, sf_dir):
+    """Daily active users — exact distinct per day (HLL sketch is the
+    100 TB variant; exact is the oracle-checkable one)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "qe03_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def qe03(spark, sf_dir):
+    """Semi-structured extraction: pull an int out of the JSON props
+    column (schema-on-read over a string column, no UDF)."""
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "qe04_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def qe04(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap): lag + gap-flag +
+    prefix-sum session ids — the classic one-shuffle formulation. The
+    streaming dual is session_window() (streaming/windows.py)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(cum).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "qe05_sliding_window",
+    oracle="""
+SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         value
+  FROM events
+)
+GROUP BY win_start
+""",
+)
+def qe05(spark, sf_dir):
+    """Sliding window (2-hour size, 1-hour slide) via F.window — each
+    event lands in exactly two windows; the oracle expands the window
+    assignment explicitly."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "qe06_user_event_matrix",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups
+FROM events GROUP BY user_id
+""",
+)
+def qe06(spark, sf_dir):
+    """Per-user behavior matrix — pivot with explicit values, rendered
+    as conditional counts."""
+    e = t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == v, 1).otherwise(0)).alias(name)
+        for v, name in [
+            ("click", "clicks"),
+            ("view", "views"),
+            ("purchase", "purchases"),
+            ("error", "errors"),
+            ("signup", "signups"),
+        ]
+    ]
+    return e.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,118 @@
+"""ML-pipeline queries (SURVEY.md §2.5-§2.7): vocabulary pruning and
+bag-of-words (oracle-checked — they're pure relational jobs), LDA
+training/coherence and lemmatization (rows-only — not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.operators.lda import fit_lda, lda_sweep, topics_df
+from ml_data_wrangler_spark.operators.nlp import lemmatized_tokens
+from ml_data_wrangler_spark.operators.vectorize import (
+    tokens_df,
+    vectorize,
+    vocabulary_df,
+)
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+from ml_data_wrangler_spark.plans.text_queries import SQL_TOKS
+
+_SQL_VOCAB = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY token
+), total AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, df FROM dfreq, total
+WHERE df >= 5 AND df <= 0.5 * n_docs
+ORDER BY df DESC, token
+LIMIT 5000
+"""
+
+
+@query("qm01_vocabulary", oracle=_SQL_VOCAB)
+def qm01(spark, sf_dir):
+    """A2 — document-frequency vocabulary pruning (gensim
+    filter_extremes semantics: no_below=5, no_above=0.5, keep_n=5000)
+    as a declarative job; tests assert CountVectorizer keeps the same
+    set."""
+    return vocabulary_df(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "qm02_bag_of_words",
+    oracle=f"""
+WITH vocab AS ({_SQL_VOCAB})
+SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents)
+WHERE token IN (SELECT token FROM vocab)
+GROUP BY doc_id, token
+""",
+)
+def qm02(spark, sf_dir):
+    """A3 — bag-of-words (doc2bow analog) in relational form:
+    (doc_id, token, count) restricted to the pruned vocabulary."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = vocabulary_df(docs).select("token")
+    dt = tokens_df(docs).select("doc_id", F.explode("tokens").alias("token"))
+    return (
+        dt.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query("qm03_lda_topics")  # model output → rows-only oracle
+def qm03(spark, sf_dir):
+    """M1+M4 — LDA(k=5, seed=42) topic-term table (topic, term,
+    weight). Seeded and single-process-deterministic; not SQL."""
+    model, bow = vectorize(t(spark, sf_dir, "documents"))
+    lda_model = fit_lda(bow, k=5, max_iter=10, seed=42)
+    return topics_df(lda_model, model.vocabulary, n_terms=5)
+
+
+@query("qm04_lda_coherence_sweep")  # model output → rows-only oracle
+def qm04(spark, sf_dir):
+    """M3 — coherence sweep k∈[2,5]: per k one distributed LDA fit +
+    exact UMass coherence from corpus co-occurrence counts."""
+    docs = t(spark, sf_dir, "documents")
+    model, bow = vectorize(docs)
+    toks = tokens_df(docs)
+    return lda_sweep(bow, toks, model.vocabulary, range(2, 6), max_iter=5, seed=42)
+
+
+@query("qm05_lemmatized_tokens")  # pandas-UDF pipeline → rows-only oracle
+def qm05(spark, sf_dir):
+    """N1-N4 — lemmatization pipeline (Arrow-batched pandas UDF;
+    spaCy backend when available, deterministic rule backend here).
+    Returns (doc_id, n_tokens, first_tokens) — scalar projections of
+    the token array for a stable rows-only check."""
+    lt = lemmatized_tokens(t(spark, sf_dir, "documents"))
+    return lt.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.slice("tokens", 1, 5).alias("first_tokens"),
+    )
+
+
+@query(
+    "qm06_price_quantiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def qm06(spark, sf_dir):
+    """Exact linear-interpolated quantiles per group (the exact dual of
+    percentile_approx — at 100 TB you'd use the sketch; the oracle
+    checks the exact math)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )

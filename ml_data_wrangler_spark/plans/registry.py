@@ -1,0 +1,69 @@
+"""Query registry — the driver-contract surface.
+
+Every implemented operator from SURVEY.md §2 (plus the extension
+operators) registers a named query here:
+
+    @query("q01_pricing_summary", oracle=\"\"\"SELECT ...\"\"\")
+    def q01(spark, sf_dir) -> DataFrame: ...
+
+``queries()`` / ``oracle_sql()`` feed ``__spark_entry__.py``. Oracle
+SQL must be DuckDB-runnable ANSI SQL over the pre-registered views and
+produce IDENTICAL column names (the driver sorts columns by name and
+hashes values). Non-SQL-expressible ops register with ``oracle=None``
+(driver does a rows-only check).
+
+Float discipline: every computed double is wrapped in round() with the
+SAME precision on both sides, so double-summation order differences
+between engines can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "ml_data_wrangler_spark.plans.relational_queries",
+    "ml_data_wrangler_spark.plans.window_queries",
+    "ml_data_wrangler_spark.plans.grouping_queries",
+    "ml_data_wrangler_spark.plans.events_queries",
+    "ml_data_wrangler_spark.plans.text_queries",
+    "ml_data_wrangler_spark.plans.dedup_queries",
+    "ml_data_wrangler_spark.plans.vector_queries",
+    "ml_data_wrangler_spark.plans.ml_queries",
+    "ml_data_wrangler_spark.plans.streaming_queries",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all_queries()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all_queries()
+    return dict(_ORACLES)

@@ -1,0 +1,744 @@
+"""Relational core (SURVEY.md §7.2 step 3): scans, projections,
+filters, equi/semi/anti joins, hash aggregations, distinct, sort/limit,
+set operations — TPC-H-shaped queries over the driver tables, each with
+a DuckDB oracle.
+
+All are pure DataFrame compositions: Catalyst gets full freedom for
+pushdown/pruning/join-reordering, AQE picks broadcast vs sort-merge at
+runtime. The dimension chains (region→nation→customer/supplier) are
+broadcast-sized at any scale factor; the fact-fact joins
+(orders⋈lineitem) hash-partition on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.plans._util import (
+    SQL_DISC_PRICE,
+    charge,
+    dbl,
+    disc_price,
+    money,
+    rate,
+    t,
+)
+from ml_data_wrangler_spark.plans.registry import query
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({SQL_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 analog: full-scan groupBy with 8 aggregates — the
+    map-side-combine workhorse. One shuffle of 6 tiny groups."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dbl(F.sum(money("l_quantity"))).alias("sum_qty"),
+        dbl(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+        dbl(F.sum(disc_price())).alias("sum_disc_price"),
+        dbl(F.sum(charge())).alias("sum_charge"),
+        (dbl(F.sum(money("l_quantity"))) / n).alias("avg_qty"),
+        (dbl(F.sum(money("l_extendedprice"))) / n).alias("avg_price"),
+        (dbl(F.sum(rate("l_discount"))) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q02_revenue_by_month",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
+def q02(spark, sf_dir):
+    """orders⋈lineitem fact-fact equi-join + time-bucketed rollup.
+    Shuffles both sides on the orderkey; AQE coalesces the tiny result."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            dbl(F.sum(disc_price())).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03(spark, sf_dir):
+    """TPC-H Q3 analog: selective dim filter → 3-way join → top-10 by
+    aggregate. The filtered customer side is broadcast-sized; total
+    order (revenue DESC, o_orderkey) makes LIMIT deterministic."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority_count",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q04(spark, sf_dir):
+    """TPC-H Q4 analog: EXISTS as a left-semi join (no duplication of
+    the probe side, no distinct needed)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    li = t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q05(spark, sf_dir):
+    """TPC-H Q5 analog: 6-way join with a local-supplier constraint.
+    region/nation/supplier are broadcast dims; the only big shuffle is
+    orders⋈lineitem."""
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(r.join(n, r.r_regionkey == n.n_regionkey))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q06(spark, sf_dir):
+    """TPC-H Q6 analog: pure scan+filter+scalar agg — every predicate
+    pushes to the parquet reader (verify PushedFilters in explain)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dbl(F.sum(money("l_extendedprice") * rate("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q07_nation_balance",
+    oracle="""
+SELECT n_name, r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def q07(spark, sf_dir):
+    """Snowflake dim join (customer→nation→region) + per-nation
+    balance aggregates; both dims broadcast."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dbl(F.sum(money("c_acctbal"))).alias("total_balance"),
+            (dbl(F.sum(money("c_acctbal"))) / F.count("*")).alias("avg_balance"),
+        )
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+WITH volumes AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         s_nationkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN s_nationkey = 1 THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM volumes GROUP BY o_year
+""",
+)
+def q08(spark, sf_dir):
+    """TPC-H Q8 analog: nation-1 suppliers' share of AMERICA-customer
+    revenue per year — conditional aggregation over a 6-way join."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            disc_price().alias("volume"),
+            "s_nationkey",
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return vol.groupBy("o_year").agg(
+        (
+            dbl(F.sum(F.when(F.col("s_nationkey") == 1, F.col("volume")).otherwise(zero)))
+            / dbl(F.sum("volume"))
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q09_profit_by_nation_year",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({SQL_DISC_PRICE}
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(4,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+""",
+)
+def q09(spark, sf_dir):
+    """TPC-H Q9 analog (supply cost modeled as 60% of retail price —
+    the schema has no partsupp): profit by supplier nation and year."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    cost = money("p_retailprice") * rate(F.lit(0.6)) * money("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dbl(F.sum(disc_price() - cost)).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10(spark, sf_dir):
+    """TPC-H Q10 analog: revenue lost to returns, top-20 customers."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dbl(F.sum(disc_price())).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_order_histogram",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13(spark, sf_dir):
+    """TPC-H Q13 analog: left-outer join with an extra join predicate +
+    two-level aggregation (count-of-counts histogram)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100
+         / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+""",
+)
+def q14(spark, sf_dir):
+    """TPC-H Q14 analog: promo revenue share — conditional agg over a
+    broadcast join with part."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                dbl(F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)))
+                * 100
+                / dbl(F.sum(disc_price()))
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15(spark, sf_dir):
+    """TPC-H Q15 analog: aggregate view + scalar-subquery max filter.
+    Exact decimal revenue makes the MAX tie-free across engines."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dbl(F.sum(disc_price())).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30, 40)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16(spark, sf_dir):
+    """TPC-H Q16 analog (via lineitem, schema has no partsupp):
+    distinct-count aggregation with dim predicates."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(10, 20, 30, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN part_avg ON l_partkey = pk
+WHERE p_brand = 'Brand#3' AND l_quantity < half_avg
+""",
+)
+def q17(spark, sf_dir):
+    """TPC-H Q17 analog: correlated scalar subquery decorrelated into a
+    per-part aggregate join (the scalable plan — Spark would also
+    decorrelate the subquery form)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * (dbl(F.sum(money("l_quantity"))) / F.count("*"))).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (dbl(F.sum(money("l_extendedprice"))) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+     ) big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q18(spark, sf_dir):
+    """TPC-H Q18 analog: HAVING on a grouped sum feeding a join."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            dbl(F.col("sum_qty")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    oracle=f"""
+SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19(spark, sf_dir):
+    """TPC-H Q19 analog: disjunctive multi-bracket predicate across the
+    join — Catalyst pushes the common parts below the join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(bracket).agg(
+        dbl(F.sum(disc_price())).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def q22(spark, sf_dir):
+    """TPC-H Q22 analog: scalar-aggregate threshold (broadcast) +
+    NOT EXISTS as a left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (dbl(F.sum(money("c_acctbal"))) / F.count("*")).alias("threshold")
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("threshold"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        dbl(F.sum(money("c_acctbal"))).alias("totacctbal"),
+    )
+
+
+@query(
+    "q23_filter_project_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_shipdate < TIMESTAMP '1999-06-08'
+  AND l_discount > 0.08
+""",
+)
+def q23(spark, sf_dir):
+    """Bare scan+filter+project: the predicate and the 3-column
+    projection both reach the parquet reader (PushedFilters/ReadSchema)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1999-06-01"))
+            & (F.col("l_shipdate") < F.lit("1999-06-08"))
+            & (F.col("l_discount") > 0.08)
+        )
+        .select("l_orderkey", "l_linenumber", F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+    )
+
+
+@query(
+    "q24_top_orders_global",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+)
+def q24(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + single tiny merge, never a full sort at scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@query(
+    "q25_distinct_flags",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def q25(spark, sf_dir):
+    """DISTINCT = groupBy-all-columns; partial aggregation map-side."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q26_nations_union",
+    oracle="""
+SELECT n_nationkey AS nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT n_nationkey AS nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def q26(spark, sf_dir):
+    """Set op: UNION (distinct) of two key sets."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    a = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    b = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "q27_nations_intersect",
+    oracle="""
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q27(spark, sf_dir):
+    """Set op: INTERSECT."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q28_nations_except",
+    oracle="""
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q28(spark, sf_dir):
+    """Set op: EXCEPT (nations with customers but no suppliers).
+    subtract = EXCEPT DISTINCT; exceptAll would be multiset semantics
+    (one removal per right-side occurrence — not what EXCEPT means)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "q29_nested_collect",
+    oracle="""
+SELECT o_orderkey,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines,
+       COALESCE(string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber), '')
+         AS line_list
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+)
+def q29(spark, sf_dir):
+    """The J1 comment-binding SHAPE (SURVEY.md §2.3) on driver tables:
+    left-outer join + group-into-sorted-list — rendered as a sorted
+    string so the oracle can hash it. This is the oracle-checked dual
+    of operators/wrangle.bind_comments."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("l_linenumber")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+                F.lit(""),
+            ).alias("line_list"),
+        )
+    )

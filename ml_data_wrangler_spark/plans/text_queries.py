@@ -1,0 +1,259 @@
+"""Text-pipeline queries over `documents` (SURVEY.md §2.4/§2.6 F1-F2
+N-ops + the text-analysis extensions): tokenization, PII scrub, quality
+scoring, language-ID, fingerprinting, n-grams.
+
+Every query here is shuffle-light: the text functions are map-side
+expressions; only the final aggregations shuffle. The DuckDB oracles
+mirror the exact same token/regex semantics (patterns are kept
+RE2-and-Java-regex compatible, see functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.functions.text import (
+    EMAIL_RE,
+    IPV4_RE,
+    MD5_RE,
+    URL_RE,
+    UUID_RE,
+    pii_scrub,
+    tokenize,
+)
+from ml_data_wrangler_spark.functions.textstats import (
+    LANG_STOPWORDS,
+    SUBWORD_PATTERN,
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    subword_count,
+    token_count,
+)
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+
+# DuckDB fragment mirroring functions.text.tokenize().
+SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+@query(
+    "qt01_top_tokens",
+    oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def qt01(spark, sf_dir):
+    """Corpus-wide top-20 token counts (the flagship text query:
+    tokenize → explode → count → top-k)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "qt02_doc_stats_by_lang",
+    oracle=f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def qt02(spark, sf_dir):
+    """Per-language corpus statistics (token counting as a first-class
+    pipeline op)."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", token_count(F.col("text")).alias("n_tokens")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+_SQL_NOT_PII = (
+    f"NOT (regexp_matches(w, '{EMAIL_RE}') OR regexp_matches(w, '{URL_RE}')"
+    f" OR regexp_matches(w, '{UUID_RE}') OR regexp_matches(w, '{MD5_RE}')"
+    f" OR regexp_matches(w, '{IPV4_RE}'))"
+)
+
+
+@query(
+    "qt03_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     w -> len(w) > 0 AND {_SQL_NOT_PII}),
+         ' ') AS scrubbed
+FROM documents
+""",
+)
+def qt03(spark, sf_dir):
+    """F2 — token-level PII scrub (email/URL/UUID/MD5/IPv4 validators,
+    utility.py:181-208 intent) as pure array expressions."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", pii_scrub(F.col("text")).alias("scrubbed")
+    )
+
+
+_SQL_EN_SET = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+@query(
+    "qt04_quality_scores",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+         AS quality
+FROM feat
+""",
+)
+def qt04(spark, sf_dir):
+    """Heuristic quality scoring (Gopher/C4-style length + alpha +
+    stopword features collapsed to one scalar)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _sql_hits(code: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code]) + "]"
+    return f"len(list_filter({SQL_TOKS}, x -> list_contains({words}, x)))"
+
+
+@query(
+    "qt05_language_id",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+         {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS detected_lang
+FROM hits
+""",
+)
+def qt05(spark, sf_dir):
+    """Language-ID heuristic (function-word hit argmax; ties resolved
+    by struct-max code order — the oracle CASE mirrors it)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_language(F.col("text")).alias("detected_lang"),
+    )
+
+
+@query(
+    "qt06_token_budget_by_source",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS word_tokens,
+       CAST(SUM(CAST(len(regexp_extract_all(lower(text), '{SUBWORD_PATTERN}')) AS BIGINT)) AS BIGINT)
+         AS subword_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def qt06(spark, sf_dir):
+    """Token budgeting per source: word tokens + BPE-ish subword
+    estimate (corpus costing for training pipelines)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        token_count(F.col("text")).alias("wt"),
+        subword_count(F.col("text")).alias("st"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wt").alias("word_tokens"),
+        F.sum("st").alias("subword_tokens"),
+    )
+
+
+@query(
+    "qt07_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def qt07(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized text
+    (the exact-dedup key; md5 so the oracle can reproduce it)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "qt08_bigram_counts",
+    oracle=f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks WHERE len(l) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def qt08(spark, sf_dir):
+    """Top-20 bigrams — n-gram construction as array expressions
+    (sequence → slice → join), no UDF."""
+    toks = t(spark, sf_dir, "documents").select(tokenize(F.col("text")).alias("l"))
+    bigrams = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("l", i), F.element_at("l", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

@@ -1,0 +1,193 @@
+"""Similarity-search queries over `embeddings` (north-star extension):
+brute-force cosine top-k (exact baseline), label centroids, cosine
+near-dup pairs, and the approximate scale paths (IVF, LSH — rows-only).
+
+Determinism: cosine is computed dot/(‖a‖·‖b‖) with the same
+left-to-right fold on both engines over float32-exact doubles; ranking
+and thresholding always happen on the ROUND(…, 6) value with full
+tiebreaks, so a last-bit FP divergence cannot reorder results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+from ml_data_wrangler_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_search,
+    lsh_ann_pairs,
+)
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "qv01_knn_bruteforce",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 20 = 0)
+SELECT query_id, neighbor_id, sim, rank
+FROM (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) DESC, c.vec_id
+         ) AS BIGINT) AS rank
+  FROM q JOIN c ON c.vec_id <> q.query_id
+)
+WHERE rank <= 5
+""",
+)
+def qv01(spark, sf_dir):
+    """Exact brute-force cosine top-5 for a 5% query sample — the ANN
+    ground-truth baseline. Query side broadcast; scoring fully
+    distributed over corpus partitions."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@query(
+    "qv02_label_stats",
+    oracle="""
+WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+       ROUND(AVG(v[1]), 6) AS avg_first_dim,
+       ROUND(AVG(v[64]), 6) AS avg_last_dim
+FROM c GROUP BY label
+""",
+)
+def qv02(spark, sf_dir):
+    """Per-label vector statistics (norms + first/last dimension
+    means) — sanity profile of the embedding space."""
+    from ml_data_wrangler_spark.functions.vectors import l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label",
+        l2_norm(F.col("embedding")).alias("norm"),
+        F.element_at("embedding", 1).cast("double").alias("d1"),
+        F.element_at("embedding", 64).cast("double").alias("d64"),
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.avg("d1"), 6).alias("avg_first_dim"),
+        F.round(F.avg("d64"), 6).alias("avg_last_dim"),
+    )
+
+
+@query(
+    "qv03_centroid_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, 64)) AS i
+  FROM embeddings
+), dims AS (
+  SELECT label, i, AVG(v) AS dv FROM e GROUP BY label, i
+), cent AS (
+  SELECT label, list(dv ORDER BY i) AS c FROM dims GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND({_SQL_COS.format(a="a.c", b="b.c")}, 6) AS centroid_sim
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+)
+def qv03(spark, sf_dir):
+    """Label centroids (per-dimension means via posexplode → re-
+    assembled in dimension order) + pairwise centroid cosine — the
+    embedding-space structure summary."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("dv"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "dv"))), lambda s: s["dv"]
+        ).alias("c")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.round(cosine_similarity(F.col("a.c"), F.col("b.c")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+    )
+
+
+@query(
+    "qv04_cosine_candidates",
+    oracle=f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) AS sim
+FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+""",
+)
+def qv04(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: same-label blocked
+    pairwise cosine ≥ 0.35 (blocking keys bound the pair space — the
+    exact-verification stage of embedding dedup)."""
+    c = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(sim >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+    )
+
+
+@query("qv05_ivf_ann")  # KMeans-based → rows-only oracle
+def qv05(spark, sf_dir):
+    """IVF approximate top-3: KMeans(8) partitions the corpus, each
+    query probes its 2 nearest centroids. The 100 TB ANN path (probe
+    nprobe/n_clusters of the data); recall vs qv01 asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, n_clusters=8, seed=42)
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    return ivf_search(assigned, centroids, queries, k=3, nprobe=2).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@query("qv06_lsh_ann_pairs")  # LSH buckets → rows-only oracle
+def qv06(spark, sf_dir):
+    """Random-hyperplane LSH near-neighbor pairs on the unit sphere
+    (BucketedRandomProjectionLSH over L2-normalized embeddings)."""
+    return lsh_ann_pairs(
+        t(spark, sf_dir, "embeddings"), distance_threshold=1.15, seed=42
+    )

@@ -1,0 +1,198 @@
+"""Window-function queries (SURVEY.md §7.2 step 3): ranking, frames,
+lag/lead, running totals, top-k-per-group. Each window spec implies ONE
+shuffle on its partition keys; queries share partitioning where
+possible so Catalyst reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.plans._util import dbl, money, t
+from ml_data_wrangler_spark.plans.registry import query
+
+
+@query(
+    "qw01_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def qw01(spark, sf_dir):
+    """Top-k per group via row_number — the scalable alternative to a
+    global sort; one shuffle on the group key."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "qw02_running_customer_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+""",
+)
+def qw02(spark, sf_dir):
+    """Running total per customer (cumulative frame). Decimal inside
+    the frame keeps the prefix sums exact and order-stable."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dbl(F.sum(money("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "qw03_customer_order_gaps",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS gap_days
+FROM orders
+""",
+)
+def qw03(spark, sf_dir):
+    """lag() — days since the customer's previous order (NULL for the
+    first)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    )
+
+
+@query(
+    "qw04_part_price_rank_in_brand",
+    oracle="""
+SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank
+FROM part
+""",
+)
+def qw04(spark, sf_dir):
+    """dense_rank within brand (rank functions need no tiebreak — equal
+    inputs get equal ranks deterministically)."""
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.dense_rank().over(w).cast("long").alias("price_rank"),
+    )
+
+
+@query(
+    "qw05_moving_avg_order_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving_avg
+FROM orders
+""",
+)
+def qw05(spark, sf_dir):
+    """3-order moving average (bounded ROWS frame), computed as exact
+    decimal sum / frame count for cross-engine stability."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (dbl(F.sum(money("o_totalprice")).over(w)) / F.count("*").over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@query(
+    "qw06_nation_revenue_share",
+    oracle="""
+WITH cust_rev AS (
+  SELECT c_custkey, c_nationkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT c_custkey, c_nationkey,
+       CAST(rev AS DOUBLE) AS customer_revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+         AS share_in_nation
+FROM cust_rev
+""",
+)
+def qw06(spark, sf_dir):
+    """Aggregate + unpartitioned-frame window: each customer's share of
+    their nation's revenue (classic ratio-to-report)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cust_rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    w = W.partitionBy("c_nationkey")
+    return cust_rev.select(
+        "c_custkey",
+        "c_nationkey",
+        dbl(F.col("rev")).alias("customer_revenue"),
+        (dbl(F.col("rev")) / dbl(F.sum("rev").over(w))).alias("share_in_nation"),
+    )
+
+
+@query(
+    "qw07_order_percentile",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+""",
+)
+def qw07(spark, sf_dir):
+    """Global percent_rank + ntile (single-partition window — fine for
+    ranking outputs that are inherently global; at scale prefer
+    approx quantiles, see qm entries)."""
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

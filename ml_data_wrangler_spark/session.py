@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Single place where execution-relevant configuration lives so every
+entry point (tests, bench, driver) gets the same tuned session:
+
+  * AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+    broadcast demotion/promotion) — at 100 TB the static plan is always
+    wrong somewhere; AQE fixes it from runtime stats.
+  * shuffle.partitions sized to cores for local mode (the 200 default
+    over-parallelizes small local runs); on a real cluster this should
+    be ~2-3× total executor cores, or left to AQE coalescing.
+  * Arrow enabled for pandas interchange — every pandas UDF in the
+    engine rides Arrow batches.
+  * Session timezone pinned to UTC so timestamp semantics match the
+    DuckDB oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ml-data-wrangler-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then ``os.cpu_count()``.
+    On a real cluster the master/memory settings come from
+    spark-submit; everything else here still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS): read as long
+        # (readers.read_table converts to micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,103 @@
+"""Sources / scans (SURVEY.md §2.1).
+
+S1 (ticket file scan) and S2 (comments directory scan) re-expressed as
+declarative Spark reads with explicit schemas. The reference's S2 was a
+per-ticket directory rescan (O(tickets × files²), wrangler.py:358-374);
+here it is ONE scan of the directory — at 100 TB that is the difference
+between a single distributed listing+read and an unrunnable loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ml_data_wrangler_spark.schemas import (
+    COMMENT_FILE_SCHEMA,
+    TESTDATA_SCHEMAS,
+    TICKET_SCHEMA,
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table.
+
+    Parquet scan → Tungsten vectorized reader; predicate pushdown and
+    column pruning happen automatically for anything layered on top.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects outright; read it as raw nanos (legacy conf,
+    set here so it works under ANY caller's session) and integer-divide
+    down to microseconds — same truncation DuckDB applies, and integer
+    ``div`` because ns-since-epoch exceeds double's exact-int range.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = tuple(TESTDATA_SCHEMAS)
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def read_tickets(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — tickets.json, an array of ticket objects (wrangler.py:413-416).
+
+    multiLine=true because the wire format is one JSON array, not
+    NDJSON. PERMISSIVE mode + _corrupt_record replaces the reference's
+    try/except-and-log (wrangler.py:448-449): bad records become rows
+    you can count/inspect instead of aborting the pipeline.
+    """
+    # NB: StructType.add mutates in place — copy so repeated reads
+    # don't stack _corrupt_record onto the module-level schema.
+    schema = T.StructType(list(TICKET_SCHEMA.fields)).add("_corrupt_record", "string")
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_comment_files(spark: SparkSession, comments_dir: str) -> DataFrame:
+    """S2 — one scan of the comments directory (wrangler.py:343-394).
+
+    Each file is a JSON object whose values are arrays of comment
+    objects (wrangler.py:375-376); the owning ticket id is encoded as
+    the filename prefix (wrangler.py:367-368). Spark's JSON reader wants
+    a struct root, so: read whole files as text, parse the root map with
+    from_json, then explode map-values and the inner arrays.
+
+    Returns one row per comment: (ticket_id LONG, id, created_at STRING,
+    plain_body STRING). ``input_file_name()`` + regexp_extract recovers
+    the filename-prefix join key — the declarative analog of the
+    reference's ``file.startswith(str(ticket.id))``.
+    """
+    raw = (
+        spark.read.option("wholetext", "true")
+        .text(f"{comments_dir}/*.json")
+        .withColumn("_file", F.input_file_name())
+    )
+    return (
+        raw.select(
+            F.regexp_extract(F.col("_file"), r"/(\d+)[^/]*\.json$", 1)
+            .cast("long")
+            .alias("ticket_id"),
+            F.from_json(F.col("value"), COMMENT_FILE_SCHEMA).alias("m"),
+        )
+        .select("ticket_id", F.explode(F.map_values(F.col("m"))).alias("arr"))
+        .select("ticket_id", F.explode(F.col("arr")).alias("c"))
+        .select(
+            "ticket_id",
+            F.col("c.id").alias("id"),
+            F.col("c.created_at").alias("created_at"),
+            F.col("c.plain_body").alias("plain_body"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Sinks (SURVEY.md §2.8-§2.9).
+
+K1/K2 JSON sinks with the reference's type-rendering rules applied as a
+pre-serialization projection (MyEncoder, wrangler.py:18-49):
+  * datetime  -> ISO-8601 string (isoformat)
+  * TicketStatus -> {"status": <NAME>} struct
+  * Comment   -> {created_at, id, body}
+
+Filenames are date-stamped from an explicit ``run_date`` parameter —
+the reference used datetime.now() inside the sink (wrangler.py:228,261),
+which breaks reproducibility (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def processed_ticket_projection(wrangled: DataFrame) -> DataFrame:
+    """Apply the §2.9 encoder rules, returning a DataFrame whose JSON
+    rendering is byte-stable for golden comparisons."""
+    return wrangled.select(
+        F.col("id"),
+        F.date_format("created_at", ISO_FMT).alias("created_at"),
+        F.date_format("last_updated", ISO_FMT).alias("last_updated"),
+        F.struct(F.col("status").alias("status")).alias("status"),
+        F.col("subject"),
+        F.col("tags"),
+        F.col("outcome"),
+        F.col("ticket_type"),
+        F.transform(
+            "comments",
+            lambda c: F.struct(
+                F.date_format(c["created_at"], ISO_FMT).alias("created_at"),
+                c["id"].alias("id"),
+                c["body"].alias("body"),
+            ),
+        ).alias("comments"),
+    )
+
+
+def write_processed_tickets_json(
+    wrangled: DataFrame, out_dir: str, run_date: str, mode: str = "overwrite"
+) -> str:
+    """K1 — processed tickets (wrangler.py:226-270). Distributed JSON
+    write (one file per partition; at scale you never want the
+    reference's single driver-side json.dump)."""
+    path = f"{out_dir}/processed_tickets{run_date}.json"
+    processed_ticket_projection(wrangled).write.mode(mode).json(path)
+    return path
+
+
+def write_corpus_json(corpus: DataFrame, out_dir: str, run_date: str, mode: str = "overwrite") -> str:
+    """K2 — corpus sink (wrangler.py:272-278), one row per document
+    (SURVEY.md §7.4.6: never a single driver-side string)."""
+    path = f"{out_dir}/corpus_{run_date}.json"
+    corpus.write.mode(mode).json(path)
+    return path

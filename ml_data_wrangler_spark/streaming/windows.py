@@ -1,0 +1,119 @@
+"""Structured Streaming operators over event streams.
+
+The reference has no streams (SURVEY.md §1.2) — this is north-star
+surface: tumbling/sliding/session windows with event-time watermarks,
+built so the BATCH queries in plans/events_queries.py are the exact
+duals (same window semantics, same aggregates). tests/test_streaming.py
+asserts streaming-over-the-parquet-fixture == the batch query.
+
+At scale: state lives in the state store keyed by (window, keys);
+watermarks bound it — without a watermark a 100 TB/day stream grows
+state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ml_data_wrangler_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (for tests/smoke; a
+    production deployment points this at Kafka with the same schema)."""
+    # Two fixture quirks: (1) the fixture is a single parquet FILE —
+    # FileStreamSource force-sets basePath to the literal path unless
+    # it's a glob, and a file basePath is rejected, so read via a glob
+    # with basePath pinned to the containing directory; (2) ``ts`` is
+    # parquet TIMESTAMP(NANOS), unreadable as TimestampType — declare
+    # it long (legacy nanosAsLong) and integer-divide to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parquet*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window per event_type with a watermark that
+    drops late data and bounds state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window (each event in size/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the streaming
+    dual of the batch lag+prefix-sum sessionization (qe04)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion over the available
+    input (availableNow trigger) into an in-memory sink; returns the
+    sink table as a batch DataFrame. Deterministic for file sources."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

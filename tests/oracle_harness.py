@@ -1,0 +1,95 @@
+"""Local mirror of the driver's DuckDB-oracle differential check
+(SURVEY.md §5.2): run each registered query on Spark AND its oracle SQL
+on DuckDB over the same parquet, compare row count + column names +
+order-insensitive values.
+
+Values are normalized (Decimal→float, datetime→isoformat, arrays→
+tuples, floats→repr) and compared EXACTLY — the engine's queries are
+written so cross-engine float divergence cannot occur (decimal
+aggregation / rounded outputs); any mismatch is a bug, not noise.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+from typing import Any
+
+import duckdb
+
+from ml_data_wrangler_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm_value(v: Any) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def normalize(col_names: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def run_spark_query(spark, fn, sf_dir: str):
+    df = fn(spark, sf_dir)
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def run_oracle(con, sql: str):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return cols, rows
+
+
+def compare(name: str, spark_cols, spark_rows, o_cols, o_rows) -> list[str]:
+    """Returns a list of human-readable problems (empty = match)."""
+    problems: list[str] = []
+    if sorted(spark_cols) != sorted(o_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(spark_rows) != len(o_rows):
+        problems.append(f"row count differs: spark={len(spark_rows)} oracle={len(o_rows)}")
+    a = normalize(spark_cols, spark_rows)
+    b = normalize(o_cols, o_rows)
+    if a != b:
+        sa, sb = set(a), set(b)
+        only_a = list(sa - sb)[:3]
+        only_b = list(sb - sa)[:3]
+        problems.append(
+            f"values differ: {len(sa - sb)} spark-only, {len(sb - sa)} oracle-only; "
+            f"examples spark-only={only_a} oracle-only={only_b} "
+            f"(cols sorted: {sorted(spark_cols)})"
+        )
+    return problems

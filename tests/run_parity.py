@@ -1,0 +1,54 @@
+"""Standalone parity runner (same checks as test_oracle_parity, with
+per-query timing) — usage: python tests/run_parity.py [sf_dir]."""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+from ml_data_wrangler_spark.plans import registry
+from tests.oracle_harness import (
+    compare,
+    duckdb_connection,
+    run_oracle,
+    run_spark_query,
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from ml_data_wrangler_spark.session import get_spark
+
+    spark = get_spark(app_name="parity", cpus=8, shuffle_partitions=8, driver_memory="8g")
+    con = duckdb_connection(sf_dir)
+    queries = registry.queries()
+    oracles = registry.oracle_sql()
+    failures = 0
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            cols, rows = run_spark_query(spark, queries[name], sf_dir)
+            if name in oracles:
+                o_cols, o_rows = run_oracle(con, oracles[name])
+                problems = compare(name, cols, rows, o_cols, o_rows)
+            else:
+                problems = [] if len(cols) > 0 else ["no columns"]
+            dt = time.time() - t0
+            if problems:
+                failures += 1
+                print(f"FAIL {name} ({dt:.1f}s): " + " | ".join(problems), flush=True)
+            else:
+                kind = "oracle" if name in oracles else "rows-only"
+                print(f"ok   {name} ({dt:.1f}s, {len(rows)} rows, {kind})", flush=True)
+        except Exception:
+            failures += 1
+            dt = time.time() - t0
+            print(f"ERROR {name} ({dt:.1f}s):", flush=True)
+            traceback.print_exc()
+    print(f"\n{failures} failures / {len(queries)} queries", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

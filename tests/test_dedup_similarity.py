@@ -1,0 +1,113 @@
+"""Dedup + similarity operator tests on crafted fixtures with known
+answers (exact dedup groups, a known near-dup pair, known nearest
+neighbors), plus recall assertions for the approximate paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+from ml_data_wrangler_spark.operators.dedup import (
+    dedup_keep_min,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ml_data_wrangler_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_search,
+    lsh_ann_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different text about spark query engines and shuffles"
+
+DOCS = [
+    Row(doc_id=1, text=BASE),
+    Row(doc_id=2, text=BASE),              # exact dup of 1
+    Row(doc_id=3, text="  THE  quick brown fox jumps over the lazy dog again and again today "),  # ws/case dup
+    Row(doc_id=4, text=NEAR),              # near dup of 1
+    Row(doc_id=5, text=OTHER),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_exact_dedup_groups(docs):
+    groups = {
+        r["keeper_doc_id"]: r["n_copies"]
+        for r in dedup_keep_min(docs, doc_fingerprint(F.col("text"))).collect()
+    }
+    assert groups[1] == 3  # 1, 2, 3 share a normalized fingerprint
+    assert groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_recall_of_exact_pairs(docs):
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    approx = {(r["doc_a"], r["doc_b"]) for r in
+              minhash_near_dup_pairs(docs, k=3, jaccard_threshold=0.4, seed=42).collect()}
+    assert exact <= approx  # LSH candidates must cover the exact pairs
+
+
+def test_simhash_identical_docs_same_signature(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+    # near-dup docs have close signatures (small hamming distance)
+    ham = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham <= 8
+
+
+VECS = [
+    Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+    Row(vec_id=2, embedding=[0.9, 0.1, 0.0, 0.0], label=0),
+    Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0], label=1),
+    Row(vec_id=4, embedding=[0.0, 0.95, 0.05, 0.0], label=1),
+    Row(vec_id=5, embedding=[0.0, 0.0, 1.0, 0.0], label=2),
+    Row(vec_id=6, embedding=[-1.0, 0.0, 0.0, 0.0], label=3),
+]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(VECS)
+
+
+def test_brute_force_topk_order(vectors):
+    res = brute_force_topk(vectors, vectors.where(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert ranked[0] == 2          # closest
+    assert ranked[-1] != 6 or len(ranked) == 3  # -1 cosine ranks last among top-3 set
+    sims = {r["neighbor_id"]: r["sim"] for r in res}
+    assert sims[2] > 0.99
+
+
+def test_ivf_search_finds_same_cluster_neighbor(vectors):
+    assigned, centroids = ivf_index(vectors, n_clusters=3, seed=7)
+    res = ivf_search(assigned, centroids, vectors.where(F.col("vec_id") == 1),
+                     k=2, nprobe=2).collect()
+    assert any(r["neighbor_id"] == 2 for r in res)
+
+
+def test_lsh_pairs_contains_nearest(vectors):
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             lsh_ann_pairs(vectors, distance_threshold=0.8, num_hash_tables=6,
+                           bucket_length=4.0, seed=7).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs

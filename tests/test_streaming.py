@@ -1,0 +1,122 @@
+"""Structured Streaming tests: streaming windowed aggregations over the
+bounded events fixture must equal their batch duals (events_queries),
+and watermarking must drop late data in append mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.plans.registry import queries
+from ml_data_wrangler_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory(tumbling_counts(stream), "t_tumble", "complete")
+    batch = queries()["qe01_hourly_by_type"](spark, sf_dir)
+    cols = ["win_start", "event_type", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_sliding_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory(sliding_counts(stream), "t_slide", "complete")
+    batch = queries()["qe05_sliding_window"](spark, sf_dir)
+    cols = ["win_start", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_windows_run(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory(session_counts(stream), "t_sess", "complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    # session invariants: end >= start, positive event counts
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # total events preserved across sessions
+    total = sum(r["n_events"] for r in rows)
+    import pyspark.sql.functions as F2
+
+    expected = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    assert total == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode + watermark: a record arriving long after the
+    watermark passed its window is dropped (late-data semantics)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta(minutes=5), base + pd.Timedelta(hours=6)],
+            "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": [base + pd.Timedelta(minutes=10)],  # way behind watermark
+            "user_id": [1],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    spark.createDataFrame(on_time, schema=schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    # Append-mode emission across restarts needs a recoverable sink
+    # (the memory sink can't resume from a checkpoint) → parquet sink.
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {
+        r["win_start"]: r["n_events"] for r in spark.read.parquet(str(out)).collect()
+    }
+    # hour-0 window closed (watermark @ 6:00 - 1h) → emitted with 2 events
+    assert first.get(base.to_pydatetime()) == 2
+
+    # late row for hour-0 arrives after its window was finalized
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()  # same checkpoint → continues
+    rows = spark.read.parquet(str(out)).collect()
+    # the late event was dropped: hour-0 still appears exactly once,
+    # still with 2 events
+    hour0 = [r for r in rows if r["win_start"] == base.to_pydatetime()]
+    assert len(hour0) == 1 and hour0[0]["n_events"] == 2

@@ -1,0 +1,118 @@
+"""Vectorize (A2/A3) + LDA (M1-M5) tests: CountVectorizer agrees with
+the declarative vocabulary job; LDA outputs are structurally sound and
+seed-stable; UMass coherence matches a hand-computed value."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.operators.lda import (
+    fit_lda,
+    lda_sweep,
+    topic_term_distribution,
+    topics_df,
+    umass_coherence,
+    validate_lda_params,
+)
+from ml_data_wrangler_spark.operators.vectorize import (
+    tokens_df,
+    vectorize,
+    vocabulary_df,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_vectorizer_vocab_matches_declarative(documents):
+    """CountVectorizer(minDF=5, maxDF=0.5, vocabSize=5000) must keep
+    exactly the token set of the declarative DF-pruning job."""
+    model, bow = vectorize(documents)
+    declared = {r["token"] for r in vocabulary_df(documents).collect()}
+    assert set(model.vocabulary) == declared
+
+
+def test_bow_counts_sample_doc(spark, documents):
+    model, bow = vectorize(documents)
+    row = bow.where(F.col("doc_id") == 1).collect()[0]
+    vec = row["bow"]
+    toks = [t for t in row["tokens"] if t in set(model.vocabulary)]
+    from collections import Counter
+
+    manual = Counter(toks)
+    for i, cnt in zip(vec.indices, vec.values):
+        assert manual[model.vocabulary[i]] == int(cnt)
+
+
+def test_lda_shapes_and_determinism(documents):
+    # Reference-default pruning (minDF=5, maxDF=0.5) leaves a 1-term
+    # vocabulary on the synthetic fixture (30 of its 31 tokens appear
+    # in >50% of docs) → fixture-suited params for a meaningful model.
+    model, bow = vectorize(documents, min_df=2.0, max_df=1 << 30)
+    m1 = fit_lda(bow, k=4, max_iter=5, seed=11)
+    m2 = fit_lda(bow, k=4, max_iter=5, seed=11)
+    t1 = topics_df(m1, model.vocabulary, n_terms=5)
+    assert t1.count() == 4 * 5
+    # topic-term weights positive; same seed → same top terms
+    a = [tuple(r) for r in t1.orderBy("topic", F.desc("weight"), "term").collect()]
+    b = [
+        tuple(r)
+        for r in topics_df(m2, model.vocabulary, n_terms=5)
+        .orderBy("topic", F.desc("weight"), "term")
+        .collect()
+    ]
+    assert a == b
+    assert all(w > 0 for (_, _, w) in a)
+
+
+def test_lda_topic_matrix_rows_sum_to_one(documents):
+    # online-LDA topicsMatrix is unnormalized lambda; the engine's
+    # topic_term_distribution is the normalized view.
+    model, bow = vectorize(documents, min_df=2.0, max_df=1 << 30)
+    m = fit_lda(bow, k=3, max_iter=5, seed=3)
+    dists = topic_term_distribution(m)
+    assert len(dists) == 3
+    for d in dists:
+        assert abs(sum(d) - 1.0) < 1e-6
+        assert all(x >= 0 for x in d)
+
+
+def test_umass_coherence_hand_computed(spark):
+    toks = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=["a", "b", "c"]),
+            Row(doc_id=2, tokens=["a", "b"]),
+            Row(doc_id=3, tokens=["a", "x"]),
+        ]
+    )
+    # topic terms ordered [a, b]: C = log((D(b,a)+1)/D(a)) = log(3/3)
+    [c] = umass_coherence(toks, [["a", "b"]])
+    assert abs(c - math.log(3 / 3)) < 1e-9
+    [c2] = umass_coherence(toks, [["b", "x"]])
+    # pairs: (x,b): D=0 → log(1/D(b)=2→0.5); D(b)=2
+    assert abs(c2 - math.log((0 + 1) / 2)) < 1e-9
+
+
+def test_lda_sweep_rows(documents):
+    model, bow = vectorize(documents)
+    toks = tokens_df(documents)
+    sweep = lda_sweep(bow, toks, model.vocabulary, range(2, 5), max_iter=3, seed=1)
+    rows = sweep.collect()
+    assert [r["k"] for r in rows] == [2, 3, 4]
+    assert all(isinstance(r["coherence"], float) for r in rows)
+
+
+def test_validate_lda_params_bounds():
+    validate_lda_params(5, 100, 10)
+    with pytest.raises(ValueError):
+        validate_lda_params(5, 100, 20)  # passes bound (LDA_logic.py:166)
+    with pytest.raises(ValueError):
+        validate_lda_params(5, 200, 10)  # iterations bound (LDA_logic.py:167)
+    with pytest.raises(ValueError):
+        validate_lda_params(0, 100, 10)
