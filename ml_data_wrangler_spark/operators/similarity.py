@@ -37,18 +37,33 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, sim, rank) with a TOTAL order
     (rounded sim DESC, neighbor_id ASC) so ranks are deterministic.
     """
+    # Norms are precomputed per ROW (broadcast side: once per query;
+    # stream side: once per corpus row) instead of per PAIR — 3× less
+    # arithmetic in the O(|q|×|c|) inner loop, bit-identical results
+    # (each norm is the same fold either way). At 100 TB-scale ANN this
+    # is the difference between 1× and 3× the scan cost.
+    from ml_data_wrangler_spark.functions.vectors import dot, l2_norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -113,10 +128,13 @@ def ivf_search(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qvec", "cluster_id")
     )
-    cand = routed.join(
+    from ml_data_wrangler_spark.functions.vectors import dot, l2_norm
+
+    cand = routed.withColumn("qnorm", l2_norm(F.col("qvec"))).join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
+            l2_norm(F.col(vec_col)).alias("cnorm"),
             "cluster_id",
         ),
         "cluster_id",
@@ -124,7 +142,9 @@ def ivf_search(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
