@@ -1,0 +1,113 @@
+"""Temporal join queries over `events`: as-of (point-in-time) join and
+interval/range join — operators the reference lacks and Spark has no
+built-in syntax for, expressed in their scale-correct shapes.
+
+  * qj01 as-of: union + keyed window carry-forward (operators/asof.py)
+    — ONE shuffle on the key; the DuckDB oracle uses its native
+    ASOF LEFT JOIN, so this checks real point-in-time semantics.
+  * qj02 range join: equi-join on the key + time-band predicate —
+    Catalyst evaluates the band as a post-join filter on the keyed
+    join, so cost is Σ per-key pairs (bounded by key cardinality),
+    not |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.operators.asof import asof_join_backward
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+
+
+@query(
+    "qj01_asof_purchase_click",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, CAST(MAX(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       c.click_id, c.click_ts AS matched_ts,
+       CAST(date_diff('microsecond', c.click_ts, p.purchase_ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+""",
+)
+def qj01(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (left outer; right side deduped on
+    (user, ts) with max event_id for determinism)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_payload={"click_id": "click_id"},
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "matched_ts",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("matched_ts"))
+        ).alias("gap_us"),
+    )
+
+
+@query(
+    "qj02_clicks_before_purchase",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.purchase_ts - INTERVAL 1 HOUR AND c.ts < p.purchase_ts
+GROUP BY p.purchase_id, p.user_id
+""",
+)
+def qj02(spark, sf_dir):
+    """Interval/range join: clicks in the hour before each purchase,
+    per user — keyed equi-join + time-band predicate."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+            "left",
+        )
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(F.count("click_id").alias("n_clicks_1h"))
+    )

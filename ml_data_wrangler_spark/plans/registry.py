@@ -31,6 +31,7 @@ _ORACLES: dict[str, str] = {}
 
 _QUERY_MODULES = (
     "ml_data_wrangler_spark.plans.relational_queries",
+    "ml_data_wrangler_spark.plans.join_queries",
     "ml_data_wrangler_spark.plans.window_queries",
     "ml_data_wrangler_spark.plans.grouping_queries",
     "ml_data_wrangler_spark.plans.events_queries",
@@ -38,6 +39,7 @@ _QUERY_MODULES = (
     "ml_data_wrangler_spark.plans.dedup_queries",
     "ml_data_wrangler_spark.plans.vector_queries",
     "ml_data_wrangler_spark.plans.ml_queries",
+    "ml_data_wrangler_spark.plans.multimodal_queries",
     "ml_data_wrangler_spark.plans.streaming_queries",
 )
 

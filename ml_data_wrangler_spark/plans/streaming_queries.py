@@ -35,3 +35,44 @@ def qs01(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
     return run_to_memory(agg, "qs01_sink", output_mode="complete")
+
+
+@query(
+    "qs02_stateful_user_profile",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def qs02(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running activity profile. Over a bounded source in ONE micro-batch
+    every user's non-final row equals the batch GROUP BY — so the
+    custom state logic is oracle-checked, not just rows-counted.
+
+    total_value is re-rounded through decimal on the Spark side to
+    match the oracle's decimal sum (the state accumulates a python
+    float; one batch → one fold order, but the cast pins the 2dp
+    contract)."""
+    from ml_data_wrangler_spark.streaming.stateful import user_activity_profile
+
+    stream = read_events_stream(spark, sf_dir)
+    prof = user_activity_profile(stream, watermark="1 hour")
+    out = run_to_memory(prof, "qs02_sink", output_mode="append")
+    return (
+        out.where(~F.col("final"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("decimal(12,2)").cast("double").alias("total_value"),
+            "n_types",
+            "first_ts",
+            "last_ts",
+        )
+    )
