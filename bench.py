@@ -32,6 +32,7 @@ HEADLINE = [
     "qg01_rollup_returns",
     "qe01_hourly_by_type",
     "qe04_sessionize",
+    "qj01_asof_purchase_click",
     "qt01_top_tokens",
     "qt04_quality_scores",
     "qd01_exact_dedup",

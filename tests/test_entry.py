@@ -28,4 +28,5 @@ def test_contract_consistency():
         "qm05_lemmatized_tokens",
         "qv05_ivf_ann",
         "qv06_lsh_ann_pairs",
+        "qx01_multimodal_features",
     }
