@@ -135,6 +135,106 @@ def umass_coherence(tokens: DataFrame, topic_terms: list[list[str]], eps: float 
     return scores
 
 
+def cv_coherence(
+    tokens: DataFrame,
+    topic_terms: list[list[str]],
+    window_size: int = 110,
+    eps: float = 1e-12,
+) -> list[float]:
+    """C_v coherence (Röder/Both/Hinneburg 2015) per topic, computed
+    as a DataFrame job.
+
+    Pipeline (matches gensim's c_v construction):
+      1. boolean sliding windows of ``window_size`` over each doc's
+         token sequence (step 1; short docs yield one window);
+      2. window-occurrence probabilities P(w), P(wi,wj) over ALL
+         windows, restricted to the union of topic terms;
+      3. NPMI(wi,wj) = ln(P(ij)/(P(i)P(j))) / -ln(P(ij));
+      4. per term the NPMI vector against the topic's terms; topic
+         score = mean cosine(v_i, Σ_j v_j).
+
+    Steps 1-2 are distributed (explode windows → distinct
+    (window, term) pairs → count + blocked self-join); 3-4 are
+    driver-side on an O(topics × N²) table. The window explode is the
+    scale knob: work is O(total_tokens × |terms ∩ window|), never
+    pairwise over documents.
+    """
+    all_terms = sorted({w for terms in topic_terms for w in terms})
+    if not all_terms:
+        return [0.0 for _ in topic_terms]
+
+    toks = tokens.select("doc_id", F.col("tokens"))
+    n = F.size("tokens")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - window_size, F.lit(0))
+    )  # gensim: max(n - s + 1, 1) windows, 1-token step
+    win = toks.select(
+        "doc_id",
+        F.posexplode(starts).alias("w_idx", "start"),
+        F.col("tokens"),
+    ).select(
+        F.concat_ws("_", "doc_id", "w_idx").alias("window_id"),
+        F.array_distinct(
+            F.array_intersect(
+                F.slice(F.col("tokens"), F.col("start") + 1, window_size),
+                F.array(*[F.lit(t) for t in all_terms]),
+            )
+        ).alias("terms"),
+    )
+    win.cache()
+    total_windows = win.count()
+    wt = win.select("window_id", F.explode("terms").alias("term"))
+    wt.cache()
+    single = {
+        r["term"]: r["nw"]
+        for r in wt.groupBy("term").agg(F.count("*").alias("nw")).collect()
+    }
+    a, b = wt.alias("a"), wt.alias("b")
+    pair_rows = (
+        a.join(
+            b,
+            (F.col("a.window_id") == F.col("b.window_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count("*").alias("nw"))
+        .collect()
+    )
+    wt.unpersist()
+    win.unpersist()
+    pair = {(r["w1"], r["w2"]): r["nw"] for r in pair_rows}
+
+    def p(w: str) -> float:
+        return single.get(w, 0) / total_windows
+
+    def p2(x: str, y: str) -> float:
+        key = (x, y) if x < y else (y, x)
+        return pair.get(key, 0) / total_windows
+
+    def npmi(x: str, y: str) -> float:
+        if x == y:
+            return 1.0
+        pij = p2(x, y)
+        pi, pj = p(x), p(y)
+        if pij <= 0 or pi <= 0 or pj <= 0:
+            return 0.0
+        return math.log(pij / (pi * pj) + eps) / -math.log(pij + eps)
+
+    def cosine(u: list[float], v: list[float]) -> float:
+        dot = sum(a_ * b_ for a_, b_ in zip(u, v))
+        nu = math.sqrt(sum(a_ * a_ for a_ in u))
+        nv = math.sqrt(sum(b_ * b_ for b_ in v))
+        return dot / (nu * nv) if nu > 0 and nv > 0 else 0.0
+
+    scores = []
+    for terms in topic_terms:
+        vecs = [[npmi(wi, wj) for wj in terms] for wi in terms]
+        topic_vec = [sum(col) for col in zip(*vecs)]
+        sims = [cosine(v, topic_vec) for v in vecs]
+        scores.append(sum(sims) / len(sims) if sims else 0.0)
+    return scores
+
+
 def lda_sweep(
     bow_df: DataFrame,
     tokens: DataFrame,
@@ -143,12 +243,17 @@ def lda_sweep(
     max_iter: int = 10,
     seed: int = 42,
     n_terms: int = 10,
+    coherence: str = "umass",
 ) -> DataFrame:
     """M3 — the coherence sweep: train LDA per k (driver loop, each fit
-    a distributed job), score UMass coherence of the top-``n_terms``
-    terms, return DataFrame[k, coherence]. The reference swept k=1..19
-    with a fresh random seed per run (LDA_logic.py:338, 59-67); here
-    the seed is pinned and the k range is explicit."""
+    a distributed job), score coherence of the top-``n_terms`` terms,
+    return DataFrame[k, coherence]. The reference swept k=1..19 with
+    gensim c_v and a fresh random seed per run (LDA_logic.py:338-349,
+    59-67); here the seed is pinned, the k range is explicit, and
+    ``coherence`` picks "umass" (exact from doc co-occurrence counts)
+    or "c_v" (sliding-window NPMI — the reference's measure)."""
+    if coherence not in ("umass", "c_v"):
+        raise ValueError(f"coherence must be 'umass' or 'c_v', got {coherence!r}")
     spark = bow_df.sparkSession
     bow_df.cache()
     rows = []
@@ -158,7 +263,11 @@ def lda_sweep(
         topic_terms = [
             [vocabulary[i] for i in r["termIndices"]] for r in desc
         ]
-        coh = umass_coherence(tokens, topic_terms)
+        coh = (
+            umass_coherence(tokens, topic_terms)
+            if coherence == "umass"
+            else cv_coherence(tokens, topic_terms)
+        )
         avg = sum(coh) / len(coh) if coh else 0.0
         rows.append((k, round(avg, 6)))
     bow_df.unpersist()

@@ -82,6 +82,21 @@ def qm04(spark, sf_dir):
     return lda_sweep(bow, toks, model.vocabulary, range(2, 6), max_iter=5, seed=42)
 
 
+@query("qm07_cv_coherence_sweep")  # model output → rows-only oracle
+def qm07(spark, sf_dir):
+    """M3 variant — the reference's ACTUAL coherence measure (gensim
+    c_v, LDA_logic.py:344-347): sliding-window NPMI + topic-vector
+    cosine, computed as a distributed window-co-occurrence job
+    (operators/lda.cv_coherence)."""
+    docs = t(spark, sf_dir, "documents")
+    model, bow = vectorize(docs)
+    toks = tokens_df(docs)
+    return lda_sweep(
+        bow, toks, model.vocabulary, range(2, 5), max_iter=5, seed=42,
+        coherence="c_v",
+    )
+
+
 @query("qm05_lemmatized_tokens")  # pandas-UDF pipeline → rows-only oracle
 def qm05(spark, sf_dir):
     """N1-N4 — lemmatization pipeline (Arrow-batched pandas UDF;

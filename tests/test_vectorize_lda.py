@@ -99,6 +99,51 @@ def test_umass_coherence_hand_computed(spark):
     assert abs(c2 - math.log((0 + 1) / 2)) < 1e-9
 
 
+def test_cv_coherence_hand_computed(spark):
+    """Tiny corpus, window_size larger than any doc → every doc is ONE
+    window; P(w) and P(wi,wj) are document frequencies / n_docs.
+
+    docs: [a b], [a b], [a c] → P(a)=1, P(b)=2/3, P(c)=1/3,
+    P(ab)=2/3, P(ac)=1/3. NPMI(a,b)=ln(1)/-ln(2/3)≈0 (a is in every
+    window, so a,b are independent); same for (a,c). Topic [a,b]:
+    v_a=[1,0], v_b=[0,1] (+eps noise), topic vec=[1,1] → cosine
+    1/√2 each → C_v ≈ 0.7071."""
+    from ml_data_wrangler_spark.operators.lda import cv_coherence
+
+    toks = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=["a", "b"]),
+            Row(doc_id=2, tokens=["a", "b"]),
+            Row(doc_id=3, tokens=["a", "c"]),
+        ]
+    )
+    [c] = cv_coherence(toks, [["a", "b"]], window_size=110)
+    assert abs(c - 1 / math.sqrt(2)) < 1e-6
+    # perfectly co-occurring pair → NPMI(b,b')=1 both ways → C_v = 1
+    toks2 = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=["b", "d"]),
+            Row(doc_id=2, tokens=["b", "d"]),
+            Row(doc_id=3, tokens=["x", "y"]),
+        ]
+    )
+    [c2] = cv_coherence(toks2, [["b", "d"]], window_size=110)
+    assert abs(c2 - 1.0) < 1e-6
+
+
+def test_cv_sliding_windows_count(spark):
+    """window_size=2 over a 4-token doc → 3 windows (1-step slide);
+    co-occurrence only within a window: (a,c) never share one."""
+    from ml_data_wrangler_spark.operators.lda import cv_coherence
+
+    toks = spark.createDataFrame([Row(doc_id=1, tokens=["a", "b", "c", "b"])])
+    # windows: [a b], [b c], [c b] → P(a)=1/3, P(b)=1, P(c)=2/3,
+    # P(ab)=1/3 → NPMI(a,b)=ln(1/( (1/3)*1 ) ... pij/(pi*pj)=1 → 0
+    # P(ac)=0 → NPMI 0. Scores finite, in [-1, 1].
+    [c] = cv_coherence(toks, [["a", "c"]], window_size=2)
+    assert -1.0 <= c <= 1.0
+
+
 def test_lda_sweep_rows(documents):
     model, bow = vectorize(documents)
     toks = tokens_df(documents)
