@@ -1,0 +1,125 @@
+"""CLI — the engine's replacement for the reference's GUI driver
+(SURVEY.md §2.11: MainWindow/worker threads → a Python API + CLI).
+
+    python -m ml_data_wrangler_spark wrangle --tickets tickets.json \
+        --comments ./comments --out ./completed --run-date 2026-08-13
+    python -m ml_data_wrangler_spark lda --sf-dir /root/testdata/sf0.01 \
+        --k-min 2 --k-max 6 --coherence umass
+    python -m ml_data_wrangler_spark query qt01_top_tokens \
+        --sf-dir /root/testdata/sf0.001
+    python -m ml_data_wrangler_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None):
+    from ml_data_wrangler_spark.session import get_spark
+
+    return get_spark(app_name="mdw-cli", cpus=cpus)
+
+
+def cmd_wrangle(args) -> int:
+    from ml_data_wrangler_spark.operators.wrangle import create_corpus, wrangle
+    from ml_data_wrangler_spark.sources.sinks import (
+        write_corpus_json,
+        write_processed_tickets_json,
+    )
+
+    spark = _spark(args.cpus)
+    wrangled = wrangle(spark, args.tickets, args.comments)
+    t_path = write_processed_tickets_json(wrangled, args.out, args.run_date)
+    c_path = write_corpus_json(create_corpus(wrangled), args.out, args.run_date)
+    n = wrangled.count()
+    print(f"wrangled {n} tickets → {t_path}\ncorpus → {c_path}")
+    return 0
+
+
+def cmd_lda(args) -> int:
+    from ml_data_wrangler_spark.operators.lda import lda_sweep, validate_lda_params
+    from ml_data_wrangler_spark.operators.vectorize import tokens_df, vectorize
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    validate_lda_params(max(args.k_min, 1), args.max_iter, args.passes)
+    spark = _spark(args.cpus)
+    docs = read_table(spark, args.sf_dir, "documents")
+    model, bow = vectorize(docs, min_df=args.min_df, max_df=args.max_df)
+    sweep = lda_sweep(
+        bow,
+        tokens_df(docs),
+        model.vocabulary,
+        range(args.k_min, args.k_max + 1),
+        max_iter=args.max_iter,
+        seed=args.seed,
+        coherence=args.coherence,
+    )
+    for r in sweep.collect():
+        print(f"k={r['k']}\tcoherence={r['coherence']}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from ml_data_wrangler_spark.plans import registry
+
+    queries = registry.queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = queries[args.name](spark, args.sf_dir)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_list(args) -> int:
+    from ml_data_wrangler_spark.plans import registry
+
+    oracles = registry.oracle_sql()
+    for name in sorted(registry.queries()):
+        kind = "oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ml_data_wrangler_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("wrangle", help="tickets+comments → processed JSON + corpus")
+    w.add_argument("--tickets", required=True)
+    w.add_argument("--comments", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--run-date", required=True, help="YYYY-MM-DD stamp for filenames")
+    w.set_defaults(fn=cmd_wrangle)
+
+    l = sub.add_parser("lda", help="vocab → LDA coherence sweep")
+    l.add_argument("--sf-dir", required=True)
+    l.add_argument("--k-min", type=int, default=2)
+    l.add_argument("--k-max", type=int, default=6)
+    l.add_argument("--max-iter", type=int, default=10)
+    l.add_argument("--passes", type=int, default=1)
+    l.add_argument("--seed", type=int, default=42)
+    l.add_argument("--min-df", type=float, default=5.0)
+    l.add_argument("--max-df", type=float, default=0.5)
+    l.add_argument("--coherence", choices=("umass", "c_v"), default="umass")
+    l.set_defaults(fn=cmd_lda)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--rows", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list", help="list registered queries")
+    ls.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
