@@ -71,16 +71,26 @@ GROUP BY 1
 """,
 )
 def q02(spark, sf_dir):
-    """orders⋈lineitem fact-fact equi-join + time-bucketed rollup.
-    Shuffles both sides on the orderkey; AQE coalesces the tiny result."""
+    """orders⋈lineitem revenue by month — written in the pre-aggregated
+    shape: lineitem collapses to order grain FIRST (map-side combine
+    shrinks the fact 4× before anything moves), the join then carries
+    one row per order, and COUNT DISTINCT degenerates to COUNT(*).
+    At 100 TB this replaces a wide fact-fact shuffle + distinct-expand
+    with one keyed partial agg; decimal sums make the two-step sum
+    exactly associative, so results are bit-identical to the oracle's
+    single-pass form."""
     o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(disc_price()).alias("order_rev"))
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
         .agg(
-            dbl(F.sum(disc_price())).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            dbl(F.sum("order_rev")).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
