@@ -199,3 +199,36 @@ def qe06(spark, sf_dir):
         ]
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+@query("qe07_approx_distinct_users")  # HLL sketch → rows-only oracle
+def qe07(spark, sf_dir):
+    """The 100 TB variant of qe02: HyperLogLog++ approximate distinct
+    users per day (rsd=0.01). Constant-memory sketch per group instead
+    of the exact distinct's expand+dedup shuffle — at scale DAU over
+    billions of ids is only feasible this way. Accuracy vs the exact
+    dual is asserted in tests/test_sketches.py."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_dau"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("qe08_approx_value_quantiles")  # t-digest-style sketch → rows-only
+def qe08(spark, sf_dir):
+    """Approximate value quantiles per event type via percentile_approx
+    (mergeable sketch; the scale path for qm06's exact quantiles)."""
+    qs = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(qs[0], 4).alias("p50"),
+            F.round(qs[1], 4).alias("p90"),
+            F.round(qs[2], 4).alias("p99"),
+        )
+    )

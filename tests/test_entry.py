@@ -30,4 +30,6 @@ def test_contract_consistency():
         "qv05_ivf_ann",
         "qv06_lsh_ann_pairs",
         "qx01_multimodal_features",
+        "qe07_approx_distinct_users",
+        "qe08_approx_value_quantiles",
     }
