@@ -1,0 +1,98 @@
+"""Physical-plan audits: the scale claims in the query docstrings are
+asserted against the actual Catalyst output, so a regression that
+silently adds a shuffle or breaks pushdown fails CI, not the cluster.
+
+(Inspects executedPlan strings — the same thing `.explain` prints.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.plans.registry import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return queries()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir, q):
+    """q23 is the explicit pushdown demo: the parquet scan itself must
+    carry the predicate and a pruned schema."""
+    plan = _plan(q["q23_filter_project_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan or "EqualTo" in plan
+    # scan must not read every lineitem column
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema if "l_comment" in plan else True
+    assert "struct<" in read_schema
+
+
+def test_dim_chain_broadcasts(spark, sf_dir, q):
+    """q05's region→nation→customer/supplier chain must plan as
+    broadcast joins — no shuffle exchange for dimension sides."""
+    plan = _plan(q["q05_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # only the final aggregation may hash-shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scan_agg_single_shuffle(spark, sf_dir, q):
+    """q01 (scan + groupBy) must be exactly one shuffle with a
+    map-side partial aggregation."""
+    plan = _plan(q["q01_pricing_summary"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_join_single_shuffle(spark, sf_dir, q):
+    """The as-of operator itself must shuffle ONCE on the key — the
+    whole point vs a pairwise range join. (qj01 adds one more exchange
+    upstream for its right-side dedup; test the operator in
+    isolation.)"""
+    from ml_data_wrangler_spark.operators.asof import asof_join_backward
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join_backward(
+        left, right, key="user_id", left_ts="p_ts", right_ts="ts",
+        right_payload={"click_id": "click_id"},
+    )
+    assert _plan(out).count("Exchange hashpartitioning") == 1
+
+
+def test_text_pipeline_no_python_udf(spark, sf_dir, q):
+    """qt01/qt04/qt05 are documented as pure-JVM: no Python evals in
+    the plan (BatchEvalPython / ArrowEvalPython would mean a UDF crept
+    into the hot path)."""
+    for name in ("qt01_top_tokens", "qt04_quality_scores", "qt05_language_id"):
+        plan = _plan(q[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+
+
+def test_entry_flagship_bounded_python(spark, q):
+    """The flagship pipeline allows exactly ONE Python round-trip by
+    design (the Arrow-batched NFKC+unescape pandas UDF); everything
+    else must stay JVM-side, and row-at-a-time Python is never
+    acceptable."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
+    # partial aggregation before the token shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2
