@@ -14,7 +14,11 @@ from ml_data_wrangler_spark.plans.registry import queries
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # AQE plans print "== Final Plan ==" followed by "== Initial
+    # Plan ==" — keep only the final section so operator counts aren't
+    # doubled.
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
 
 
 @pytest.fixture(scope="module")
