@@ -74,6 +74,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from ml_data_wrangler_spark.sources.readers import register_views
+
+    spark = _spark(args.cpus)
+    register_views(spark, args.sf_dir)
+    spark.sql(args.statement).show(args.rows, truncate=False)
+    return 0
+
+
 def cmd_list(args) -> int:
     from ml_data_wrangler_spark.plans import registry
 
@@ -113,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sql", help="run Spark SQL over the registered table views")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--rows", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=cmd_list)

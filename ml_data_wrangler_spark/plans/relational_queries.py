@@ -752,3 +752,37 @@ def q29(spark, sf_dir):
             ).alias("line_list"),
         )
     )
+
+
+@query(
+    "q30_status_intersect_all",
+    oracle="""
+SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 100000
+INTERSECT ALL
+SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q30(spark, sf_dir):
+    """Set op: INTERSECT ALL (multiset semantics — keeps min of the
+    per-side multiplicities, unlike q27's set INTERSECT)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("status"))
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderstatus").alias("status"))
+    return a.intersectAll(b)
+
+
+@query(
+    "q31_status_except_all",
+    oracle="""
+SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q31(spark, sf_dir):
+    """Set op: EXCEPT ALL (multiset difference — the semantics q28
+    deliberately does NOT use)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("status"))
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderstatus").alias("status"))
+    return a.exceptAll(b)

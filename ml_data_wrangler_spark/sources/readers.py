@@ -46,6 +46,15 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every driver table as a temp view so users can query
+    with plain ``spark.sql`` — the engine's SQL front door (the same
+    names the DuckDB oracle uses)."""
+    for name in TESTDATA_SCHEMAS:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TESTDATA_SCHEMAS)
+
+
 def read_tickets(spark: SparkSession, path: str) -> DataFrame:
     """S1 — tickets.json, an array of ticket objects (wrangler.py:413-416).
 
