@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL mirrors. Missing keys (LDA, MinHash,
-    SimHash, IVF/LSH ANN, lemmatize) are approximate/model-based ops →
-    rows-only check by design."""
+    """DuckDB-runnable ANSI SQL mirrors. Missing keys (LDA topics +
+    coherence sweeps, lemmatize, MinHash, SimHash, IVF/LSH ANN,
+    HLL/quantile sketches, multimodal stub features) are
+    approximate/model-based ops → rows-only check by design."""
     return registry.oracle_sql()
