@@ -54,13 +54,24 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_index(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Length-ratio prune (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose set sizes differ by more than the threshold ratio
+    # can never qualify — attach sizes to the posting lists (broadcast)
+    # and drop those pairs BEFORE the pair-count aggregation. At scale
+    # this is the difference between aggregating all co-bucketed pairs
+    # and only the plausibly-similar ones.
+    sh_n = sh.join(F.broadcast(sizes), "doc_id")
+    a = sh_n.alias("a")
+    b = sh_n.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= threshold * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -163,4 +174,52 @@ def dedup_keep_min(documents: DataFrame, fingerprint_col) -> DataFrame:
         documents.select("doc_id", fingerprint_col.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_pipeline(
+    documents: DataFrame,
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """The tiered 100 TB dedup flow end-to-end: decide, per document,
+    keep or drop.
+
+    1. exact tier: md5-fingerprint groupBy keeps the min doc_id per
+       byte-identical group (cheapest; removes the bulk);
+    2. candidate tier: exact n-gram Jaccard pairs ≥ threshold over the
+       exact-survivors (in production MinHash replaces this index —
+       same interface, approximate candidates);
+    3. resolution: union-by-min — within each near-dup pair the lower
+       doc_id wins; a doc is dropped if ANY kept doc claims it.
+
+    Returns (doc_id, keep boolean, reason string). Deterministic:
+    min-id keeper policy at both tiers.
+    """
+    from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+
+    fp = documents.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    exact_keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = fp.join(exact_keeper, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_kept")
+    )
+    survivors = documents.join(
+        exact.where(F.col("exact_kept")).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(survivors, k=k, threshold=jaccard_threshold)
+    # one resolution pass: doc_b loses to the (always lower) doc_a.
+    # (Min-id policy makes chains converge in one pass: the smallest
+    # member of any near-dup cluster keeps, because it never appears
+    # as a doc_b.)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact.join(losers.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("exact_kept") & F.col("near_dup").isNull()).alias("keep"),
+            F.when(~F.col("exact_kept"), "exact_duplicate")
+            .when(F.col("near_dup"), "near_duplicate")
+            .otherwise("kept")
+            .alias("reason"),
+        )
     )

@@ -111,3 +111,55 @@ def qd04(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 1)
     )
+
+
+@query(
+    "qd05_dedup_pipeline",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp
+), exact AS (
+  SELECT f.doc_id, f.doc_id = k.keeper AS exact_kept
+  FROM fp f JOIN keepers k ON f.fp = k.fp
+), surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN exact e ON d.doc_id = e.doc_id WHERE e.exact_kept
+), toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM surv
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+)
+SELECT e.doc_id,
+       (e.exact_kept AND l.doc_id IS NULL) AS keep,
+       CASE WHEN NOT e.exact_kept THEN 'exact_duplicate'
+            WHEN l.doc_id IS NOT NULL THEN 'near_duplicate'
+            ELSE 'kept' END AS reason
+FROM exact e LEFT JOIN losers l ON e.doc_id = l.doc_id
+""",
+)
+def qd05(spark, sf_dir):
+    """The tiered dedup flow end-to-end (exact fingerprint → n-gram
+    Jaccard near-dup resolution → keep/drop decision per doc), fully
+    oracle-checked — the composition a 100 TB corpus dedup actually
+    runs, with MinHash swapping in for the candidate tier at scale."""
+    from ml_data_wrangler_spark.operators.dedup import dedup_pipeline
+
+    return dedup_pipeline(t(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.6)

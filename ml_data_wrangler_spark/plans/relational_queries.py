@@ -786,3 +786,34 @@ def q31(spark, sf_dir):
     a = o.where(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("status"))
     b = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderstatus").alias("status"))
     return a.exceptAll(b)
+
+
+@query(
+    "q32_orders_above_customer_avg",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
+                        FROM orders i WHERE i.o_custkey = o.o_custkey)
+ORDER BY o.o_orderkey
+""",
+)
+def q32(spark, sf_dir):
+    """Correlated scalar subquery (each order vs 1.5× its customer's
+    average) — expressed through spark.sql so Catalyst's subquery
+    decorrelation rewrites it into the aggregate+join the DataFrame
+    API would hand-build."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q32_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM _q32_orders o
+        WHERE o.o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
+                                FROM _q32_orders i
+                                WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )

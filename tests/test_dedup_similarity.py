@@ -111,3 +111,24 @@ def test_lsh_pairs_contains_nearest(vectors):
                            bucket_length=4.0, seed=7).collect()}
     assert (1, 2) in pairs
     assert (3, 4) in pairs
+
+
+def test_dedup_pipeline_tiers(spark):
+    from ml_data_wrangler_spark.operators.dedup import dedup_pipeline
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),  # near dup of 1
+            Row(doc_id=4, text="completely different content about spark engines"),
+            Row(doc_id=5, text="THE QUICK  brown fox jumps over the lazy dog"),  # exact after normalization
+        ]
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in dedup_pipeline(docs, k=3, jaccard_threshold=0.5).collect()}
+    assert out[1] == (True, "kept")
+    assert out[2] == (False, "exact_duplicate")
+    assert out[3] == (False, "near_duplicate")
+    assert out[4] == (True, "kept")
+    assert out[5] == (False, "exact_duplicate")
