@@ -186,3 +186,67 @@ def lsh_ann_pairs(
             F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("est_cosine"),
         )
     )
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matrix products —
+    the vectorized dual of brute_force_topk for when the expression-
+    per-element cost dominates (high dims / many queries).
+
+    Shape: the (small) query matrix is broadcast to every executor;
+    each corpus partition computes one (batch × queries) GEMM and
+    emits only its partition-local top-k per query; a final window
+    merges partition winners. Data moved after scoring:
+    O(partitions × queries × k), never the full score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W2
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = np.array([r["v"] for r in q_rows])  # (Q, D)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["nid"].to_numpy()
+            c = np.stack(pdf["v"].to_numpy())  # (B, D)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (B, Q)
+            # partition-local top-k per query (argpartition: O(B))
+            kk = min(k + 1, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out = {
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": c_ids[idx].T.ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .mapInPandas(score, schema="query_id long, neighbor_id long, sim double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round("sim", 6))
+    )
+    w = W2.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

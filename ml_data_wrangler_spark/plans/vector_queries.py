@@ -191,3 +191,21 @@ def qv06(spark, sf_dir):
     return lsh_ann_pairs(
         t(spark, sf_dir, "embeddings"), distance_threshold=1.15, seed=42
     )
+
+
+@query("qv07_knn_vectorized")  # numpy FP fold order → rows-only oracle
+def qv07(spark, sf_dir):
+    """Exact brute-force top-5 via the Arrow/numpy GEMM path
+    (mapInPandas, partition-local top-k, window merge) — same answer
+    as qv01 up to FP fold order (recall vs qv01 asserted ≥99% in
+    tests); the formulation that wins when dims × queries make
+    per-element JVM expressions the bottleneck."""
+    from ml_data_wrangler_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    return brute_force_topk_vectorized(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )

@@ -132,3 +132,31 @@ def test_dedup_pipeline_tiers(spark):
     assert out[3] == (False, "near_duplicate")
     assert out[4] == (True, "kept")
     assert out[5] == (False, "exact_duplicate")
+
+
+def test_vectorized_knn_matches_jvm(spark, sf_dir):
+    """The numpy GEMM path must reproduce the JVM expression path's
+    neighbor sets (both exact; only FP fold order differs)."""
+    from pyspark.sql import functions as F2
+
+    from ml_data_wrangler_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F2.col("vec_id") % 20 == 0)
+    jvm = brute_force_topk(emb, queries, k=5)
+    vec = brute_force_topk_vectorized(emb, queries, k=5)
+    jvm_sets = {
+        r["query_id"]: set() for r in jvm.select("query_id").distinct().collect()
+    }
+    for r in jvm.collect():
+        jvm_sets[r["query_id"]].add(r["neighbor_id"])
+    agree = total = 0
+    vec_rows = vec.collect()
+    assert len(vec_rows) == sum(len(s) for s in jvm_sets.values())
+    for r in vec_rows:
+        total += 1
+        agree += r["neighbor_id"] in jvm_sets[r["query_id"]]
+    assert agree / total >= 0.99

@@ -29,6 +29,7 @@ def test_contract_consistency():
         "qm07_cv_coherence_sweep",
         "qv05_ivf_ann",
         "qv06_lsh_ann_pairs",
+        "qv07_knn_vectorized",
         "qx01_multimodal_features",
         "qe07_approx_distinct_users",
         "qe08_approx_value_quantiles",
