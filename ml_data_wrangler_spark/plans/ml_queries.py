@@ -67,7 +67,12 @@ def qm02(spark, sf_dir):
 def qm03(spark, sf_dir):
     """M1+M4 — LDA(k=5, seed=42) topic-term table (topic, term,
     weight). Seeded and single-process-deterministic; not SQL."""
-    model, bow = vectorize(t(spark, sf_dir, "documents"))
+    # fixture-suited pruning: the synthetic corpus has ~31 tokens, 30
+    # with df>50% — reference defaults would leave a 1-term vocabulary
+    # (SURVEY defaults remain the API defaults; see tests)
+    model, bow = vectorize(
+        t(spark, sf_dir, "documents"), min_df=2.0, max_df=1 << 30
+    )
     lda_model = fit_lda(bow, k=5, max_iter=10, seed=42)
     return topics_df(lda_model, model.vocabulary, n_terms=5)
 
@@ -77,7 +82,7 @@ def qm04(spark, sf_dir):
     """M3 — coherence sweep k∈[2,5]: per k one distributed LDA fit +
     exact UMass coherence from corpus co-occurrence counts."""
     docs = t(spark, sf_dir, "documents")
-    model, bow = vectorize(docs)
+    model, bow = vectorize(docs, min_df=2.0, max_df=1 << 30)
     toks = tokens_df(docs)
     return lda_sweep(bow, toks, model.vocabulary, range(2, 6), max_iter=5, seed=42)
 
@@ -89,7 +94,7 @@ def qm07(spark, sf_dir):
     cosine, computed as a distributed window-co-occurrence job
     (operators/lda.cv_coherence)."""
     docs = t(spark, sf_dir, "documents")
-    model, bow = vectorize(docs)
+    model, bow = vectorize(docs, min_df=2.0, max_df=1 << 30)
     toks = tokens_df(docs)
     return lda_sweep(
         bow, toks, model.vocabulary, range(2, 5), max_iter=5, seed=42,
