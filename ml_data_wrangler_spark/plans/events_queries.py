@@ -127,8 +127,12 @@ def qe04(spark, sf_dir):
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                # Microsecond-exact gap comparison: unix_timestamp()
+                # truncates to whole seconds, which would disagree with
+                # the oracle's full-precision `ts - lag(ts) > INTERVAL
+                # 30 MINUTE` for gaps in (1800, 1801)s.
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             ),
             1,
         )
@@ -201,34 +205,89 @@ def qe06(spark, sf_dir):
     return e.groupBy("user_id").agg(*aggs)
 
 
-@query("qe07_approx_distinct_users")  # HLL sketch → rows-only oracle
+@query(
+    "qe07_approx_distinct_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+""",
+)
 def qe07(spark, sf_dir):
     """The 100 TB variant of qe02: HyperLogLog++ approximate distinct
     users per day (rsd=0.01). Constant-memory sketch per group instead
     of the exact distinct's expand+dedup shuffle — at scale DAU over
-    billions of ids is only feasible this way. Accuracy vs the exact
-    dual is asserted in tests/test_sketches.py."""
+    billions of ids is only feasible this way.
+
+    Oracle-checkable by construction: the query emits the exact DAU
+    (which the DuckDB oracle reproduces) plus a deterministic
+    bounded-error boolean ``approx_ok = |approx - dau| <= max(1, 3*rsd*dau)``
+    that the oracle asserts as literal TRUE — if the sketch ever drifts
+    past 3 sigma, the value hash flips and the gate catches it. The
+    exact side exists only to make the gate deterministic; the sketch
+    alone is the serving path at scale."""
     return (
         t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_dau"),
+            F.countDistinct("user_id").alias("dau"),
             F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_dau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "n_events",
+            (
+                F.abs(F.col("approx_dau").cast("double") - F.col("dau"))
+                <= F.greatest(F.lit(1.0), F.lit(3 * 0.01) * F.col("dau"))
+            ).alias("approx_ok"),
         )
     )
 
 
-@query("qe08_approx_value_quantiles")  # t-digest-style sketch → rows-only
+@query(
+    "qe08_approx_value_quantiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def qe08(spark, sf_dir):
-    """Approximate value quantiles per event type via percentile_approx
-    (mergeable sketch; the scale path for qm06's exact quantiles)."""
-    qs = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
-    return (
+    """Value quantiles per event type: exact interpolated percentiles
+    (the oracle-checkable side — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the p*(n-1) linear-interpolation definition)
+    plus the percentile_approx mergeable-sketch path that is the 100 TB
+    variant.
+
+    Oracle-checkable by construction (same pattern as qe07): exact
+    quantiles hash-match the oracle; ``approx_ok`` asserts the sketch
+    (accuracy=10_000, rank error <= n/10_000) lands within 5% relative
+    or 1.0 absolute of the exact value, and the oracle pins it TRUE."""
+    exact = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    approx = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(
-            F.round(qs[0], 4).alias("p50"),
-            F.round(qs[1], 4).alias("p90"),
-            F.round(qs[2], 4).alias("p99"),
-        )
+        .agg(exact.alias("ex"), approx.alias("ap"))
+    )
+    within = [
+        F.abs(F.col("ap")[i] - F.col("ex")[i])
+        <= F.greatest(F.lit(1.0), F.lit(0.05) * F.abs(F.col("ex")[i]))
+        for i in range(3)
+    ]
+    return agg.select(
+        "event_type",
+        F.round(F.col("ex")[0], 4).alias("p50"),
+        F.round(F.col("ex")[1], 4).alias("p90"),
+        F.round(F.col("ex")[2], 4).alias("p99"),
+        (within[0] & within[1] & within[2]).alias("approx_ok"),
     )

@@ -794,8 +794,10 @@ def q31(spark, sf_dir):
 SELECT o.o_orderkey, o.o_custkey,
        CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders o
-WHERE o.o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
-                        FROM orders i WHERE i.o_custkey = o.o_custkey)
+WHERE o.o_totalprice >
+      (SELECT 1.5 * (CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / COUNT(*))
+       FROM orders i WHERE i.o_custkey = o.o_custkey)
 ORDER BY o.o_orderkey
 """,
 )
@@ -803,7 +805,12 @@ def q32(spark, sf_dir):
     """Correlated scalar subquery (each order vs 1.5× its customer's
     average) — expressed through spark.sql so Catalyst's subquery
     decorrelation rewrites it into the aggregate+join the DataFrame
-    API would hand-build."""
+    API would hand-build.
+
+    Float discipline: the per-customer average is an exact DECIMAL sum
+    divided by the count (q17/q22 pattern), not AVG(double) — a raw
+    double AVG's summation order can differ by an ulp between engines
+    and flip a knife-edge '>' row."""
     o = t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_q32_orders")
     return spark.sql(
@@ -811,9 +818,11 @@ def q32(spark, sf_dir):
         SELECT o.o_orderkey, o.o_custkey,
                CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
         FROM _q32_orders o
-        WHERE o.o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
-                                FROM _q32_orders i
-                                WHERE i.o_custkey = o.o_custkey)
+        WHERE o.o_totalprice >
+              (SELECT 1.5 * (CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                             / COUNT(*))
+               FROM _q32_orders i
+               WHERE i.o_custkey = o.o_custkey)
         ORDER BY o.o_orderkey
         """
     )

@@ -1,5 +1,6 @@
 """Standalone parity runner (same checks as test_oracle_parity, with
-per-query timing) — usage: python tests/run_parity.py [sf_dir]."""
+per-query timing) — usage:
+python tests/run_parity.py [sf_dir] [--only name1,name2,...]"""
 
 from __future__ import annotations
 
@@ -17,7 +18,13 @@ from tests.oracle_harness import (
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     from ml_data_wrangler_spark.session import get_spark
 
     spark = get_spark(app_name="parity", cpus=8, shuffle_partitions=8, driver_memory="8g")
@@ -25,7 +32,11 @@ def main() -> int:
     queries = registry.queries()
     oracles = registry.oracle_sql()
     failures = 0
+    ran = 0
     for name in sorted(queries):
+        if only is not None and name not in only:
+            continue
+        ran += 1
         t0 = time.time()
         try:
             cols, rows = run_spark_query(spark, queries[name], sf_dir)
@@ -46,7 +57,7 @@ def main() -> int:
             dt = time.time() - t0
             print(f"ERROR {name} ({dt:.1f}s):", flush=True)
             traceback.print_exc()
-    print(f"\n{failures} failures / {len(queries)} queries", flush=True)
+    print(f"\n{failures} failures / {ran} queries", flush=True)
     return 1 if failures else 0
 
 
