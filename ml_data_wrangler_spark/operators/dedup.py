@@ -24,18 +24,6 @@ from pyspark.sql import functions as F
 from ml_data_wrangler_spark.functions.text import tokenize
 
 
-def shingle_index(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Inverted index: one row per distinct (doc_id, shingle). Docs
-    shorter than k tokens produce no rows (nothing to compare)."""
-    toks = tokenize(F.col("text"))
-    return (
-        documents.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= k)
-        .select("doc_id", F.explode(_shingles_from_tokens(F.col("toks"), k)).alias("shingle"))
-        .distinct()
-    )
-
-
 def _shingles_from_tokens(toks, k: int):
     return F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -44,52 +32,218 @@ def _shingles_from_tokens(toks, k: int):
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.6
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    strategy: str = "count",
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the inverted shingle
-    index: join on shingle → shared counts → |A∪B| from per-doc sizes.
+    """Exact n-gram Jaccard near-dup pairs over an inverted shingle
+    index, with two physical strategies that return IDENTICAL results
+    (asserted in tests/test_dedup_similarity.py):
+
+    * ``strategy="count"`` — full posting-list self-join with in-join
+      length-ratio prune and a single pair-count aggregation. The
+      per-doc set size rides along in the posting rows, so the whole
+      query is: one narrow shingling pass → one exchange on shingle
+      (reused by both join sides) → join+partial-aggregate → one
+      exchange on the pair key. Minimal stages, exact in one pass.
+      Cost is Σ df² over shingles — ideal until the corpus has HOT
+      shingles (common phrases), where d docs sharing a shingle emit
+      d² join rows.
+
+    * ``strategy="prefix"`` — the All-Pairs/PPJoin prefix-filtered
+      formulation (Bayardo et al. WWW'07; Xiao et al. WWW'08), the
+      100 TB path for Zipfian corpora:
+        1. per doc, order its shingle set by ascending GLOBAL document
+           frequency (rarest first, shingle text tiebreak);
+        2. index only the first ``n − ⌈θ·n⌉ + 1`` shingles (prefix
+           lemma: sets with |A∩B| ≥ α share an element within their
+           (size − α + 1)-prefixes under any common total order →
+           LOSSLESS candidates). Hot shingles sort to the END of the
+           df order, so they almost never enter a prefix — the d²
+           blowup disappears;
+        3. candidates also pass the length-ratio prune and PPJoin's
+           positional filter (overlap ≤ 1 + min(remaining suffix
+           lengths) — both lossless);
+        4. verify candidates exactly via array_intersect against the
+           full df-ordered arrays (merge joins — array-typed relations
+           are deliberately NEVER broadcast: Spark underestimates
+           array sizeInBytes and a "small" broadcast can decompress to
+           hundreds of MB on the driver).
+
+    On the synthetic fixtures (no hot shingles: max df ≈ 25 at sf0.1)
+    "count" is faster because prefix filtering only adds stages; on a
+    real web corpus "prefix" is the one that survives. Both are exact.
+
+    Scale notes baked into both paths:
+      * the raw text is repartitioned BEFORE tokenization — a single
+        parquet file otherwise pins the whole shingling stage to one
+        task (observed: sf0.1 documents.parquet is one 1-split file);
+      * the repartition doubles as an optimizer barrier: without it,
+        ProjectCollapse inlines the tokenize→shingle→sort expression
+        into every downstream Filter/Generate, re-evaluating it up to
+        5× per row;
+      * FP discipline: α = ceil(θ·n − 1e-9); ratio/positional prunes
+        subtract the same epsilon — error can only widen a prefix or
+        admit a borderline candidate, never drop a qualifying pair;
+        the exact-Jaccard predicate is the semantic gate on both
+        engines.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard ≥ threshold (threshold applied before rounding).
     """
-    sh = shingle_index(documents, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Length-ratio prune (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so pairs whose set sizes differ by more than the threshold ratio
-    # can never qualify — attach sizes to the posting lists (broadcast)
-    # and drop those pairs BEFORE the pair-count aggregation. At scale
-    # this is the difference between aggregating all co-bucketed pairs
-    # and only the plausibly-similar ones.
-    sh_n = sh.join(F.broadcast(sizes), "doc_id")
-    a = sh_n.alias("a")
-    b = sh_n.alias("b")
-    pairs = (
+    if strategy not in ("count", "prefix"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    spark = documents.sparkSession
+    if parallelism is None:
+        # cores, not shuffle.partitions: this sizes a CPU-bound narrow
+        # stage (tokenize+shingle), and a vanilla session's 200 shuffle
+        # partitions would just mean 200 tiny tasks of overhead
+        parallelism = spark.sparkContext.defaultParallelism
+    toks = tokenize(F.col("text"))
+    # Guard instead of a WHERE filter: Catalyst pushes filters through
+    # Repartition, and a filter referencing toks would drag the whole
+    # tokenization below the parallelizing exchange (back into the
+    # single-split scan task). Docs shorter than k tokens yield an
+    # empty array, which explode() then drops — same semantics.
+    shingles = F.when(
+        F.size("toks") >= k,
+        F.array_distinct(_shingles_from_tokens(F.col("toks"), k)),
+    ).otherwise(F.array().cast("array<string>"))
+    ratio_ok = (
+        F.least(F.col("a.n"), F.col("b.n"))
+        >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+
+    # Repartition the RAW text before anything touches it: a
+    # one-split parquet file would otherwise pin the entire
+    # tokenize→shingle→explode stage to a single task (measured: 4s of
+    # CPU on one core at sf0.1), and any filter referencing toks would
+    # force tokenization below the exchange. The coalesce makes the
+    # text column NON-NULLABLE, so the join-constraint-inferred
+    # isnotnull(size(<shingle expr>)) filter constant-folds away
+    # instead of being pushed into the scan (where it would evaluate
+    # the whole tokenize→shingle expression once more, single-task).
+    raw = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).repartition(parallelism)
+
+    # explode_outer + post-filter instead of plain explode: explode's
+    # implicit `size(arr) > 0` filter is pushed below the exchange by
+    # Catalyst, which would again inline the shingle pipeline into the
+    # single-task scan stage (twice). The IsNotNull filter on the
+    # GENERATED column cannot be pushed below the Generate.
+    if strategy == "count":
+        pre = (
+            raw.select("doc_id", toks.alias("toks"))
+            .select("doc_id", shingles.alias("sh"))
+            .select(
+                "doc_id",
+                F.size("sh").alias("n"),
+                F.explode_outer("sh").alias("shingle"),
+            )
+            .where(F.col("shingle").isNotNull())
+        )
+        # shuffle-hash: posting lists are short, sorting 2× the posting
+        # stream for a merge join is pure overhead
+        a, b = pre.alias("a"), pre.hint("shuffle_hash").alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & ratio_ok,
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        return pairs.where(jac >= threshold).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+
+    # strategy == "prefix"
+    sh = (
+        raw.select("doc_id", toks.alias("toks"))
+        .select("doc_id", shingles.alias("sh"))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .repartition("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # ONE groupBy(doc_id) builds both the df-ordered full array
+    # (verification side) and implicitly the prefix: sort_array on
+    # (df, shingle) structs realizes the rarest-first global order per
+    # document without a window.
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+        lambda s: s["shingle"],
+    )
+    n = F.size("sh")
+    alpha = F.ceil(F.lit(threshold) * n - F.lit(1e-9))
+    per_doc = (
+        sh.join(F.broadcast(df_counts), "shingle")
+        .groupBy("doc_id")
+        .agg(ordered.alias("sh"))
+        .select(
+            "doc_id",
+            "sh",
+            n.alias("n"),
+            F.slice("sh", 1, (n - alpha + 1).cast("int")).alias("prefix"),
+        )
+    )
+    pre = per_doc.select(
+        "doc_id", "n", F.posexplode("prefix").alias("pos", "shingle")
+    )
+    a, b = pre.alias("a"), pre.hint("shuffle_hash").alias("b")
+    # PPJoin positional filter: if the shared prefix shingle sits at
+    # 1-based positions (pa, pb), overlap ≤ 1 + min(n_a − pa, n_b − pb)
+    # which must reach ⌈θ/(1+θ)·(n_a+n_b)⌉ for J ≥ θ.
+    alpha_pair = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n") - (F.col("a.pos") + 1), F.col("b.n") - (F.col("b.pos") + 1)
+    )
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n"), F.col("b.n"))
-                >= threshold * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
+            & ratio_ok
+            & (ubound >= alpha_pair),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    ).hint("merge")
+    db = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    ).hint("merge")
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
         )
-        .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("shared")
-    )
-    # sizes is one row per doc — broadcast both lookups so the pair
-    # stream never shuffles again after the shingle-join aggregation
-    return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return verified.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -147,6 +301,8 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
 
     Returns (doc_id, simhash BIGINT).
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = tokenize(F.col("text"))
     hashes = F.transform(toks, lambda tok: F.xxhash64(tok))
 
@@ -160,7 +316,14 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     for b in range(bits):
         ones = F.size(F.filter(F.col("hashes"), bit_is_one(b)))
         bit_set = (ones * 2) > F.size(F.col("hashes"))
-        sig = sig + F.when(bit_set, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft(1, b), not lit(2**b): at b=63 the power literal
+        # exceeds signed-long max, while the shift lands on the sign
+        # bit and stays representable; bitwiseOR keeps the combination
+        # overflow-free for the full 64-bit range.
+        term = F.when(bit_set, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(term)
     return (
         documents.select("doc_id", hashes.alias("hashes"))
         .where(F.size("hashes") > 0)
@@ -181,6 +344,7 @@ def dedup_pipeline(
     documents: DataFrame,
     k: int = 3,
     jaccard_threshold: float = 0.6,
+    strategy: str = "count",
 ) -> DataFrame:
     """The tiered 100 TB dedup flow end-to-end: decide, per document,
     keep or drop.
@@ -206,7 +370,9 @@ def dedup_pipeline(
     survivors = documents.join(
         exact.where(F.col("exact_kept")).select("doc_id"), "doc_id", "left_semi"
     )
-    pairs = ngram_jaccard_pairs(survivors, k=k, threshold=jaccard_threshold)
+    pairs = ngram_jaccard_pairs(
+        survivors, k=k, threshold=jaccard_threshold, strategy=strategy
+    )
     # one resolution pass: doc_b loses to the (always lower) doc_a.
     # (Min-id policy makes chains converge in one pass: the smallest
     # member of any near-dup cluster keeps, because it never appears

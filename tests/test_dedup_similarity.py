@@ -57,6 +57,32 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_jaccard_strategies_identical(docs, spark):
+    """count and prefix strategies are alternative physical plans for
+    the same exact semantics — results must match row-for-row, on both
+    the crafted fixture and the synthetic corpus."""
+    for frame in (docs, None):
+        if frame is None:
+            from ml_data_wrangler_spark.sources.readers import read_table
+
+            frame = read_table(spark, "/root/testdata/sf0.001", "documents")
+        count_res = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(frame, k=3, threshold=0.6, strategy="count").collect()
+        }
+        prefix_res = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(frame, k=3, threshold=0.6, strategy="prefix").collect()
+        }
+        assert count_res == prefix_res
+        assert len(count_res) > 0
+
+
+def test_jaccard_rejects_unknown_strategy(docs):
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, strategy="bogus")
+
+
 def test_minhash_recall_of_exact_pairs(docs):
     exact = {(r["doc_a"], r["doc_b"]) for r in
              ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
@@ -72,6 +98,19 @@ def test_simhash_identical_docs_same_signature(docs):
     # near-dup docs have close signatures (small hamming distance)
     ham = bin(sigs[1] ^ sigs[4]).count("1")
     assert ham <= 8
+
+
+def test_simhash_full_64_bits(docs):
+    """bits=64 must be representable (sign bit via shiftleft, not a
+    2**63 literal) and deterministic; out-of-range bits raise."""
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, bits=64).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert all(isinstance(v, int) for v in sigs.values())
+    # at least one fixture doc exercises the high bits (negative long)
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, bits=65)
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, bits=0)
 
 
 VECS = [
