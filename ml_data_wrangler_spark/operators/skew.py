@@ -53,40 +53,48 @@ def salted_join(
     return l_salted.join(r_replicated, [*on, "_salt"], how).drop("_salt")
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Two-phase aggregation for hot keys: groupBy(keys + salt) partial
     → groupBy(keys) merge.
 
-    ``aggs`` maps output name → a SUM/COUNT/MIN/MAX-style aggregate
-    Column over the input (e.g. ``{"n": F.count("*"), "total":
-    F.sum("value")}``). count is merged with sum; sum/min/max merge
-    with themselves. avg and distinct aggregates are NOT decomposable
-    this way — compute them from (sum, count) pairs.
+    ``aggs`` maps output name → ``(partial_aggregate, merge)`` where
+    ``merge`` ∈ {"sum", "min", "max"} names how the per-salt partials
+    combine: ``{"n": (F.count("*"), "sum"), "total": (F.sum("value"),
+    "sum"), "lo": (F.min("value"), "min")}``. The merge is EXPLICIT
+    because it cannot be inferred safely: a partial COUNT merges by
+    SUM, and non-decomposable aggregates (avg, countDistinct, first)
+    have no valid merge at all — passing a bare Column or an unknown
+    merge raises instead of silently producing wrong numbers. Compute
+    an average from (sum, count) partials; use HLL sketches
+    (approx_count_distinct) for distinct counts.
     """
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise TypeError(
+                f"aggs[{name!r}] must be (Column, merge) — got {spec!r}. "
+                "Non-decomposable aggregates (avg, countDistinct, first) "
+                "cannot be salted; derive them from decomposable partials."
+            )
+        if spec[1] not in _MERGE_FNS:
+            raise ValueError(
+                f"aggs[{name!r}] merge must be one of {sorted(_MERGE_FNS)}, "
+                f"got {spec[1]!r}"
+            )
     salt = F.floor(F.rand(seed) * n_salts).cast("int").alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
-        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .agg(*[col.alias(name) for name, (col, _) in aggs.items()])
     )
-
-    def merge(name: str, col: Column) -> Column:
-        # a partial COUNT merges by SUM; others by themselves
-        expr = str(col._jc)  # e.g. "count(1) AS n" — inspect the fn name
-        if expr.lower().startswith("count"):
-            return F.sum(name).alias(name)
-        if expr.lower().startswith("min"):
-            return F.min(name).alias(name)
-        if expr.lower().startswith("max"):
-            return F.max(name).alias(name)
-        return F.sum(name).alias(name)
-
     return partial.groupBy(*keys).agg(
-        *[merge(name, col) for name, col in aggs.items()]
+        *[_MERGE_FNS[merge](name).alias(name) for name, (_, merge) in aggs.items()]
     )

@@ -22,6 +22,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _master_externally_configured() -> bool:
+    """True when a Spark master is already decided outside this code —
+    `spark-submit --master` (surfaces as --master inside
+    $PYSPARK_SUBMIT_ARGS), the legacy $MASTER / $SPARK_MASTER env vars,
+    or an already-active session. A code-level ``master()`` call would
+    OVERRIDE all of those and pin a cluster deployment to local mode,
+    so ``get_spark`` only sets local[n] when nothing else has spoken.
+    """
+    return bool(
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or os.environ.get("MASTER")
+        or os.environ.get("SPARK_MASTER")
+        or SparkSession.getActiveSession() is not None
+    )
+
+
 def get_spark(
     app_name: str = "ml-data-wrangler-spark",
     cpus: int | None = None,
@@ -39,9 +55,11 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 8)
+    builder = SparkSession.builder
+    if not _master_externally_configured():
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -62,7 +62,13 @@ def _profile_fn(
         n += len(pdf)
         total += float(pdf["value"].sum())
         types |= set(pdf["event_type"])
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns → us
+        # normalize to microseconds explicitly: under pandas 2.x Arrow
+        # may deliver datetime64[us] (not [ns]), where a blind
+        # `astype(int64) // 1000` would silently yield milliseconds
+        ts = pdf["ts"]
+        if str(ts.dtype) != "datetime64[us]":
+            ts = ts.astype("datetime64[us]")
+        ts_us = ts.astype("int64")
         lo, hi = int(ts_us.min()), int(ts_us.max())
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)

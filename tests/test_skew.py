@@ -47,11 +47,23 @@ def test_salted_aggregate_equals_plain(spark):
         df,
         ["k"],
         {
-            "n": F.count("*"),
-            "total": F.sum("v"),
-            "lo": F.min("v"),
-            "hi": F.max("v"),
+            "n": (F.count("*"), "sum"),
+            "total": (F.sum("v"), "sum"),
+            "lo": (F.min("v"), "min"),
+            "hi": (F.max("v"), "max"),
         },
         n_salts=8,
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    import pytest
+
+    df = _skewed(spark)
+    # bare Column (the old implicit API) must raise, not silently sum
+    with pytest.raises(TypeError):
+        salted_aggregate(df, ["k"], {"m": F.avg("v")})
+    # unknown merge name must raise
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"m": (F.avg("v"), "avg")})
