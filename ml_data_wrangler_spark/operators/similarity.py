@@ -188,6 +188,65 @@ def lsh_ann_pairs(
     )
 
 
+def tiered_cosine_pairs(
+    corpus: DataFrame,
+    sim_threshold: float = 0.35,
+    num_hash_tables: int = 4,
+    bucket_length: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, TIERED the way qd05 tiers dedup:
+    LSH candidate generation → exact cosine verification.
+
+    This replaces all-pairs-within-block joins (qv04's shape) as the
+    recommended near-dup path at scale: a blocked self-join is
+    Σ|block|² and one hot block goes quadratic, while LSH bucket keys
+    bound candidate generation regardless of label skew; the exact
+    cosine then makes precision exact (recall is the LSH model's —
+    measured against the exact ground truth in
+    tests/test_dedup_similarity.py).
+
+    The LSH distance threshold is derived from the cosine threshold:
+    on unit vectors d² = 2 − 2·cos, so cos ≥ θ ⟺ d ≤ √(2−2θ); a small
+    slack admits borderline candidates (the exact verify is the gate).
+
+    Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim exact and
+    ≥ sim_threshold.
+    """
+    import math
+
+    d_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * sim_threshold)) + 1e-6
+    cand = lsh_ann_pairs(
+        corpus,
+        distance_threshold=d_threshold,
+        num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    ).select("vec_a", "vec_b")
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # shuffle-hash joins: never let the planner broadcast an
+    # array-typed relation on an underestimated size
+    a = c.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")).hint(
+        "shuffle_hash"
+    )
+    b = c.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")).hint(
+        "shuffle_hash"
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= sim_threshold)
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -148,8 +148,10 @@ WHERE ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
 )
 def qv04(spark, sf_dir):
     """Embedding-cosine near-dup candidates: same-label blocked
-    pairwise cosine ≥ 0.35 (blocking keys bound the pair space — the
-    exact-verification stage of embedding dedup)."""
+    pairwise cosine ≥ 0.35. Oracle-checkable (deterministic blocking),
+    but Σ|block|² — one hot label goes quadratic at scale. qv08 is the
+    recommended path: LSH candidates → the same exact cosine verify,
+    which bounds candidate generation independent of label skew."""
     c = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -168,6 +170,20 @@ def qv04(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("sim"),
         )
+    )
+
+
+@query("qv08_tiered_cosine_pairs")  # LSH candidates → rows-only oracle
+def qv08(spark, sf_dir):
+    """Tiered embedding near-dup pairs: LSH bucket candidates → exact
+    cosine verify ≥ 0.35 — the composition that replaces qv04's
+    blocked all-pairs at 100 TB (mirrors qd05's dedup tiering).
+    Precision is exact by construction; recall vs the exact ground
+    truth is asserted in tests/test_dedup_similarity.py."""
+    from ml_data_wrangler_spark.operators.similarity import tiered_cosine_pairs
+
+    return tiered_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), sim_threshold=0.35, seed=42
     )
 
 

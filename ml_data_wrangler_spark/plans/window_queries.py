@@ -187,12 +187,62 @@ FROM orders
 """,
 )
 def qw07(spark, sf_dir):
-    """Global percent_rank + ntile (single-partition window — fine for
-    ranking outputs that are inherently global; at scale prefer
-    approx quantiles, see qm entries)."""
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return t(spark, sf_dir, "orders").select(
+    """Global percent_rank + ntile WITHOUT a single-partition window.
+
+    ``W.orderBy(...)`` with no partitionBy moves every row to one
+    reducer (Spark itself warns) — the classic global-rank scale trap.
+    This plans the two-pass distributed rank instead:
+
+      1. range-partition by the sort key (Spark samples split points),
+         row_number within each partition;
+      2. per-partition counts (one row per partition) → running offset
+         via a window over that TINY relation (#partitions rows — a
+         single-partition window there is fine by construction);
+      3. broadcast offsets back: global_rn = offset + local_rn.
+
+    The sort key (o_totalprice, o_orderkey) is unique per row, so
+    percent_rank = (rn−1)/(N−1) and ntile(4) follows the SQL bucket
+    rule: with N = 4q + r, the first r buckets take q+1 rows. Results
+    hash-match the oracle's PERCENT_RANK/NTILE exactly."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parallelism = spark.sparkContext.defaultParallelism
+    parts = o.repartitionByRange(
+        parallelism, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = parts.withColumn("local_rn", F.row_number().over(local_w))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # running offsets over the per-partition counts via a triangular
+    # self-join (#partitions² rows — trivial) rather than a global
+    # window, so NO WindowExec in the whole plan ever runs
+    # unpartitioned
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col("x.pid").alias("pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("y.pid") < F.col("x.pid"), F.col("y.cnt")).otherwise(0)
+            ).alias("offset"),
+            F.sum("y.cnt").alias("n"),
+        )
+    )
+    rn = (F.col("offset") + F.col("local_rn")).alias("rn")
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey", rn, F.col("n")
+    )
+    # SQL NTILE(k): N = k*q + r → first r buckets hold q+1 rows
+    k = F.lit(4)
+    q = F.floor(F.col("n") / k)
+    r = F.col("n") % k
+    cut = r * (q + 1)
+    quartile = (
+        F.when(F.col("rn") <= cut, F.floor((F.col("rn") - 1) / (q + 1)))
+        .otherwise(r + F.floor((F.col("rn") - cut - 1) / q))
+        + 1
+    )
+    return ranked.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round((F.col("rn") - 1) / (F.col("n") - 1), 6).alias("pct_rank"),
+        quartile.cast("long").alias("quartile"),
     )

@@ -137,6 +137,44 @@ def test_brute_force_topk_order(vectors):
     assert sims[2] > 0.99
 
 
+def test_tiered_cosine_pairs_recall_and_precision(spark):
+    """qv08's tiered path (LSH candidates → exact verify) on the
+    synthetic embeddings: precision must be exact by construction
+    (every emitted pair's sim is the true cosine ≥ θ) and recall vs
+    the exact all-pairs ground truth must be high for a fixed seed."""
+    from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+    from ml_data_wrangler_spark.operators.similarity import tiered_cosine_pairs
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = c.alias("a"), c.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                sim.alias("sim"),
+            )
+            .where(F.col("sim") >= 0.35)
+        ).collect()
+    }
+    tiered = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in tiered_cosine_pairs(emb, sim_threshold=0.35, seed=42).collect()
+    }
+    # precision: every tiered pair is a true pair with the exact sim
+    for pair, s in tiered.items():
+        assert pair in exact and exact[pair] == s
+    # recall: LSH candidates cover most of the ground truth
+    assert len(exact) > 0
+    recall = len(tiered) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_ivf_search_finds_same_cluster_neighbor(vectors):
     assigned, centroids = ivf_index(vectors, n_clusters=3, seed=7)
     res = ivf_search(assigned, centroids, vectors.where(F.col("vec_id") == 1),
