@@ -120,6 +120,54 @@ def tickets_without_comments(tickets: DataFrame, comments: DataFrame) -> DataFra
     ).select("id", "subject")
 
 
+def data_quality_summary(raw_tickets: DataFrame, comments: DataFrame) -> DataFrame:
+    """The reference LOGGED its wrangle failures (wrangler.py:448-449:
+    invalid statuses, unparseable tickets) and WARNED per ticket with
+    no comment file (wrangler.py:385-389); this engine surfaces the
+    same signals as one observable 1-row summary instead of log lines,
+    so data-quality loss is a queryable output of the pipeline:
+
+      n_tickets           — raw ticket rows scanned
+      n_corrupt           — PERMISSIVE-mode _corrupt_record rows
+      n_null_id           — rows reshape_tickets silently drops
+      n_invalid_status    — non-null statuses outside the TicketStatus
+                            domain (reshape nulls them; here they are
+                            counted so the nulling is observable)
+      n_without_comments  — valid tickets with no bound comment (J2)
+
+    One scan + one left join against the distinct comment keys; all
+    counters are map-side conditional sums.
+    """
+    status = F.upper(F.col("status"))
+    corrupt = (
+        F.col("_corrupt_record").isNotNull()
+        if "_corrupt_record" in raw_tickets.columns
+        else F.lit(False)
+    )
+    cids = comments.select(F.col("ticket_id").alias("_cid")).distinct()
+    joined = raw_tickets.join(cids, raw_tickets["id"] == F.col("_cid"), "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_tickets"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(F.col("id").isNull() & ~corrupt, 1).otherwise(0)).alias(
+            "n_null_id"
+        ),
+        F.sum(
+            F.when(
+                F.col("id").isNotNull()
+                & ~corrupt
+                & F.col("status").isNotNull()
+                & ~status.isin(TICKET_STATUSES),
+                1,
+            ).otherwise(0)
+        ).alias("n_invalid_status"),
+        F.sum(
+            F.when(F.col("id").isNotNull() & ~corrupt & F.col("_cid").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_without_comments"),
+    )
+
+
 def create_corpus(wrangled: DataFrame) -> DataFrame:
     """A1 — corpus creation (declared-but-missing in the reference,
     defect D5; intent from docstrings wrangler.py:169-174 + call sites).

@@ -1,0 +1,83 @@
+"""Exercise the spaCy code path of the lemmatizer with a mocked nlp
+object (spaCy isn't installed here), so a regression in the branch
+fails a test instead of hiding behind the rule-based fallback.
+
+Reference semantics (ML-Data-Wrangler LDA_logic.py:248-259): keep
+token.lemma_.lower() when the token is not in REMOVAL_POS, not a spaCy
+stopword, is alphabetic, and the lemma itself is not an English
+stopword.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+import pytest
+
+from ml_data_wrangler_spark.operators import nlp as nlp_mod
+
+
+@dataclass
+class FakeToken:
+    lemma_: str
+    pos_: str = "NOUN"
+    is_stop: bool = False
+    is_alpha: bool = True
+
+
+class FakeNlp:
+    """Deterministic stand-in for a spaCy Language pipeline."""
+
+    def __init__(self, analysis: dict[str, list[FakeToken]]):
+        self.analysis = analysis
+
+    def __call__(self, text: str) -> list[FakeToken]:
+        return self.analysis[text]
+
+
+@pytest.fixture
+def mocked_spacy(monkeypatch):
+    analysis = {
+        "cats were running quickly": [
+            FakeToken("cat"),
+            FakeToken("be", is_stop=True),          # spaCy stopword → dropped
+            FakeToken("run", pos_="VERB"),
+            FakeToken("quickly", pos_="ADV"),       # REMOVAL_POS → dropped
+        ],
+        "3 dogs & The MICE": [
+            FakeToken("3", pos_="NUM"),             # REMOVAL_POS → dropped
+            FakeToken("dog"),
+            FakeToken("&", pos_="SYM", is_alpha=False),  # non-alpha → dropped
+            FakeToken("the", pos_="DET"),           # REMOVAL_POS → dropped
+            FakeToken("Mouse"),                     # lemma lowercased
+        ],
+        "ALL CAPS": [
+            FakeToken("All"),                       # lemma lowers to stopword → dropped
+            FakeToken("cap"),
+        ],
+    }
+    fake = FakeNlp(analysis)
+    monkeypatch.setattr(nlp_mod, "_SPACY_NLP", fake)
+    monkeypatch.setattr(nlp_mod, "_SPACY_FAILED", False)
+    return fake
+
+
+def test_spacy_branch_filters_and_lemmas(mocked_spacy):
+    out = nlp_mod._lemmatize_series(
+        pd.Series(["cats were running quickly", "3 dogs & The MICE", "ALL CAPS"])
+    )
+    assert list(out) == [["cat", "run"], ["dog", "mouse"], ["cap"]]
+
+
+def test_spacy_branch_handles_none(mocked_spacy):
+    out = nlp_mod._lemmatize_series(pd.Series([None]))
+    assert list(out) == [[]]
+
+
+def test_fallback_used_when_spacy_missing(monkeypatch):
+    monkeypatch.setattr(nlp_mod, "_SPACY_NLP", None)
+    monkeypatch.setattr(nlp_mod, "_SPACY_FAILED", True)
+    out = nlp_mod._lemmatize_series(pd.Series(["the cats running"]))
+    # rule backend: stopword 'the' dropped, suffixes stripped
+    assert list(out) == [["cat", "runn"]]

@@ -131,6 +131,33 @@ def test_cv_coherence_hand_computed(spark):
     assert abs(c2 - 1.0) < 1e-6
 
 
+def test_cv_coherence_pinned_nondegenerate(spark):
+    """Pin c_v on a corpus where every NPMI is NON-trivial (no 0/1
+    degeneracies), so the Röder construction — window probabilities →
+    NPMI vectors → cosine-to-topic-sum — is validated end to end
+    against an independently computed constant.
+
+    5 one-window docs; topic [apple, banana, cherry]:
+      P(apple)=P(banana)=P(cherry)=3/5,
+      P(apple,banana)=P(banana,cherry)=2/5, P(apple,cherry)=1/5
+      → NPMI(a,b)=NPMI(b,c)=+0.1149859, NPMI(a,c)=−0.3652124
+      → C_v = 0.5208214 (hand-derived from the published formulas).
+    """
+    from ml_data_wrangler_spark.operators.lda import cv_coherence
+
+    toks = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=["apple", "banana"]),
+            Row(doc_id=2, tokens=["apple", "banana", "cherry"]),
+            Row(doc_id=3, tokens=["apple"]),
+            Row(doc_id=4, tokens=["cherry", "durian"]),
+            Row(doc_id=5, tokens=["banana", "cherry"]),
+        ]
+    )
+    [c] = cv_coherence(toks, [["apple", "banana", "cherry"]], window_size=110)
+    assert abs(c - 0.5208214492821764) < 1e-9
+
+
 def test_cv_sliding_windows_count(spark):
     """window_size=2 over a 4-token doc → 3 windows (1-step slide);
     co-occurrence only within a window: (a,c) never share one."""

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ml_data_wrangler_spark.operators.wrangle import (
     bind_comments,
     create_corpus,
+    data_quality_summary,
     reshape_tickets,
     tickets_without_comments,
     wrangle,
@@ -134,6 +135,33 @@ def test_left_anti_warning_path(spark, fixture_paths):
     comments = read_comment_files(spark, comments_dir)
     missing = tickets_without_comments(tickets, comments).collect()
     assert [r["id"] for r in missing] == [303]
+
+
+def test_data_quality_summary_counts(spark, fixture_paths):
+    """The reference logged invalid statuses / missing comments
+    (wrangler.py:448-449, 385-389); the engine reports them as one
+    observable summary row. Fixture: add a bogus status, a null-id row,
+    and a corrupt JSON line to the golden tickets."""
+    import json as _json
+
+    _, comments_dir = fixture_paths
+    rows = [dict(t) for t in TICKETS]
+    rows[2] = dict(rows[2], status="REOPENED")  # not in TicketStatus domain
+    rows.append(dict(rows[0], id=None))  # null id
+    bad_path = str(
+        __import__("pathlib").Path(comments_dir).parent / "tickets_dirty.json"
+    )
+    with open(bad_path, "w") as f:
+        f.write(_json.dumps(rows))
+    raw = read_tickets(spark, bad_path)
+    comments = read_comment_files(spark, comments_dir)
+    [row] = data_quality_summary(raw, comments).collect()
+    assert row["n_tickets"] == 4
+    assert row["n_null_id"] == 1
+    assert row["n_invalid_status"] == 1  # REOPENED
+    # 303 has no comment file; the null-id row is not counted here
+    assert row["n_without_comments"] == 1
+    assert row["n_corrupt"] == 0
 
 
 def test_corpus_per_document(wrangled):
