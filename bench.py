@@ -38,7 +38,10 @@ HEADLINE = [
     "qd01_exact_dedup",
     "qd02_ngram_jaccard_pairs",
     "qv01_knn_bruteforce",
+    "qv05_ivf_ann",
     "qm01_vocabulary",
+    "qm04_lda_coherence_sweep",
+    "qs01_stream_tumbling_hourly",
 ]
 
 
