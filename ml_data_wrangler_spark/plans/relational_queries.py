@@ -826,3 +826,167 @@ def q32(spark, sf_dir):
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey, SUM({SQL_DISC_PRICE}) AS val
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT SUM({SQL_DISC_PRICE}) AS tot FROM lineitem
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE val * 2000 > tot
+""",
+)
+def q11(spark, sf_dir):
+    """TPC-H q11 shape (no partsupp table in this star schema, so the
+    'important stock' computation runs over lineitem revenue): per-part
+    revenue vs a GLOBAL scalar aggregate — group-agg + broadcast
+    one-row cross join + fraction HAVING.
+
+    Float discipline: the threshold comparison is `val * 2000 > tot`
+    entirely in DECIMAL (both sums exact), never `val > tot * 0.0005`
+    through a double — so the cut is bit-identical on both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("val"))
+    tot = li.agg(F.sum(disc_price()).alias("tot"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("val") * 2000 > F.col("tot"))
+        .select("l_partkey", dbl(F.col("val")).alias("part_value"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus
+""",
+)
+def q12(spark, sf_dir):
+    """TPC-H q12 shape (schema has no l_shipmode/commitdate, so 'late'
+    is shipdate > orderdate + 90 days and the grouping key is
+    l_linestatus): fact-fact join + conditional counts by priority
+    class."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+), heavy AS (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM red)
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 1900
+)
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+""",
+)
+def q20(spark, sf_dir):
+    """TPC-H q20 shape (semi-join chain): suppliers who moved more
+    than a threshold quantity of 'red' parts — part-name filter →
+    broadcast semi-join into lineitem → decimal-exact HAVING →
+    left-semi join back to supplier. Every membership test is a
+    semi-join, never a distinct+inner-join."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    red = part.where(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        li.join(
+            F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 1900)
+        .select("l_suppkey")
+    )
+    return sup.join(
+        F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", dbl(F.col("s_acctbal")).alias("s_acctbal"))
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q21(spark, sf_dir):
+    """TPC-H q21 shape (EXISTS + NOT EXISTS correlated subqueries):
+    suppliers who were the ONLY late shipper on a finished multi-
+    supplier order ('late' adapted to shipdate > orderdate + 90 days —
+    the schema has no commit/receipt dates). Expressed through
+    spark.sql so Catalyst rewrites the correlated EXISTS pair into
+    left-semi and left-anti joins; LIMIT is total-ordered."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
+    return spark.sql(
+        """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM _q21_lineitem l JOIN _q21_orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN _q21_supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )
