@@ -85,17 +85,32 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 10,
 ):
     """Fit the IVF structure: (assigned corpus, centroid DataFrame).
 
     The assigned corpus is repartitioned by cluster_id — on a real
     cluster this co-locates each posting list so a probe reads few
     partitions.
+
+    Index-build cost knobs: IVF needs centroids good enough to BUCKET,
+    not an optimal clustering — nprobe cushions centroid error — so
+    the KMeans runs random init (kmeans|| costs several extra
+    distributed passes) and ``max_iter`` defaults to 10 instead of
+    MLlib's 20. Recall vs the exact baseline is pinned in
+    tests/test_dedup_similarity.py and stays intact.
     """
     from pyspark.ml.clustering import KMeans
 
     feat = _to_ml_vector(corpus, vec_col, "_features")
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster_id")
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        featuresCol="_features",
+        predictionCol="cluster_id",
+        initMode="random",
+        maxIter=max_iter,
+    )
     model = km.fit(feat)
     assigned = model.transform(feat).drop("_features").repartition("cluster_id")
     spark = corpus.sparkSession

@@ -269,25 +269,37 @@ def qe08(spark, sf_dir):
     variant.
 
     Oracle-checkable by construction (same pattern as qe07): exact
-    quantiles hash-match the oracle; ``approx_ok`` asserts the sketch
-    (accuracy=10_000, rank error <= n/10_000) lands within 5% relative
-    or 1.0 absolute of the exact value, and the oracle pins it TRUE."""
+    quantiles hash-match the oracle; ``approx_ok`` asserts the
+    sketch's ACTUAL contract — percentile_approx returns a real data
+    value whose RANK is within ε·n of the target (it never
+    interpolates, so a value-space bound breaks on thin tails): the
+    fraction of values ≤ the approximate quantile must sit within
+    0.05 of the requested percentile. The oracle pins it TRUE."""
     exact = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
     approx = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
-    agg = (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(exact.alias("ex"), approx.alias("ap"))
-    )
-    within = [
-        F.abs(F.col("ap")[i] - F.col("ex")[i])
-        <= F.greatest(F.lit(1.0), F.lit(0.05) * F.abs(F.col("ex")[i]))
+    events = t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(exact.alias("ex"), approx.alias("ap"))
+    # second pass: measured rank of each approximate quantile
+    ps = [0.5, 0.9, 0.99]
+    j = events.select("event_type", "value").join(F.broadcast(agg), "event_type")
+    frac = [
+        (
+            F.sum(F.when(F.col("value") <= F.col("ap")[i], 1).otherwise(0))
+            / F.count("*")
+        )
         for i in range(3)
     ]
-    return agg.select(
+    checked = j.groupBy("event_type").agg(
+        F.first("ex").alias("ex"),
+        *[
+            (F.abs(f - F.lit(p)) <= F.lit(0.05)).alias(f"ok{i}")
+            for i, (f, p) in enumerate(zip(frac, ps))
+        ],
+    )
+    return checked.select(
         "event_type",
         F.round(F.col("ex")[0], 4).alias("p50"),
         F.round(F.col("ex")[1], 4).alias("p90"),
         F.round(F.col("ex")[2], 4).alias("p99"),
-        (within[0] & within[1] & within[2]).alias("approx_ok"),
+        (F.col("ok0") & F.col("ok1") & F.col("ok2")).alias("approx_ok"),
     )

@@ -14,6 +14,7 @@ from ml_data_wrangler_spark.plans.registry import query
 from ml_data_wrangler_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
+    session_counts,
     tumbling_counts,
 )
 
@@ -35,6 +36,50 @@ def qs01(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
     return run_to_memory(agg, "qs01_sink", output_mode="complete")
+
+
+@query(
+    "qs03_stream_session_windows",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def qs03(spark, sf_dir):
+    """Structured Streaming session_window() aggregation (30-min
+    inactivity gap per user), hash-checked against the batch
+    lag+prefix-sum sessionization rebuilt in SQL.
+
+    Semantics pinned by the oracle: Spark sessions are half-open
+    [first_ts, last_ts + gap) — an event landing exactly at the
+    session end starts a NEW session, hence the oracle's `>=` gap
+    test (the batch qe04 variant uses `>`, which is the other common
+    convention; both are valid, they are different operators). The
+    oracle CASTs the nanosecond fixture timestamps to microsecond
+    TIMESTAMP to mirror the engine's ns→µs read conversion."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_counts(stream, gap="30 minutes", watermark="2 hours")
+    return run_to_memory(agg, "qs03_sink", output_mode="complete")
 
 
 @query(

@@ -20,6 +20,8 @@ def test_contract_consistency():
     assert len(q) >= 60
     # the non-oracle set is exactly the model-based/approximate ops
     rows_only = set(q) - set(o)
+    # qe07/qe08 graduated to oracle-checked in round 2 (exact value +
+    # bounded-error boolean the oracle pins TRUE)
     assert rows_only == {
         "qd03_minhash_near_dups",
         "qd04_simhash_buckets",
@@ -30,7 +32,6 @@ def test_contract_consistency():
         "qv05_ivf_ann",
         "qv06_lsh_ann_pairs",
         "qv07_knn_vectorized",
+        "qv08_tiered_cosine_pairs",
         "qx01_multimodal_features",
-        "qe07_approx_distinct_users",
-        "qe08_approx_value_quantiles",
     }
