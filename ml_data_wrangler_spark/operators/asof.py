@@ -75,3 +75,60 @@ def asof_join_backward(
         *[F.col(f"_c_{rc}").alias(alias) for rc, alias in right_payload.items()],
         F.col("_c_ts").alias("matched_ts"),
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval self-join: all pairs of intervals that OVERLAP in time
+    (inclusive ends: a.start <= b.end AND b.start <= a.end), excluding
+    a row paired with itself.
+
+    Spark has no native range/interval join — a naive θ-join on the
+    overlap predicate plans as a BroadcastNestedLoopJoin, O(n²). This
+    uses the standard lossless BINNING formulation instead: each
+    interval explodes to the fixed-width epoch bins it spans, the
+    self-join runs as an EQUI-join on the bin id (plus the exact
+    overlap predicate as a residual), and pairs found in several
+    shared bins collapse with distinct(). Two overlapping intervals
+    necessarily share at least one bin, so binning is lossless; work
+    is Σ per-bin-count² instead of n² — pick ``bin_seconds`` near the
+    typical interval length so each interval spans O(1) bins while
+    bins stay small.
+
+    The pair orientation is the tuple-order of ``id_cols``:
+    (a.id_cols) < (b.id_cols) lexicographically, so each unordered
+    pair appears exactly once.
+
+    Returns a_/b_-prefixed id columns plus both intervals' bounds.
+    """
+    us = int(bin_seconds) * 1_000_000
+    cells = F.sequence(
+        F.floor(F.unix_micros(F.col(start_col)) / us).cast("long"),
+        F.floor(F.unix_micros(F.col(end_col)) / us).cast("long"),
+    )
+    binned = intervals.select(
+        *id_cols, start_col, end_col, F.explode(cells).alias("_bin")
+    )
+    a, b = binned.alias("a"), binned.hint("shuffle_hash").alias("b")
+    a_key = F.struct(*[F.col(f"a.{c}") for c in id_cols])
+    b_key = F.struct(*[F.col(f"b.{c}") for c in id_cols])
+    pairs = a.join(
+        b,
+        (F.col("a._bin") == F.col("b._bin"))
+        & (a_key < b_key)
+        & (F.col(f"a.{start_col}") <= F.col(f"b.{end_col}"))
+        & (F.col(f"b.{start_col}") <= F.col(f"a.{end_col}")),
+    )
+    return pairs.select(
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in id_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in id_cols],
+        F.col(f"a.{start_col}").alias(f"a_{start_col}"),
+        F.col(f"a.{end_col}").alias(f"a_{end_col}"),
+        F.col(f"b.{start_col}").alias(f"b_{start_col}"),
+        F.col(f"b.{end_col}").alias(f"b_{end_col}"),
+    ).distinct()

@@ -111,3 +111,85 @@ def qj02(spark, sf_dir):
         .groupBy("purchase_id", F.col("p_user").alias("user_id"))
         .agg(F.count("click_id").alias("n_clicks_1h"))
     )
+
+
+@query(
+    "qj03_session_overlap_pairs",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+), ivl AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts) AS TIMESTAMP) AS s, CAST(MAX(ts) AS TIMESTAMP) AS e
+  FROM sess GROUP BY user_id, sid
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM ivl a JOIN ivl b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.user_id, b.user_id
+""",
+)
+def qj03(spark, sf_dir):
+    """Interval-overlap self-join via lossless time-grid BINNING: build
+    per-user session intervals (qe04's 30-min-gap sessionization), then
+    count, per user pair, how many of their sessions overlapped in
+    time (concurrent-activity analysis).
+
+    The oracle runs the naive θ-join (fine for DuckDB at sf0.01); the
+    Spark side runs ``interval_overlap_pairs`` — explode each interval
+    to the 1-hour epoch bins it spans, EQUI-join on the bin id with
+    the exact overlap predicate as a residual, distinct. The θ-join
+    Spark would otherwise plan is a BroadcastNestedLoopJoin, O(n²);
+    binning makes it Σ per-bin² with bins sized near the typical
+    session length (plan-audited in tests/test_plan_quality.py)."""
+    from ml_data_wrangler_spark.operators.asof import interval_overlap_pairs
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ivl = (
+        flagged.select(
+            "user_id", "ts", F.sum("new_session").over(cum).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pairs = interval_overlap_pairs(
+        ivl, id_cols=["user_id", "sid"], start_col="s", end_col="e",
+        bin_seconds=3600,
+    )
+    return (
+        pairs.where(F.col("a_user_id") < F.col("b_user_id"))
+        .groupBy(
+            F.col("a_user_id").alias("user_a"), F.col("b_user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("n_overlaps"))
+    )

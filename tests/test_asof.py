@@ -43,3 +43,46 @@ def test_asof_backward_semantics(spark):
     assert out[101] == (200, _ts("2024-01-01 08:00:00"))  # equal ts matches
     assert out[102] == (None, None)  # nothing before 07:00
     assert out[103] == (202, _ts("2024-01-01 09:30:00"))  # key-2 isolated
+
+
+def test_interval_overlap_pairs_edges(spark):
+    """Binned interval join: inclusive-end touching, cross-bin spans,
+    and disjoint intervals — results must equal the naive predicate."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.operators.asof import interval_overlap_pairs
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def iv(i, s_min, e_min):
+        return Row(
+            id=i,
+            start=T0 + dt.timedelta(minutes=s_min),
+            end=T0 + dt.timedelta(minutes=e_min),
+        )
+
+    rows = [
+        iv(1, 0, 50),      # overlaps 2 (cross-bin), touches 3 at its end
+        iv(2, 55, 70),     # crosses the 60-min bin boundary; overlaps 3
+        iv(3, 50, 120),    # touches 1 endpoint-inclusive; spans 3 bins
+        iv(4, 300, 310),   # disjoint from everything
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_pairs(
+            df, id_cols=["id"], start_col="start", end_col="end", bin_seconds=3600
+        ).collect()
+    }
+    # naive ground truth: a.start <= b.end AND b.start <= a.end
+    naive = set()
+    for a in rows:
+        for b in rows:
+            if (a.id < b.id) and a.start <= b.end and b.start <= a.end:
+                naive.add((a.id, b.id))
+    assert got == naive
+    assert (1, 3) in got  # endpoint-inclusive touch at minute 50
+    assert (1, 2) not in got  # 50 < 55: disjoint
+    assert not any(4 in p for p in got)

@@ -88,6 +88,53 @@ def test_text_pipeline_no_python_udf(spark, sf_dir, q):
         assert "EvalPython" not in plan, name
 
 
+def test_jaccard_plan_parallel_and_no_nested_loop(spark, sf_dir, q):
+    """qd02's docstring claims: the tokenize/shingle stage is
+    parallelized off the single-split scan (RoundRobin repartition of
+    raw text), the posting self-join is a shuffled hash join (never a
+    nested loop, never a broadcast of the posting stream), and the
+    join-inferred null filter does NOT drag the shingle expression into
+    the scan."""
+    plan = _plan(q["qd02_ngram_jaccard_pairs"](spark, sf_dir))
+    assert "RoundRobinPartitioning" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # the scan-stage filter must not contain the shingle pipeline
+    scan_filters = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "array_join" not in scan_filters
+    assert "DataFilters: [isnotnull(doc_id" in plan or "transform(sequence" not in plan.split("FileScan")[1][:600]
+
+
+def test_qw07_no_single_partition_window(spark, sf_dir, q):
+    """qw07's docstring claims the global rank never plans a
+    single-partition window: the sort is range-partitioned and every
+    WindowExec has partition keys."""
+    plan = _plan(q["qw07_order_percentile"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            # an unpartitioned window spec prints 'windowspecdefinition(ORDER'
+            # with no partition expressions before the ordering
+            assert "SinglePartition" not in line
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_tiered_cosine_no_array_broadcast(spark, sf_dir, q):
+    """qv08's verify joins must be shuffled hash joins — array-typed
+    relations are never broadcast (Spark underestimates their size)."""
+    plan = _plan(q["qv08_tiered_cosine_pairs"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_interval_join_is_binned_not_nested_loop(spark, sf_dir, q):
+    """qj03's docstring claims the interval self-join runs as an
+    equi-join on time bins — a raw θ-join would plan
+    BroadcastNestedLoopJoin (the O(n²) trap)."""
+    plan = _plan(q["qj03_session_overlap_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_entry_flagship_bounded_python(spark, q):
     """The flagship pipeline allows exactly ONE Python round-trip by
     design (the Arrow-batched NFKC+unescape pandas UDF); everything
