@@ -55,3 +55,63 @@ def qx01(spark, sf_dir):
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         F.size("feature").alias("feature_dim"),
     )
+
+
+@query(
+    "qx02_video_frame_grid",
+    oracle="""
+WITH v AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, CAST(greatest(duration_ms - 1, 0) AS BIGINT), 1000))
+            / 1000 AS BIGINT) AS frame_idx,
+       CAST(unnest(generate_series(0, CAST(greatest(duration_ms - 1, 0) AS BIGINT), 1000))
+            AS BIGINT) AS frame_ts_ms
+FROM v
+""",
+)
+def qx02(spark, sf_dir):
+    """Video frame-sampling plumbing: 1 video → N frame rows on a
+    1000 ms grid (posexplode over the sampling sequence). The grid
+    itself is pure arithmetic, so THIS multimodal query is fully
+    oracle-checked — the per-frame decode token (xxhash64 of
+    blob+timestamp) is exercised rows-only in qx01-style tests."""
+    from ml_data_wrangler_spark.operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(synth_media(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+@query(
+    "qx03_image_resize_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       224 AS width, 224 AS height,
+       16000 AS sample_rate,
+       CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+       'synthetic' AS format
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def qx03(spark, sf_dir):
+    """Image-resize plumbing: metadata-struct rewrite for the image
+    subset (the codec byte transform is the documented stub; the
+    SCHEMA contract — which is what downstream readers depend on — is
+    the oracle-checked part)."""
+    from ml_data_wrangler_spark.operators.multimodal import resize_images
+
+    resized = resize_images(synth_media(spark, sf_dir), width=224, height=224)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.format").alias("format"),
+    )
