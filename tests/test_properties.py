@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold on ARBITRARY inputs, not just the crafted fixtures.
+
+Example counts are deliberately small — each example drives a real
+Spark job — but every property is one a fixture test cannot pin:
+equivalence against a naive reference implementation over randomized
+inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def interval_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    out = []
+    for i in range(1, n + 1):
+        a = draw(st.integers(min_value=0, max_value=300))
+        b = draw(st.integers(min_value=0, max_value=300))
+        out.append((i, min(a, b), max(a, b)))
+    return out
+
+
+@given(interval_sets())
+@SLOW
+def test_interval_overlap_matches_naive(spark, ivs):
+    from ml_data_wrangler_spark.operators.asof import interval_overlap_pairs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(id=i, start=t0 + dt.timedelta(minutes=s), end=t0 + dt.timedelta(minutes=e))
+        for i, s, e in ivs
+    ]
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_pairs(
+            spark.createDataFrame(rows),
+            id_cols=["id"],
+            start_col="start",
+            end_col="end",
+            bin_seconds=3600,
+        ).collect()
+    }
+    naive = {
+        (a.id, b.id)
+        for a in rows
+        for b in rows
+        if a.id < b.id and a.start <= b.end and b.start <= a.end
+    }
+    assert got == naive
+
+
+@st.composite
+def tiny_corpora(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    n = draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for i in range(1, n + 1):
+        length = draw(st.integers(min_value=0, max_value=10))
+        words = [draw(st.sampled_from(vocab)) for _ in range(length)]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(tiny_corpora())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_strategies_agree_on_random_corpora(spark, docs):
+    """count and prefix are alternative physical plans of ONE exact
+    semantics — equal on arbitrary corpora, including all-duplicate,
+    all-empty, and shorter-than-k documents."""
+    from ml_data_wrangler_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    res = {}
+    for strategy in ("count", "prefix"):
+        res[strategy] = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, k=3, threshold=0.5, strategy=strategy
+            ).collect()
+        }
+    assert res["count"] == res["prefix"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_salted_aggregate_matches_plain(spark, rows):
+    from ml_data_wrangler_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows]
+    )
+    plain = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": (F.count("*"), "sum"),
+                "total": (F.sum("v"), "sum"),
+                "lo": (F.min("v"), "min"),
+                "hi": (F.max("v"), "max"),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
