@@ -121,3 +121,29 @@ def qs02(spark, sf_dir):
             "last_ts",
         )
     )
+
+
+@query(
+    "qs04_stream_dedup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+)
+def qs04(spark, sf_dir):
+    """Streaming deduplication (dropDuplicates + watermark — the
+    exactly-once ingest primitive): dedup the event stream on
+    event_id, then count per type. Hash-checked against the batch
+    COUNT(DISTINCT) — over a bounded source the watermark-scoped
+    dedup must converge to exactly the batch distinct semantics.
+    (A distinct AGGREGATE inside the streaming query itself is
+    unsupported by design — dedup-then-count is the streaming
+    formulation of it.)"""
+    from ml_data_wrangler_spark.streaming.windows import dedup_events
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_events(stream, ["event_id"], watermark="2 hours")
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_memory(agg, "qs04_sink", output_mode="complete")

@@ -120,3 +120,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # still with 2 events
     hour0 = [r for r in rows if r["win_start"] == base.to_pydatetime()]
     assert len(hour0) == 1 and hour0[0]["n_events"] == 2
+
+
+def test_stream_dedup_removes_duplicates(spark, tmp_path):
+    """The fixture's event_ids are unique, so qs04's oracle parity
+    can't prove removal — this crafts a stream WITH redelivered rows
+    and asserts exactly-once output."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.streaming.windows import dedup_events, run_to_memory
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=10, event_type="click", value=1.0),
+        Row(event_id=1, ts=t0, user_id=10, event_type="click", value=1.0),  # redelivery
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=1), user_id=10, event_type="view", value=2.0),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=1), user_id=10, event_type="view", value=2.0),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=1), user_id=10, event_type="view", value=2.0),
+        Row(event_id=3, ts=t0 + dt.timedelta(minutes=2), user_id=11, event_type="click", value=3.0),
+    ]
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).parquet(src)
+    deduped = dedup_events(stream, ["event_id"], watermark="1 hour")
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    out = {r["event_type"]: r["n_unique"] for r in run_to_memory(agg, "t_dedup", "complete").collect()}
+    assert out == {"click": 2, "view": 1}
