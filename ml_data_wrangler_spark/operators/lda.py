@@ -254,23 +254,43 @@ def lda_sweep(
     or "c_v" (sliding-window NPMI — the reference's measure)."""
     if coherence not in ("umass", "c_v"):
         raise ValueError(f"coherence must be 'umass' or 'c_v', got {coherence!r}")
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = bow_df.sparkSession
     bow_df.cache()
-    rows = []
-    for k in k_values:
+
+    # Sweep members are INDEPENDENT models — fit them concurrently.
+    # Spark schedules jobs from multiple driver threads fine; each fit
+    # is a small distributed job whose scheduling latency (not compute)
+    # dominates a serial sweep. Same per-k seeds → identical results to
+    # the sequential loop.
+    def fit_one(k: int) -> tuple[int, list[list[str]]]:
         model = fit_lda(bow_df, k=k, max_iter=max_iter, seed=seed)
         desc = model.describeTopics(n_terms).collect()
-        topic_terms = [
-            [vocabulary[i] for i in r["termIndices"]] for r in desc
-        ]
-        coh = (
-            umass_coherence(tokens, topic_terms)
-            if coherence == "umass"
-            else cv_coherence(tokens, topic_terms)
-        )
-        avg = sum(coh) / len(coh) if coh else 0.0
-        rows.append((k, round(avg, 6)))
+        return k, [[vocabulary[i] for i in r["termIndices"]] for r in desc]
+
+    ks = list(k_values)
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(ks)))) as pool:
+        fitted = list(pool.map(fit_one, ks))
     bow_df.unpersist()
+
+    if coherence == "umass":
+        # ONE co-occurrence pass over the union of every k's topic
+        # terms, then each k scores from the shared count maps —
+        # 2 distributed jobs total instead of 2 per k.
+        all_terms = [terms for _, topic_terms in fitted for terms in topic_terms]
+        scores = umass_coherence(tokens, all_terms)
+        rows = []
+        i = 0
+        for k, topic_terms in fitted:
+            coh = scores[i : i + len(topic_terms)]
+            i += len(topic_terms)
+            rows.append((k, round(sum(coh) / len(coh) if coh else 0.0, 6)))
+    else:
+        rows = []
+        for k, topic_terms in fitted:
+            coh = cv_coherence(tokens, topic_terms)
+            rows.append((k, round(sum(coh) / len(coh) if coh else 0.0, 6)))
     return spark.createDataFrame(rows, schema="k bigint, coherence double")
 
 
