@@ -129,5 +129,12 @@ def dedup_events(
     state store remembers seen keys only until the watermark passes, so
     state is bounded by the redelivery horizon instead of the stream's
     lifetime — the property that makes dedup feasible on an unbounded
-    100 TB/day stream)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
+    100 TB/day stream).
+
+    Uses ``dropDuplicatesWithinWatermark`` — plain
+    ``dropDuplicates(keys)`` would keep every seen key in the state
+    store FOREVER (the watermark only bounds state when the event-time
+    column is part of the key), which silently breaks the bounded-state
+    claim on an unbounded stream."""
+    wm = events.withWatermark("ts", watermark)
+    return wm.dropDuplicatesWithinWatermark(key_cols)
