@@ -143,3 +143,58 @@ def test_salted_aggregate_matches_plain(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+@st.composite
+def asof_inputs(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=3))
+    lefts, rights = [], []
+    rid = 0
+    for k in range(1, n_keys + 1):
+        for _ in range(draw(st.integers(min_value=0, max_value=5))):
+            lefts.append((k, draw(st.integers(min_value=0, max_value=100))))
+        for _ in range(draw(st.integers(min_value=0, max_value=5))):
+            rid += 1
+            rights.append((k, draw(st.integers(min_value=0, max_value=100)), rid))
+    return lefts, rights
+
+
+@given(asof_inputs())
+@SLOW
+def test_asof_join_matches_naive(spark, data):
+    """asof_join_backward == per-row argmax of right.ts <= left.ts
+    (ties: the right row AT the left timestamp matches)."""
+    from ml_data_wrangler_spark.operators.asof import asof_join_backward
+
+    lefts, rights = data
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # the operator requires a unique right side per (key, ts): dedupe
+    # keeping the highest payload id (deterministic)
+    best = {}
+    for k, m, rid in rights:
+        if (k, m) not in best or rid > best[(k, m)]:
+            best[(k, m)] = rid
+    rights = [(k, m, rid) for (k, m), rid in best.items()]
+
+    left_df = spark.createDataFrame(
+        [Row(lid=i, key=k, l_ts=ts(m)) for i, (k, m) in enumerate(lefts)]
+    ) if lefts else None
+    if left_df is None:
+        return
+    right_df = spark.createDataFrame(
+        [Row(key=k, ts=ts(m), payload=rid) for k, m, rid in rights]
+    ) if rights else spark.createDataFrame([], "key bigint, ts timestamp, payload bigint")
+
+    out = asof_join_backward(
+        left_df, right_df, key="key", left_ts="l_ts", right_ts="ts",
+        right_payload={"payload": "payload"},
+    )
+    got = {r["lid"]: r["payload"] for r in out.collect()}
+    for i, (k, m) in enumerate(lefts):
+        candidates = [(rm, rid) for rk, rm, rid in rights if rk == k and rm <= m]
+        expected = max(candidates)[1] if candidates else None
+        assert got.get(i) == expected, (i, k, m, candidates)
