@@ -102,12 +102,69 @@ def qm07(spark, sf_dir):
     )
 
 
-@query("qm05_lemmatized_tokens")  # pandas-UDF pipeline → rows-only oracle
+def _sql_stops() -> str:
+    from ml_data_wrangler_spark.operators.nlp import ENGLISH_STOPWORDS
+
+    words = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS)
+    )
+    return f"[{words}]"
+
+
+_SQL_STOPS = _sql_stops()
+
+
+# DuckDB mirror of nlp._rule_lemma: first matching suffix in order,
+# guarded by len(stem) >= 3, with CASE fall-through replicating the
+# Python loop's continue-on-guard-failure behavior.
+_SQL_LEMMA = """
+CASE WHEN w LIKE '%sses' AND len(w) - 4 >= 3 THEN substr(w, 1, len(w) - 4) || 'ss'
+     WHEN w LIKE '%ies'  AND len(w) - 3 >= 3 THEN substr(w, 1, len(w) - 3) || 'y'
+     WHEN w LIKE '%ing'  AND len(w) - 3 >= 3 THEN substr(w, 1, len(w) - 3)
+     WHEN w LIKE '%edly' AND len(w) - 4 >= 3 THEN substr(w, 1, len(w) - 4)
+     WHEN w LIKE '%ed'   AND len(w) - 2 >= 3 THEN substr(w, 1, len(w) - 2)
+     WHEN w LIKE '%ly'   AND len(w) - 2 >= 3 THEN substr(w, 1, len(w) - 2)
+     WHEN w LIKE '%s'    AND len(w) - 1 >= 3 THEN substr(w, 1, len(w) - 1)
+     ELSE w END
+"""
+
+
+@query(
+    "qm05_lemmatized_tokens",
+    oracle=f"""
+WITH lem AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             list_filter(
+               list_transform(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 raw -> regexp_replace(raw, '[^a-z]', '', 'g')),
+               w -> len(w) >= 2 AND NOT list_contains({_SQL_STOPS}, w)),
+             w -> {_SQL_LEMMA}),
+           l -> l <> '' AND NOT list_contains({_SQL_STOPS}, l)) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       toks[1:5] AS first_tokens
+FROM lem
+""",
+)
 def qm05(spark, sf_dir):
     """N1-N4 — lemmatization pipeline (Arrow-batched pandas UDF;
     spaCy backend when available, deterministic rule backend here).
     Returns (doc_id, n_tokens, first_tokens) — scalar projections of
-    the token array for a stable rows-only check."""
+    the token array.
+
+    ORACLE-CHECKED against a full DuckDB SQL mirror of the rule
+    backend (tokenize → alpha-strip → stopword/length filter →
+    suffix-rule lemma with fall-through → post-lemma stopword filter),
+    so the fallback's exact semantics are pinned cross-engine, not
+    just rows-counted. (Valid for this ASCII corpus; the spaCy backend
+    — exercised via a mocked pipeline in tests — is inherently
+    non-SQL.)"""
     lt = lemmatized_tokens(t(spark, sf_dir, "documents"))
     return lt.select(
         "doc_id",

@@ -27,7 +27,6 @@ def test_contract_consistency():
         "qd04_simhash_buckets",
         "qm03_lda_topics",
         "qm04_lda_coherence_sweep",
-        "qm05_lemmatized_tokens",
         "qm07_cv_coherence_sweep",
         "qv05_ivf_ann",
         "qv06_lsh_ann_pairs",
