@@ -41,11 +41,46 @@ def synth_media(spark, sf_dir):
     )
 
 
-@query("qx01_multimodal_features")  # stub codec → rows-only oracle
+@query(
+    "qx01_multimodal_features",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id, kind,
+       CAST(n AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(CAST(CAST(
+              CAST(list_sum(list_transform(
+                     range(1, (n // 8 + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END) + 1),
+                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+              / (n // 8 + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END)
+            AS REAL) AS DOUBLE), 6) END AS f0,
+       CAST(8 AS INT) AS feature_dim
+FROM m
+""",
+)
 def qx01(spark, sf_dir):
     """Binary-column feature extraction: synthesized media blobs →
     mapInPandas (Arrow batches) → (media_id, kind, n_bytes,
-    content_hash, feature array<float>)."""
+    content_hash, feature array<float>).
+
+    ORACLE-CHECKED: the stub decode is deterministic arithmetic over
+    the blob bytes (chunk means), so DuckDB reproduces it exactly —
+    the byte sums are integers (exact in double under any fold order),
+    np.array_split's first-chunk size is n//8 (+1 if n%8), and
+    CAST(... AS REAL) mirrors numpy's float32 quantization of the
+    feature before the comparison rounding. md5/octet_length match the
+    engine's hash/n_bytes over the utf-8 content. The Arrow plumbing
+    is therefore hash-verified end to end; only the codec itself is
+    the documented stub."""
     feats = extract_features(synth_media(spark, sf_dir))
     return feats.select(
         "media_id",

@@ -32,5 +32,4 @@ def test_contract_consistency():
         "qv06_lsh_ann_pairs",
         "qv07_knn_vectorized",
         "qv08_tiered_cosine_pairs",
-        "qx01_multimodal_features",
     }
