@@ -1,0 +1,80 @@
+"""Dataset-curation operators (training-data pipeline extensions):
+deterministic splits and quality-capped selection.
+
+Why not ``df.sample``/``sampleBy``: Spark's samplers draw from
+``rand(seed)``, which is seeded PER PARTITION — the same row lands in
+a different split when the partitioning changes (different
+parallelism, AQE coalescing, a repartition upstream). A training
+pipeline needs CONTENT-ADDRESSED assignment: the same document goes to
+the same split on any cluster layout, forever. Hashing the stable id
+gives exactly that, costs one map-side expression, and never shuffles.
+
+``md5`` (not xxhash64) so the assignment is reproducible by ANY engine
+— the DuckDB oracle recomputes the split from the same hash string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 256) -> Column:
+    """Stable bucket in [0, n_buckets) from md5 of the id's string
+    form. 256 buckets = the first two hex chars — enough resolution
+    for percent-level split fractions while staying engine-portable."""
+    if not 1 <= n_buckets <= 1 << 31:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket: content-
+    addressed train/val/test that is stable under any partitioning,
+    ordering, or engine. ``fractions`` maps split name → fraction;
+    they must sum to 1 (±1e-9). Bucket boundaries are cumulative over
+    the dict's insertion order, quantized to 1/256ths.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col))
+    expr: Column | None = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bound = round(acc * 256)
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def top_quality_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: Column,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-capped selection: keep the ``n_per_group`` highest-
+    scoring rows per group (data mixing caps each source's
+    contribution so one crawl can't dominate the mixture). Total order
+    (score DESC, id ASC) makes the cut deterministic; one shuffle on
+    the group key."""
+    w = W.partitionBy(group_col).orderBy(score_col.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

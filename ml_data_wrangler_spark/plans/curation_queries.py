@@ -1,0 +1,90 @@
+"""Dataset-curation queries (training-data pipeline extensions):
+deterministic content-addressed splits and per-source quality caps —
+the selection stage that sits between cleaning/dedup and tokenization
+in a real corpus build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.functions.textstats import quality_score
+from ml_data_wrangler_spark.operators.curation import hash_split, top_quality_per_group
+from ml_data_wrangler_spark.plans._util import t
+from ml_data_wrangler_spark.plans.registry import query
+from ml_data_wrangler_spark.plans.text_queries import _SQL_EN_SET, SQL_TOKS
+
+# DuckDB mirror of curation.hash_bucket (Spark conv(hex,16,10) ==
+# DuckDB CAST('0x'||hex AS BIGINT) — verified bit-identical)
+_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+
+
+@query(
+    "qc01_dataset_splits",
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN {_SQL_BUCKET} < 205 THEN 'train'
+              WHEN {_SQL_BUCKET} < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY split, lang
+""",
+)
+def qc01(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by md5 hash
+    bucket of the document id — content-addressed, so the same doc
+    lands in the same split on ANY partitioning, cluster layout, or
+    engine (Spark's own sample()/sampleBy() are partition-seeded and
+    NOT stable). The oracle recomputes the assignment from the same
+    hash string, proving the split is engine-portable."""
+    d = hash_split(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "qc02_source_quality_cap",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+), ranked AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, source, quality FROM ranked WHERE rk <= 10
+""",
+)
+def qc02(spark, sf_dir):
+    """Per-source quality cap: keep each source's 10 highest-quality
+    documents (data mixing — no single crawl dominates the corpus).
+    Ranking on the ROUNDED quality score with a doc_id tiebreak makes
+    the cut deterministic and engine-identical (same float discipline
+    as the top-k relational queries)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return top_quality_per_group(
+        d, group_col="source", score_col=F.col("quality"), n_per_group=10
+    )

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "ml_data_wrangler_spark.plans.ml_queries",
     "ml_data_wrangler_spark.plans.multimodal_queries",
     "ml_data_wrangler_spark.plans.streaming_queries",
+    "ml_data_wrangler_spark.plans.curation_queries",
 )
 
 

@@ -1,0 +1,75 @@
+"""Curation operators: content-addressed splits must be stable under
+ANY partitioning (the property Spark's partition-seeded samplers
+lack), and quality caps must bound every group."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ml_data_wrangler_spark.operators.curation import (
+    hash_bucket,
+    hash_split,
+    top_quality_per_group,
+)
+
+
+def test_hash_split_stable_under_partitioning(spark):
+    df = spark.range(1, 2001).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def assign(frame):
+        return {
+            r["doc_id"]: r["split"]
+            for r in hash_split(frame, "doc_id", fr).collect()
+        }
+
+    base = assign(df)
+    # different layouts — same assignment for every id
+    assert assign(df.repartition(17)) == base
+    assert assign(df.repartition(1).sort(F.desc("doc_id"))) == base
+    # fractions land near target (hash-uniformity; 2000 ids)
+    from collections import Counter
+
+    c = Counter(base.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.04
+    assert abs(c["test"] / 2000 - 0.1) < 0.04
+    # every row assigned
+    assert sum(c.values()) == 2000
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_hash_bucket_range(spark):
+    rows = spark.range(1, 501).select(
+        hash_bucket(F.col("id"), 256).alias("b")
+    ).collect()
+    assert all(0 <= r["b"] < 256 for r in rows)
+
+
+def test_top_quality_per_group_caps_and_orders(spark):
+    rows = [
+        Row(doc_id=i, grp="a" if i % 2 == 0 else "b", score=float(i % 7))
+        for i in range(1, 41)
+    ]
+    out = top_quality_per_group(
+        spark.createDataFrame(rows), "grp", F.col("score"), n_per_group=3
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert set(by_grp) == {"a", "b"}
+    for grp, kept in by_grp.items():
+        assert len(kept) == 3
+        # the kept rows are the true top-3 under (score desc, id asc)
+        all_grp = sorted(
+            (r for r in rows if r.grp == grp),
+            key=lambda r: (-r.score, r.doc_id),
+        )[:3]
+        assert sorted((r["doc_id"] for r in kept)) == sorted(r.doc_id for r in all_grp)
