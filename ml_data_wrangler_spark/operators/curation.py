@@ -60,6 +60,36 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def fill_token_budget(
+    df: DataFrame,
+    group_col: str,
+    score_col: Column,
+    tokens_col: Column,
+    budget_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained selection: walk each group's rows in quality
+    order (score DESC, id ASC) and keep documents while the RUNNING
+    token total stays within ``budget_per_group`` — "fill a 10B-token
+    budget with the best data first", the selection rule corpus builds
+    actually use (a fixed doc-count cap over- or under-shoots the
+    budget by up to the doc-length variance).
+
+    A document is kept iff the cumulative token count INCLUDING it is
+    ≤ budget (greedy prefix; deterministic by the total order). One
+    shuffle on the group key; the running sum is a window aggregate.
+    Emits the input columns plus ``cum_tokens``.
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(score_col.desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn("cum_tokens", F.sum(tokens_col).over(w)).where(
+        F.col("cum_tokens") <= budget_per_group
+    )
+
+
 def top_quality_per_group(
     df: DataFrame,
     group_col: str,

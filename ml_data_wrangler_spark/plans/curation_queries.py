@@ -88,3 +88,60 @@ def qc02(spark, sf_dir):
     return top_quality_per_group(
         d, group_col="source", score_col=F.col("quality"), n_per_group=10
     )
+
+
+@query(
+    "qc03_token_budget_fill",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+), walked AS (
+  SELECT doc_id, source, quality,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM walked WHERE cum_tokens <= 1500
+""",
+)
+def qc03(spark, sf_dir):
+    """Token-budget-constrained selection: per source, keep the
+    highest-quality documents while the running token total stays
+    within a 1500-token budget — the greedy budget-fill rule a real
+    corpus build uses instead of fixed doc counts. Deterministic by
+    the (rounded quality DESC, doc_id) total order; oracle mirrors the
+    running-sum walk exactly."""
+    from ml_data_wrangler_spark.functions.textstats import token_count
+    from ml_data_wrangler_spark.operators.curation import fill_token_budget
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return fill_token_budget(
+        d,
+        group_col="source",
+        score_col=F.col("quality"),
+        tokens_col=F.col("n_tokens"),
+        budget_per_group=1500,
+    ).select("doc_id", "source", "quality", "cum_tokens")

@@ -53,6 +53,32 @@ def test_hash_bucket_range(spark):
     assert all(0 <= r["b"] < 256 for r in rows)
 
 
+def test_fill_token_budget_greedy_prefix(spark):
+    from ml_data_wrangler_spark.operators.curation import fill_token_budget
+
+    rows = [
+        Row(doc_id=1, grp="a", score=5.0, toks=40),
+        Row(doc_id=2, grp="a", score=4.0, toks=50),
+        Row(doc_id=3, grp="a", score=3.0, toks=20),  # 40+50+20=110 > 100 → dropped
+        Row(doc_id=4, grp="a", score=2.0, toks=5),   # prefix already over → dropped
+        Row(doc_id=5, grp="b", score=1.0, toks=100), # exactly the budget → kept
+        Row(doc_id=6, grp="b", score=0.5, toks=1),
+    ]
+    out = fill_token_budget(
+        spark.createDataFrame(rows),
+        group_col="grp",
+        score_col=F.col("score"),
+        tokens_col=F.col("toks"),
+        budget_per_group=100,
+    ).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # greedy PREFIX: once the cumulative sum passes the budget, later
+    # (smaller) docs don't sneak back in
+    assert kept == [1, 2, 5]
+    cum = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert cum == {1: 40, 2: 90, 5: 100}
+
+
 def test_top_quality_per_group_caps_and_orders(spark):
     rows = [
         Row(doc_id=i, grp="a" if i % 2 == 0 else "b", score=float(i % 7))
