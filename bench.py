@@ -33,6 +33,8 @@ HEADLINE = [
     "qe01_hourly_by_type",
     "qe04_sessionize",
     "qj01_asof_purchase_click",
+    "qj03_session_overlap_pairs",
+    "qc01_dataset_splits",
     "qt01_top_tokens",
     "qt04_quality_scores",
     "qd01_exact_dedup",
