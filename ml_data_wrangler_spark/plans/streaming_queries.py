@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ml_data_wrangler_spark.plans._util import dbl, money
 from ml_data_wrangler_spark.plans.registry import query
 from ml_data_wrangler_spark.streaming.windows import (
     read_events_stream,
