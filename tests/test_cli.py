@@ -1,0 +1,82 @@
+"""CLI surface tests: main() is invoked in-process (get_spark reuses
+the test session via getOrCreate), so every subcommand is covered
+without a per-test JVM launch."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ml_data_wrangler_spark.__main__ import main
+
+
+def test_cli_list(spark, capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) >= 90
+    assert any(l.startswith("q01_pricing_summary\toracle") for l in lines)
+    assert any("rows-only" in l for l in lines)
+
+
+def test_cli_query_runs_and_rejects_unknown(spark, sf_dir, capsys):
+    assert main(["query", "qt04_quality_scores", "--sf-dir", sf_dir]) == 0
+    assert "quality" in capsys.readouterr().out
+    assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_cli_sql(spark, sf_dir, capsys):
+    assert main(["sql", "SELECT COUNT(*) AS n FROM region", "--sf-dir", sf_dir]) == 0
+    assert "n" in capsys.readouterr().out
+
+
+def test_cli_wrangle_end_to_end(spark, tmp_path, capsys):
+    tickets = [
+        {
+            "id": 7,
+            "created_at": "2024-01-01T10:00:00Z",
+            "updated_at": "2024-01-02T11:00:00Z",
+            "status": "open",
+            "subject": "CLI smoke",
+            "description": "from the CLI",
+            "tags": [],
+            "fields": [{"value": "bug"}, {"value": "x"}, {"value": "done"}],
+        }
+    ]
+    tpath = tmp_path / "tickets.json"
+    tpath.write_text(json.dumps(tickets))
+    cdir = tmp_path / "comments"
+    cdir.mkdir()
+    (cdir / "7_a.json").write_text(
+        json.dumps({"comments": [{"id": 1, "created_at": "2024-01-01T12:00:00Z", "plain_body": "hi"}]})
+    )
+    out_dir = tmp_path / "completed"
+    rc = main(
+        [
+            "wrangle",
+            "--tickets", str(tpath),
+            "--comments", str(cdir),
+            "--out", str(out_dir),
+            "--run-date", "2026-08-13",
+        ]
+    )
+    assert rc == 0
+    assert "wrangled 1 tickets" in capsys.readouterr().out
+    written = list(out_dir.rglob("*.json"))
+    assert len(written) >= 2  # processed tickets + corpus
+
+
+def test_cli_lda_sweep(spark, sf_dir, capsys):
+    rc = main(
+        [
+            "lda",
+            "--sf-dir", sf_dir,
+            "--k-min", "2", "--k-max", "3",
+            "--max-iter", "2",
+            "--min-df", "2.0", "--max-df", "1000000000",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "k=2" in out and "k=3" in out
