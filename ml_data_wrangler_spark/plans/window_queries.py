@@ -246,3 +246,38 @@ def qw07(spark, sf_dir):
         F.round((F.col("rn") - 1) / (F.col("n") - 1), 6).alias("pct_rank"),
         quartile.cast("long").alias("quartile"),
     )
+
+
+@query(
+    "qw08_trailing_30d_revenue",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM orders
+""",
+)
+def qw08(spark, sf_dir):
+    """Time-RANGE window frame: each order's trailing-30-day revenue
+    for its customer — a RANGE frame over event time, not a row-count
+    frame (a 3-row window is meaningless when order spacing varies).
+    The frame is defined on the epoch-day value so the ±30-day bound
+    is exact arithmetic on both engines; ties on o_orderdate share the
+    same frame (RANGE semantics — every peer row sees the same sum),
+    so no tiebreak ordering is needed for determinism. Decimal sums
+    keep the aggregate order-independent."""
+    o = t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dbl(F.sum(money("o_totalprice")).over(w)).alias("trailing_30d"),
+    )
