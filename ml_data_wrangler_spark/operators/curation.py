@@ -22,12 +22,15 @@ from pyspark.sql import Window as W
 
 def hash_bucket(id_col: Column, n_buckets: int = 256) -> Column:
     """Stable bucket in [0, n_buckets) from md5 of the id's string
-    form. 256 buckets = the first two hex chars — enough resolution
-    for percent-level split fractions while staying engine-portable."""
-    if not 1 <= n_buckets <= 1 << 31:
-        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    form. Consumes 15 hex chars (60 bits, still within a signed
+    BIGINT in every engine), so modulo bias is ≤ n_buckets/2^60 —
+    negligible at the 2^16 cap. n_buckets is capped where the
+    entropy keeps bias under ~2^-44; larger counts would need more
+    hash bits than a portable BIGINT holds."""
+    if not 1 <= n_buckets <= 1 << 16:
+        raise ValueError(f"n_buckets out of range (max 65536): {n_buckets}")
     return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
         .cast("long")
         % n_buckets
     )

@@ -189,8 +189,15 @@ def ngram_jaccard_pairs(
     )
     n = F.size("sh")
     alpha = F.ceil(F.lit(threshold) * n - F.lit(1e-9))
+    # df attachment via SHUFFLE-HASH, never broadcast: df_counts has one
+    # row per DISTINCT shingle — billions on a Zipfian 100 TB corpus,
+    # far past any broadcast cap. Both sides are already hash-
+    # partitioned on `shingle` (sh by the explicit repartition above,
+    # df_counts by its groupBy), so this join adds ZERO new exchanges;
+    # the hint only forbids the planner from "helpfully" broadcasting a
+    # size-underestimated aggregate.
     per_doc = (
-        sh.join(F.broadcast(df_counts), "shingle")
+        sh.join(df_counts.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(ordered.alias("sh"))
         .select(

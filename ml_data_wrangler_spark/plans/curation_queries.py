@@ -15,8 +15,9 @@ from ml_data_wrangler_spark.plans.registry import query
 from ml_data_wrangler_spark.plans.text_queries import _SQL_EN_SET, SQL_TOKS
 
 # DuckDB mirror of curation.hash_bucket (Spark conv(hex,16,10) ==
-# DuckDB CAST('0x'||hex AS BIGINT) — verified bit-identical)
-_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+# DuckDB CAST('0x'||hex AS BIGINT) — verified bit-identical; 15 hex
+# chars = 60 bits, same as the Spark side)
+_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
 
 
 @query(

@@ -95,12 +95,16 @@ def qe03(spark, sf_dir):
 @query(
     "qe04_sessionize",
     oracle="""
-WITH flagged AS (
+WITH e AS (
+  -- µs TIMESTAMP, matching the Spark side's unix_micros comparison
+  -- (parquet ts may read as TIMESTAMP_NS in DuckDB).
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id,

@@ -117,7 +117,10 @@ def qj02(spark, sf_dir):
     "qj03_session_overlap_pairs",
     oracle="""
 WITH e AS (
-  SELECT user_id, ts FROM events
+  -- CAST to µs TIMESTAMP: parquet ts may read as TIMESTAMP_NS in
+  -- DuckDB while Spark compares at µs; a sub-µs residue straddling
+  -- the 30-min boundary would flip sessionization (qs03 pattern).
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 ), flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL

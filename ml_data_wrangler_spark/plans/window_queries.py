@@ -241,9 +241,14 @@ def qw07(spark, sf_dir):
         .otherwise(r + F.floor((F.col("rn") - cut - 1) / q))
         + 1
     )
+    # SQL PERCENT_RANK defines 0.0 for a single-row partition; the
+    # (rn-1)/(n-1) form would be NULL (0/0) there.
+    pct = F.when(
+        F.col("n") > 1, F.round((F.col("rn") - 1) / (F.col("n") - 1), 6)
+    ).otherwise(F.lit(0.0))
     return ranked.select(
         "o_orderkey",
-        F.round((F.col("rn") - 1) / (F.col("n") - 1), 6).alias("pct_rank"),
+        pct.alias("pct_rank"),
         quartile.cast("long").alias("quartile"),
     )
 

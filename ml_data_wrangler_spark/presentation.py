@@ -49,14 +49,24 @@ def pyldavis_payload(
       term_frequency    — corpus-wide count per term (distributed
                           column-sum over the bow vectors).
     """
-    transformed = (
+    from pyspark.ml.functions import vector_to_array
+
+    # Drop empty documents BEFORE the limit so the payload really holds
+    # the first ``max_docs`` NON-EMPTY docs (an empty doc inside the
+    # first max_docs must not shrink the result). JVM-side predicate —
+    # no vectors are collected for rejected rows.
+    kept = (
         model.transform(bow_df)
+        .where(
+            F.exists(
+                vector_to_array(F.col(features_col)), lambda x: x != F.lit(0.0)
+            )
+        )
         .select(id_col, features_col, "topicDistribution")
         .orderBy(id_col)
         .limit(max_docs)
         .collect()
     )
-    kept = [r for r in transformed if r[features_col].numNonzeros() > 0]
     doc_topic = [list(r["topicDistribution"]) for r in kept]
     doc_lengths = [int(sum(r[features_col].toArray())) for r in kept]
 
