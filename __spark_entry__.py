@@ -37,11 +37,37 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries the driver's correctness gate already recorded as PASS
+# (CORRECTNESS_r02.json — it snapshots ~50 queries in registration
+# order). Listing them lets queries() order NEVER-YET-GATED queries
+# first, so the union of per-round gate files converges on full
+# coverage of the 95-query registry.
+_GATED_PASS_R02 = frozenset(
+    [f"q{i:02d}" for i in range(1, 33)]
+    + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
+    + ["qj01", "qj02", "qj03"]
+    + [f"qw{i:02d}" for i in range(1, 9)]
+)
+
+
+def _short(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
+def _gate_order(names: list[str]) -> list[str]:
+    """Never-gated queries first (family-interleaved by the registry),
+    previously-gated ones after."""
+    fresh = [n for n in names if _short(n) not in _GATED_PASS_R02]
+    seen = [n for n in names if _short(n) in _GATED_PASS_R02]
+    return fresh + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     north-star extensions). Computed columns are aliased identically
     in the Spark plan and the oracle SQL."""
-    return registry.queries()
+    q = registry.queries()
+    return {n: q[n] for n in _gate_order(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -49,4 +75,5 @@ def oracle_sql() -> dict[str, str]:
     coherence sweeps, lemmatize, MinHash, SimHash, IVF/LSH ANN,
     HLL/quantile sketches, multimodal stub features) are
     approximate/model-based ops → rows-only check by design."""
-    return registry.oracle_sql()
+    o = registry.oracle_sql()
+    return {n: o[n] for n in _gate_order(list(registry.queries())) if n in o}

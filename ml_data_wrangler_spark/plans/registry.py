@@ -62,11 +62,38 @@ def load_all_queries() -> None:
         importlib.import_module(mod)
 
 
+def _family(name: str) -> str:
+    """Family prefix of a query name: letters before the first digit
+    ('q01_…' → 'q', 'qd02_…' → 'qd')."""
+    for i, ch in enumerate(name):
+        if ch.isdigit():
+            return name[:i]
+    return name
+
+
+def _interleaved(names: list[str]) -> list[str]:
+    """Round-robin the names across families (preserving in-family
+    order) so a consumer that only processes a PREFIX of the registry
+    — e.g. a correctness gate with a fixed query budget — still
+    exercises every operator family. With ~12 families, the first 50
+    entries cover every family ~4 queries deep instead of never
+    reaching the later modules."""
+    by_family: dict[str, list[str]] = {}
+    for n in names:
+        by_family.setdefault(_family(n), []).append(n)
+    buckets = list(by_family.values())
+    out: list[str] = []
+    for i in range(max(len(b) for b in buckets)):
+        out.extend(b[i] for b in buckets if i < len(b))
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
     load_all_queries()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _interleaved(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all_queries()
-    return dict(_ORACLES)
+    order = _interleaved(list(_QUERIES))
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}
