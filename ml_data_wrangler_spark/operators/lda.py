@@ -256,7 +256,13 @@ def lda_sweep(
         raise ValueError(f"coherence must be 'umass' or 'c_v', got {coherence!r}")
     from concurrent.futures import ThreadPoolExecutor
 
+    from ml_data_wrangler_spark.operators.fitting import widen_for_fit
+
     spark = bow_df.sparkSession
+    ks = list(k_values)
+    # Online-LDA iterations run one task per bow partition; a 1-split
+    # bow pins every concurrent fit single-task (fitting.py).
+    bow_df = widen_for_fit(bow_df, concurrent_fits=min(4, max(1, len(ks))))
     bow_df.cache()
 
     # Sweep members are INDEPENDENT models — fit them concurrently.
@@ -269,7 +275,6 @@ def lda_sweep(
         desc = model.describeTopics(n_terms).collect()
         return k, [[vocabulary[i] for i in r["termIndices"]] for r in desc]
 
-    ks = list(k_values)
     with ThreadPoolExecutor(max_workers=min(4, max(1, len(ks)))) as pool:
         fitted = list(pool.map(fit_one, ks))
     bow_df.unpersist()

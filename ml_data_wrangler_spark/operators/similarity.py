@@ -85,7 +85,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 5,
 ):
     """Fit the IVF structure: (assigned corpus, centroid DataFrame).
 
@@ -96,9 +96,11 @@ def ivf_index(
     Index-build cost knobs: IVF needs centroids good enough to BUCKET,
     not an optimal clustering — nprobe cushions centroid error — so
     the KMeans runs random init (kmeans|| costs several extra
-    distributed passes) and ``max_iter`` defaults to 10 instead of
-    MLlib's 20. Recall vs the exact baseline is pinned in
-    tests/test_dedup_similarity.py and stays intact.
+    distributed passes) and ``max_iter`` defaults to 5: each KMeans
+    iteration is a full pass over the corpus, and measured recall at
+    sf0.1 is identical at 5 vs 10 iterations (recall is governed by
+    nprobe/n_clusters, not centroid polish — asserted on a clustered
+    corpus in tests/test_dedup_similarity.py).
     """
     from pyspark.ml.clustering import KMeans
 
