@@ -338,6 +338,139 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log²)
+    rounds, each round two groupBy-min + join passes.
+
+    Why this formulation at 100 TB:
+      * no per-node adjacency materialization (collect_set/arrays) —
+        a celebrity node with millions of neighbors stays a plain
+        aggregation + join, so AQE's skew handling applies;
+      * rounds are O(log² n) — min-label propagation needs
+        O(diameter) rounds, and dup chains (version histories,
+        boilerplate families) produce long paths;
+      * each round ends in ``localCheckpoint`` — iterative lineage
+        otherwise grows the plan exponentially and re-runs every
+        prior round on each action.
+
+    Returns DataFrame[node, component] for every node that appears in
+    an edge; component = the smallest node id in the component.
+    Nodes without edges are absent (callers union singletons back).
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetrize, then connect every strictly-larger neighbor of u
+        # to min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # point every edge large→small, then connect all of u's smaller
+        # neighbors (and u itself) to the smallest
+        pt = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = pt.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            pt.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("chk"),
+        ).first()
+        return row["n"], int(row["chk"])
+
+    sig = signature(cur)
+    for _ in range(max_iterations):
+        if sig[0] == 0:
+            break
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        nsig = signature(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # At the fixed point each component is a star rooted at its min:
+    # every non-root points at the root, roots appear only as v.
+    return (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(cur.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    strategy: str = "count",
+) -> DataFrame:
+    """Cluster ASSIGNMENT for near-duplicates: exact n-gram Jaccard
+    pairs → connected components → every document labeled with its
+    cluster's min doc_id (singletons label themselves).
+
+    This is the step between a pair list and an actionable dedup
+    verdict when similarity is TRANSITIVE-CHAINED (A≈B, B≈C, A≉C):
+    a per-pair keep/drop (qd05) decides membership but cannot name
+    clusters; training-data curation needs the cluster id to pick one
+    representative per family, stratify evals, or cap family sizes.
+
+    Returns (doc_id, cluster_id).
+    """
+    pairs = ngram_jaccard_pairs(documents, k=k, threshold=threshold, strategy=strategy)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        documents.select("doc_id")
+        .join(
+            cc.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def dedup_keep_min(documents: DataFrame, fingerprint_col) -> DataFrame:
     """Generic exact-dedup: keep the lowest doc_id per fingerprint."""
     return (

@@ -130,6 +130,58 @@ def qd06(spark, sf_dir):
     )
 
 
+@query(
+    "qd07_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+)
+def qd07(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: exact 3-gram Jaccard ≥ 0.6 pairs →
+    connected components (alternating large-star/small-star, O(log²)
+    rounds) → every doc labeled with its cluster's min doc_id;
+    singletons label themselves. The oracle computes the same
+    components by recursive transitive closure — exact at fixture
+    scale, while the Spark side is the formulation that scales (no
+    per-node adjacency arrays, rounds logarithmic in the longest dup
+    chain)."""
+    from ml_data_wrangler_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.6, strategy="count"
+    )
+
+
 @query("qd03_minhash_near_dups")  # approximate → rows-only oracle
 def qd03(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (MLlib MinHashLSH,

@@ -182,6 +182,26 @@ def test_ivf_search_finds_same_cluster_neighbor(vectors):
     assert any(r["neighbor_id"] == 2 for r in res)
 
 
+def test_near_dup_clusters_transitive_chain(spark):
+    """A≈B and B≈C but A≉C must still land in ONE cluster labeled by
+    the min doc_id — the transitivity a single min-id pair pass cannot
+    express; unrelated docs stay singletons labeling themselves."""
+    from ml_data_wrangler_spark.operators.dedup import near_dup_clusters
+
+    # 10 tokens each; b differs from a in the last two, c differs from
+    # b in the first two → J(a,b)=J(b,c)=6/10=0.6 but J(a,c)=4/12=0.33
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta rho sigma"
+    c = "tau upsilon gamma delta epsilon zeta eta theta rho sigma"
+    docs = spark.createDataFrame(
+        [Row(doc_id=10, text=a), Row(doc_id=20, text=b), Row(doc_id=30, text=c),
+         Row(doc_id=40, text=OTHER)]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(docs, k=3, threshold=0.5).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40}
+
+
 def test_ivf_recall_on_clustered_corpus(spark):
     """Mechanism-grade recall pin: on a corpus with REAL cluster
     structure (where IVF's model assumption holds), probing 2 of 4

@@ -198,3 +198,45 @@ def test_asof_join_matches_naive(spark, data):
         candidates = [(rm, rid) for rk, rm, rid in rights if rk == k and rm <= m]
         expected = max(candidates)[1] if candidates else None
         assert got.get(i) == expected, (i, k, m, candidates)
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    m = draw(st.integers(min_value=1, max_value=45))
+    return [
+        (draw(st.integers(min_value=0, max_value=n - 1)),
+         draw(st.integers(min_value=0, max_value=n - 1)))
+        for _ in range(m)
+    ]
+
+
+@given(edge_lists())
+@SLOW
+def test_connected_components_matches_union_find(spark, edges):
+    from ml_data_wrangler_spark.operators.dedup import connected_components
+
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, set[int]] = {}
+    for x in {v for e in edges for v in e}:
+        members.setdefault(find(x), set()).add(x)
+    expected = {x: min(ms) for ms in members.values() for x in ms}
+
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
