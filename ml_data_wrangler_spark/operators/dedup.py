@@ -338,6 +338,92 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: pigeonhole block join + exact Hamming
+    verification, entirely in JVM bit expressions.
+
+    Candidate generation is LOSSLESS by the pigeonhole principle:
+    split each ``bits``-wide signature into ``max_hamming + 1``
+    contiguous blocks — two signatures within Hamming distance
+    ``max_hamming`` have fewer differing bits than blocks, so at least
+    one block matches EXACTLY. Joining on (block_idx, block_value)
+    therefore finds every qualifying pair; ``bit_count(a XOR b)`` then
+    verifies exactly. This is the classic Manku/Jain/Sarma (WWW'07)
+    web-dedup layout re-expressed relationally:
+
+      * candidate key space: ≤ (max_hamming+1) keys per doc, constant —
+        one shuffle on the block key, posting lists bounded by how many
+        docs truly share a block (near-dups), never all-pairs;
+      * verification: one integer XOR + popcount per candidate — no
+        arrays, no re-tokenization, no second pass over text.
+
+    Pass a precomputed ``signatures`` DataFrame[doc_id, simhash] to
+    reuse signatures across calls; otherwise they are computed from
+    ``documents`` at ``bits`` width.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b and
+    hamming ≤ max_hamming.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming + 1 = {n_blocks} blocks exceed {bits} signature bits"
+        )
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(documents, bits=bits)
+    )
+    # contiguous block b covers bit range [b*w, min((b+1)*w, bits)) with
+    # w = ceil(bits / n_blocks); extract via shift + mask so block
+    # values stay plain BIGINTs (join keys, no arrays)
+    w = -(-bits // n_blocks)
+    blocks = []
+    for b in range(n_blocks):
+        lo = b * w
+        width = min(w, bits - lo)
+        if width <= 0:
+            break
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+        )
+    keyed = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = keyed.alias("a"), keyed.hint("shuffle_hash").alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= max_hamming),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -209,6 +209,19 @@ def qd04(spark, sf_dir):
     )
 
 
+@query("qd08_simhash_pairs")  # xxhash64-based → not oracle-expressible
+def qd08(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit signatures, pigeonhole block
+    join (4 blocks ⇒ lossless for Hamming ≤ 3) + bit_count(XOR)
+    verification. The constant-key-space complement to MinHash: one
+    BIGINT per doc, candidates only where a 16-bit block collides."""
+    from ml_data_wrangler_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), bits=64, max_hamming=3
+    )
+
+
 @query(
     "qd05_dedup_pipeline",
     oracle=f"""

@@ -240,3 +240,56 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+@st.composite
+def signature_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    base = draw(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+    sigs = [base]
+    for _ in range(n - 1):
+        if draw(st.booleans()):
+            # mutate a previous signature in a few random bit positions
+            s = sigs[draw(st.integers(min_value=0, max_value=len(sigs) - 1))]
+            for b in draw(
+                st.lists(st.integers(min_value=0, max_value=63), max_size=6)
+            ):
+                # flip in unsigned-64 space, then wrap back to signed
+                u = (s & ((1 << 64) - 1)) ^ (1 << b)
+                s = u - (1 << 64) if u >= 1 << 63 else u
+            sigs.append(s)
+        else:
+            sigs.append(
+                draw(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+            )
+    return sigs
+
+
+@given(signature_sets())
+@SLOW
+def test_simhash_pairs_lossless_vs_bruteforce(spark, sigs):
+    """The pigeonhole block join must find EXACTLY the pairs within
+    the Hamming radius — lossless candidates (pigeonhole over
+    max_hamming+1 blocks) and exact verification, including the sign
+    bit of 64-bit signatures."""
+    from ml_data_wrangler_spark.operators.dedup import simhash_near_dup_pairs
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (i, j, ham(sigs[i], sigs[j]))
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if ham(sigs[i], sigs[j]) <= 3
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, simhash=s) for i, s in enumerate(sigs)]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            df.select("doc_id"), bits=64, max_hamming=3, signatures=df
+        ).collect()
+    }
+    assert got == expected
