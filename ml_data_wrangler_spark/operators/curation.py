@@ -63,6 +63,42 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions_by_stratum: dict[str, float],
+    stratum_col: str,
+    n_buckets: int = 1 << 12,
+) -> DataFrame:
+    """Per-stratum downsampling with CONTENT-ADDRESSED membership:
+    keep a row iff its id's hash bucket falls below its stratum's
+    fraction. The deterministic dual of ``df.sampleBy`` — the same
+    document is in or out of the sample on any cluster layout, any
+    partitioning, any engine (and the decision is reproducible in SQL
+    from the same md5 string, so the sample is oracle-checkable).
+
+    Use case: rebalancing a training mixture ("keep 10%% of crawl,
+    100%% of reference text") where resampling on every run would churn
+    the corpus and break caching/dedup downstream.
+
+    Strata absent from ``fractions_by_stratum`` are DROPPED (explicit
+    mixture definition). Fractions are quantized to 1/``n_buckets``
+    (default 4096 → ±0.02%% granularity). Pure map-side expression —
+    no shuffle, no sort, no state.
+    """
+    for name, frac in fractions_by_stratum.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} out of [0,1]: {frac}")
+    bucket = hash_bucket(F.col(id_col), n_buckets=n_buckets)
+    keep: Column | None = None
+    for name, frac in fractions_by_stratum.items():
+        cond = (F.col(stratum_col) == name) & (bucket < round(frac * n_buckets))
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        raise ValueError("fractions_by_stratum must not be empty")
+    return df.where(keep)
+
+
 def fill_token_budget(
     df: DataFrame,
     group_col: str,

@@ -146,3 +146,41 @@ def qc03(spark, sf_dir):
         tokens_col=F.col("n_tokens"),
         budget_per_group=1500,
     ).select("doc_id", "source", "quality", "cum_tokens")
+
+
+_SQL_BUCKET_4096 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4096"
+)
+
+
+@query(
+    "qc04_stratified_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, source, {_SQL_BUCKET_4096} AS bkt FROM documents
+)
+SELECT doc_id, lang, source FROM b
+WHERE (lang = 'en' AND bkt < 4096)
+   OR (lang = 'de' AND bkt < 2048)
+   OR (lang = 'fr' AND bkt < 2048)
+   OR (lang = 'es' AND bkt < 1024)
+   OR (lang = 'zh' AND bkt < 410)
+""",
+)
+def qc04(spark, sf_dir):
+    """Mixture rebalancing by DETERMINISTIC stratified sampling: keep
+    all English, half of German/French, a quarter of Spanish, 10% of
+    Chinese — membership decided by the document id's hash bucket, so
+    the sample is identical on any partitioning, cluster, or engine
+    (df.sampleBy is partition-seeded and churns the corpus every run).
+    The oracle recomputes membership from the same md5 string."""
+    from ml_data_wrangler_spark.operators.curation import stratified_hash_sample
+
+    return stratified_hash_sample(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        fractions_by_stratum={
+            "en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1,
+        },
+        stratum_col="lang",
+    ).select("doc_id", "lang", "source")

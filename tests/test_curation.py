@@ -99,3 +99,46 @@ def test_top_quality_per_group_caps_and_orders(spark):
             key=lambda r: (-r.score, r.doc_id),
         )[:3]
         assert sorted((r["doc_id"] for r in kept)) == sorted(r.doc_id for r in all_grp)
+
+
+def test_stratified_hash_sample_deterministic_and_proportional(spark):
+    from ml_data_wrangler_spark.operators.curation import stratified_hash_sample
+
+    rows = [
+        Row(doc_id=i, stratum="a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+        for i in range(1, 3001)
+    ]
+    df = spark.createDataFrame(rows)
+    fr = {"a": 1.0, "b": 0.25}  # "c" absent → dropped entirely
+
+    def keep_set(frame):
+        return {
+            r["doc_id"]
+            for r in stratified_hash_sample(
+                frame, "doc_id", fr, stratum_col="stratum"
+            ).collect()
+        }
+
+    base = keep_set(df)
+    # content-addressed: identical membership on any layout
+    assert keep_set(df.repartition(13)) == base
+    assert keep_set(df.repartition(1).sort(F.desc("doc_id"))) == base
+    # full stratum kept, absent stratum dropped, fraction ≈ target
+    n_a = sum(1 for r in rows if r.stratum == "a")
+    n_b = sum(1 for r in rows if r.stratum == "b")
+    got_a = sum(1 for i in base if i % 3 == 0)
+    got_b = sum(1 for i in base if i % 3 == 1)
+    got_c = sum(1 for i in base if i % 3 == 2)
+    assert got_a == n_a
+    assert got_c == 0
+    assert abs(got_b / n_b - 0.25) < 0.05
+
+
+def test_stratified_hash_sample_validates(spark):
+    from ml_data_wrangler_spark.operators.curation import stratified_hash_sample
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("x").alias("s"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "doc_id", {"x": 1.5}, stratum_col="s")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "doc_id", {}, stratum_col="s")
