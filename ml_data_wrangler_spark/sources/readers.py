@@ -110,3 +110,51 @@ def read_comment_files(spark: SparkSession, comments_dir: str) -> DataFrame:
             F.col("c.plain_body").alias("plain_body"),
         )
     )
+
+
+def _with_corrupt_record(schema: T.StructType) -> T.StructType:
+    # copy — StructType.add mutates in place (see read_tickets)
+    return T.StructType(list(schema.fields)).add("_corrupt_record", "string")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Generic NDJSON (one object per line) scan with an EXPLICIT
+    schema and corrupt-record capture.
+
+    Explicit schema is non-negotiable at scale: schema inference is a
+    full extra pass over the data before the real read. PERMISSIVE +
+    ``_corrupt_record`` generalizes the ticket reader's discipline to
+    any line-delimited feed — malformed lines become countable rows
+    (`WHERE _corrupt_record IS NOT NULL`), never job aborts.
+
+    NB (Spark restriction): a query whose referenced columns are ONLY
+    ``_corrupt_record`` is rejected on raw JSON/CSV scans
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or
+    write the parsed frame first when auditing bad rows in isolation.
+    """
+    return (
+        spark.read.schema(_with_corrupt_record(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Generic CSV scan: explicit schema, PERMISSIVE corrupt-record
+    capture, header/delimiter knobs. Same contract as ``read_jsonl``
+    (bad rows land in ``_corrupt_record``)."""
+    return (
+        spark.read.schema(_with_corrupt_record(schema))
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

@@ -59,3 +59,48 @@ def write_corpus_json(corpus: DataFrame, out_dir: str, run_date: str, mode: str 
     path = f"{out_dir}/corpus_{run_date}.json"
     corpus.write.mode(mode).json(path)
     return path
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> str:
+    """Hive-partitioned parquet sink with SMALL-FILE control.
+
+    A plain ``df.write.partitionBy(cols)`` emits one file per
+    (task, partition-value) combination: with P tasks and V partition
+    values that is up to P×V files — at 100 TB the classic
+    "millions of tiny parquet files" failure that makes every
+    downstream listing and scan crawl. Repartitioning by the partition
+    columns FIRST routes each value's rows to ``files_per_partition``
+    tasks (a salt spreads one value over several writers when its
+    volume warrants more than one file), so the layout is exactly
+    V × files_per_partition files regardless of upstream parallelism.
+
+    Partition values become directory keys (``col=value/``), so
+    partition PRUNING — the scan-time dual of this sink — works for
+    every reader (Spark, DuckDB, Hive, Trino).
+    """
+    if files_per_partition < 1:
+        raise ValueError(f"files_per_partition must be >= 1: {files_per_partition}")
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition == 1:
+        routed = df.repartition(*keys)
+    else:
+        salt = (F.rand(seed=42) * files_per_partition).cast("int")
+        # explicit partition count: AQE would otherwise coalesce the
+        # salted groups right back into one task. Each partition-value
+        # contributes at most files_per_partition distinct (value,
+        # salt) keys, so its file count stays bounded no matter how
+        # many shuffle partitions exist; the ×97 multiplier just makes
+        # same-partition hash collisions between salts rare.
+        routed = (
+            df.withColumn("_salt", salt)
+            .repartition(files_per_partition * 97, *keys, F.col("_salt"))
+            .drop("_salt")
+        )
+    routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path

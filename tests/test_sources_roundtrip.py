@@ -1,0 +1,84 @@
+"""Generic source/sink round-trips: partitioned parquet layout control
+and schema-first JSONL/CSV scans with corrupt-record capture."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ml_data_wrangler_spark.sources.readers import read_csv, read_jsonl
+from ml_data_wrangler_spark.sources.sinks import write_partitioned_parquet
+
+
+def test_partitioned_parquet_layout_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k="a" if i % 2 == 0 else "b", v=i) for i in range(100)]
+    ).repartition(16)  # deliberately over-parallel input
+    out = str(tmp_path / "out")
+    write_partitioned_parquet(df, out, ["k"], files_per_partition=1)
+    # exactly one data file per partition value, hive-style dirs
+    for k in ("a", "b"):
+        files = [
+            f for f in glob.glob(os.path.join(out, f"k={k}", "*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, files
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+
+def test_partitioned_parquet_multi_file(spark, tmp_path):
+    df = spark.createDataFrame([Row(k="a", v=i) for i in range(1000)])
+    out = str(tmp_path / "out")
+    write_partitioned_parquet(df, out, ["k"], files_per_partition=4)
+    files = [
+        f for f in glob.glob(os.path.join(out, "k=a", "*"))
+        if f.endswith(".parquet")
+    ]
+    assert 2 <= len(files) <= 4  # salted across up to 4 writers
+    assert spark.read.parquet(out).count() == 1000
+    with pytest.raises(ValueError):
+        write_partitioned_parquet(df, out, ["k"], files_per_partition=0)
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_read_jsonl_captures_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{{{not json\n{"id": 2, "name": "also"}\n')
+    df = read_jsonl(spark, str(p), SCHEMA).cache()  # see reader docstring
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+
+
+def test_read_csv_captures_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name\n1,ok\nnot_a_number,x\n2,also\n")
+    df = read_csv(spark, str(p), SCHEMA).cache()  # see reader docstring
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+
+
+def test_read_csv_delimiter_and_headerless(spark, tmp_path):
+    p = tmp_path / "feed.tsv"
+    p.write_text("5\tfive\n6\tsix\n")
+    df = read_csv(spark, str(p), SCHEMA, header=False, delimiter="\t")
+    assert {(r["id"], r["name"]) for r in df.collect()} == {(5, "five"), (6, "six")}
