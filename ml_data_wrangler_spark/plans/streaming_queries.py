@@ -146,3 +146,31 @@ def qs04(spark, sf_dir):
     deduped = dedup_events(stream, ["event_id"], watermark="2 hours")
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_to_memory(agg, "qs04_sink", output_mode="complete")
+
+
+@query(
+    "qs05_stream_static_enrichment",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start,
+       c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def qs05(spark, sf_dir):
+    """Stream–static enrichment: the event stream inner-joins a
+    BROADCAST customer dimension (stateless — no state store), then a
+    watermarked tumbling window aggregates per market segment. Checked
+    against the batch join+aggregate SQL — complete mode over a
+    bounded file source reproduces the batch answer exactly."""
+    from ml_data_wrangler_spark.sources.readers import read_table
+    from ml_data_wrangler_spark.streaming.windows import enrich_with_dimension
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer")
+    agg = enrich_with_dimension(
+        stream, dim, stream_key="user_id", dim_key="c_custkey"
+    )
+    return run_to_memory(agg, "qs05_sink", output_mode="complete")

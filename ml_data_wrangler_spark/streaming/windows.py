@@ -100,6 +100,42 @@ def session_counts(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream–static enrichment: join the event stream against a
+    BROADCAST dimension, then window-aggregate by the dimension
+    attribute.
+
+    The stream-static inner join is STATELESS — each micro-batch joins
+    against the (re-broadcast) dimension snapshot, no state store
+    involvement; only the downstream windowed aggregation keeps state,
+    bounded by the watermark. This is the standard enrichment shape at
+    scale: dimension tables (customers, catalogs) broadcast at MBs–GBs
+    while the stream shuffles only for the final aggregation.
+    """
+    joined = events.join(
+        F.broadcast(dim.select(F.col(dim_key), F.col(segment_col))),
+        events[stream_key] == F.col(dim_key),
+        "inner",
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(segment_col).alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "segment", "n_events", "total_value")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion over the available
     input (availableNow trigger) into an in-memory sink; returns the

@@ -25,6 +25,7 @@ def test_contract_consistency():
     assert rows_only == {
         "qd03_minhash_near_dups",
         "qd04_simhash_buckets",
+        "qd08_simhash_pairs",
         "qm03_lda_topics",
         "qm04_lda_coherence_sweep",
         "qm07_cv_coherence_sweep",
