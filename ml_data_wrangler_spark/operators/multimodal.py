@@ -130,3 +130,54 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_ts_ms",
         F.xxhash64(F.col("content"), F.col("frame_ts_ms")).alias("frame_token"),
     )
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Fixed-duration audio chunking: split each audio blob into
+    ``chunk_ms`` windows, mapping time to byte ranges proportionally
+    (uncompressed PCM assumption — the metadata's duration covers the
+    blob uniformly; a codec-aware splitter would drop in behind the
+    same schema).
+
+    Everything is integer arithmetic + one binary ``substring`` per
+    chunk — deterministic, shuffle-free, and the chunk PLAN
+    (start/end bytes) is reproducible by any engine from the metadata
+    alone, so the emitted byte lengths prove the slicing honored the
+    plan. The chunk grid explodes map-side: 1 row → ceil(duration /
+    chunk_ms) rows, the same shape a 100 TB ASR pre-processing pass
+    uses.
+
+    Returns (media_id, chunk_idx, start_ms, end_ms, start_byte,
+    n_chunk_bytes, chunk_bytes).
+    """
+    if chunk_ms < 1:
+        raise ValueError(f"chunk_ms must be >= 1: {chunk_ms}")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    n_bytes = F.length("content").cast("long")
+    n_chunks = F.ceil(dur / F.lit(chunk_ms)).cast("long")
+    rows = (
+        media.where((F.col("kind") == "audio") & (dur > 0))
+        .select("media_id", "content", dur.alias("dur"), n_bytes.alias("nb"),
+                n_chunks.alias("nc"))
+        .select(
+            "media_id", "content", "dur", "nb",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias("i"),
+        )
+    )
+    start_ms = F.col("i") * chunk_ms
+    end_ms = F.least(start_ms + chunk_ms, F.col("dur"))
+    # integer floor division via expr's div (both operands LONG) —
+    # DuckDB's // mirrors it exactly
+    start_byte = F.expr(f"nb * (i * {chunk_ms}) div dur")
+    end_byte = F.expr(f"nb * least(i * {chunk_ms} + {chunk_ms}, dur) div dur")
+    return rows.select(
+        "media_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        start_ms.cast("long").alias("start_ms"),
+        end_ms.cast("long").alias("end_ms"),
+        start_byte.cast("long").alias("start_byte"),
+        (end_byte - start_byte).cast("long").alias("n_chunk_bytes"),
+        F.col("content").substr(
+            (start_byte + 1).cast("int"), (end_byte - start_byte).cast("int")
+        ).alias("chunk_bytes"),
+    )

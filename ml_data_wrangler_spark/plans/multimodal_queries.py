@@ -150,3 +150,43 @@ def qx03(spark, sf_dir):
         F.col("meta.duration_ms").alias("duration_ms"),
         F.col("meta.format").alias("format"),
     )
+
+
+@query(
+    "qx04_audio_chunks",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS nb,
+         CAST(n_chars * 10 AS BIGINT) AS dur
+  FROM documents
+  WHERE doc_id % 3 = 1 AND n_chars > 0
+), grid AS (
+  SELECT media_id, nb, dur,
+         unnest(generate_series(0, CAST(ceil(dur / 1000.0) AS BIGINT) - 1)) AS i
+  FROM m
+)
+SELECT media_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 1000 AS BIGINT) AS start_ms,
+       CAST(least(i * 1000 + 1000, dur) AS BIGINT) AS end_ms,
+       CAST(nb * (i * 1000) // dur AS BIGINT) AS start_byte,
+       CAST(nb * least(i * 1000 + 1000, dur) // dur
+            - nb * (i * 1000) // dur AS BIGINT) AS n_chunk_bytes
+FROM grid
+""",
+)
+def qx04(spark, sf_dir):
+    """Audio chunking plan + execution: fixed 1-second windows mapped
+    proportionally onto each blob's bytes (PCM assumption). The oracle
+    re-derives every byte range from the metadata ALONE — a hash match
+    proves the engine's binary substring slicing honored the plan
+    (n_chunk_bytes comes from the ACTUAL sliced blob on the Spark
+    side)."""
+    from ml_data_wrangler_spark.operators.multimodal import chunk_audio
+
+    chunks = chunk_audio(synth_media(spark, sf_dir), chunk_ms=1000)
+    return chunks.select(
+        "media_id", "chunk_idx", "start_ms", "end_ms", "start_byte",
+        F.length("chunk_bytes").cast("long").alias("n_chunk_bytes"),
+    )

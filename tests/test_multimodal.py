@@ -77,3 +77,42 @@ def test_frame_sampling_grid(media):
         3000,
     ]
     assert len({r["frame_token"] for r in frames}) == 4
+
+
+def test_chunk_audio_tiles_blob_exactly(spark):
+    """Chunks must TILE each blob: concatenating chunk_bytes in index
+    order reproduces the original content byte-for-byte (no gaps, no
+    overlaps, no truncation), and every chunk's length matches its
+    plan."""
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.operators.multimodal import chunk_audio
+
+    rows = [
+        Row(
+            media_id=i,
+            kind="audio",
+            content=("x" * n).encode(),
+            meta=Row(width=0, height=0, sample_rate=16000,
+                     duration_ms=d, format="synthetic"),
+        )
+        for i, (n, d) in enumerate([(10, 3500), (7, 1000), (1, 999), (5, 1)])
+    ]
+    media = spark.createDataFrame(rows)
+    out = chunk_audio(media, chunk_ms=1000).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1, 2, 3}
+    for i, (n, d) in enumerate([(10, 3500), (7, 1000), (1, 999), (5, 1)]):
+        chunks = sorted(by_media[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == -(-d // 1000)
+        glued = b"".join(bytes(c["chunk_bytes"]) for c in chunks)
+        assert glued == b"x" * n, (i, glued)
+        for c in chunks:
+            assert len(bytes(c["chunk_bytes"])) == c["n_chunk_bytes"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_audio(media, chunk_ms=0)
