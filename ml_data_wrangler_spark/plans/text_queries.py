@@ -257,3 +257,93 @@ def qt08(spark, sf_dir):
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "qt09_bigram_pmi",
+    oracle=f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM (SELECT unnest(l) AS tok FROM toks)
+  GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_tokens FROM uni),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
+    WHERE len(l) >= 2
+  )
+  GROUP BY w1, w2
+),
+btot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n_bigrams FROM bg)
+SELECT w1, w2, nb,
+       ROUND(ln(CAST(nb AS DOUBLE) * n_tokens * n_tokens
+                / (CAST(n_bigrams AS DOUBLE) * a.n1 * b.n1)), 6) AS pmi
+FROM bg, tot, btot
+JOIN uni a ON w1 = a.tok
+JOIN uni b ON w2 = b.tok
+WHERE nb >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+""",
+)
+def qt09(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information —
+    the phrase-mining primitive (PMI(a,b) = ln P(ab)/(P(a)P(b)) with
+    a min-count floor against noise).
+
+    Shape at scale: two narrow aggregations (unigram + bigram counts),
+    two scalar totals, then a BROADCAST join of the (tiny, post-floor)
+    bigram table against unigram counts — no shuffle touches the raw
+    token stream twice. Float discipline: the PMI ratio is assembled
+    in ONE double expression with identical association order in both
+    engines, then rounded to 6 decimals to absorb the last ulp."""
+    # no cache: unigram and bigram passes each re-scan ONE pruned
+    # column — at 100 TB two columnar scans beat materializing the
+    # tokenized corpus
+    toks = t(spark, sf_dir, "documents").select(tokenize(F.col("text")).alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    bg = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("w1"),
+                        F.element_at("l", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("nb"))
+    )
+    tot = uni.agg(F.sum("n1").alias("n_tokens"))
+    btot = bg.agg(F.sum("nb").alias("n_bigrams"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("n1").alias("na"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("n1").alias("nb1"))
+    pmi = F.round(
+        F.log(
+            F.col("nb").cast("double") * F.col("n_tokens") * F.col("n_tokens")
+            / (F.col("n_bigrams").cast("double") * F.col("na") * F.col("nb1"))
+        ),
+        6,
+    )
+    return (
+        bg.where(F.col("nb") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .select("w1", "w2", "nb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
