@@ -190,3 +190,13 @@ def test_connected_components_round_is_shuffle_bounded(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pmi_plan_broadcasts_small_tables(spark, sf_dir, q):
+    """qt09's claims: the post-floor bigram table joins unigram counts
+    and scalar totals via BROADCAST (no shuffle re-touches the token
+    stream beyond the two count aggregations), no Python evals."""
+    plan = _plan(q["qt09_bigram_pmi"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
+    assert "EvalPython" not in plan
