@@ -307,3 +307,58 @@ def qe08(spark, sf_dir):
         F.round(F.col("ex")[2], 4).alias("p99"),
         (F.col("ok0") & F.col("ok1") & F.col("ok2")).alias("approx_ok"),
     )
+
+
+@query(
+    "qe09_sketch_merge_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, user_id FROM events
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       TRUE AS approx_ok
+FROM daily
+GROUP BY event_type
+""",
+)
+def qe09(spark, sf_dir):
+    """Mergeable-sketch rollup — the INCREMENTAL pattern at 100 TB:
+    build one Datasketches HLL sketch per (day, event_type) partition
+    (the shape a daily ingest job persists), then MERGE the daily
+    sketches per event_type and estimate. Nothing ever re-reads the
+    raw ids: a new day folds in by unioning one more sketch, which is
+    how distinct-user rollups stay O(sketch) instead of O(history) as
+    history grows.
+
+    Oracle pattern per qe07: the exact distinct + a bounded-error
+    boolean the oracle pins TRUE (HLL lgK=14 ⇒ rsd ≈ 0.8%; gate at
+    3σ). The two-level sketch path itself is the serving artifact."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"),
+                 "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), F.lit(3 * 0.008) * F.col("exact_users"))
+            ).alias("approx_ok"),
+        )
+    )
