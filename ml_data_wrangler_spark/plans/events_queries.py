@@ -362,3 +362,43 @@ def qe09(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@query(
+    "qe10_latest_state_per_user",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(ts AS TIMESTAMP) AS last_ts,
+       event_type AS last_event_type,
+       ROUND(value, 4) AS last_value
+FROM ranked WHERE rk = 1
+""",
+)
+def qe10(spark, sf_dir):
+    """Latest-state-per-key compaction (the SCD-1 / CDC snapshot
+    pattern): collapse each user's event history to the most recent
+    row, deterministic under the (ts, event_id) total order.
+
+    Physical shape: ONE shuffle on the key with map-side partial
+    max_by — no window sort, no secondary shuffle, no row_number over
+    full partitions. At 100 TB this is how a changelog compacts into a
+    current-state table; the max_by struct comparator keeps the whole
+    reduction inside whole-stage codegen."""
+    e = t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    latest = e.groupBy("user_id").agg(
+        F.max_by("event_id", ord_key).alias("last_event_id"),
+        F.max_by("ts", ord_key).alias("last_ts"),
+        F.max_by("event_type", ord_key).alias("last_event_type"),
+        F.round(F.max_by("value", ord_key), 4).alias("last_value"),
+    )
+    return latest.select(
+        "user_id", "last_event_id", "last_ts", "last_event_type", "last_value"
+    )

@@ -200,3 +200,12 @@ def test_pmi_plan_broadcasts_small_tables(spark, sf_dir, q):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
     assert "EvalPython" not in plan
+
+
+def test_latest_state_single_shuffle_no_window(spark, sf_dir, q):
+    """qe10's claim: compaction is ONE hash shuffle with map-side
+    partial max_by — no window sort machinery in the plan."""
+    plan = _plan(q["qe10_latest_state_per_user"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
