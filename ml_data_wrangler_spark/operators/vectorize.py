@@ -78,3 +78,57 @@ def vocabulary_df(documents: DataFrame, min_df: int = 5, max_df: float = 0.5,
         .orderBy(F.desc("df"), "token")
         .limit(vocab_size)
     )
+
+
+def tfidf(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int | None = None,
+) -> DataFrame:
+    """TF-IDF weights as plain relational operations (no MLlib model):
+    tf(t,d) = term count in d; idf(t) = ln(N / df(t)); weight rounded
+    to 6 decimals.
+
+    Relational on purpose — the weights stay a (doc_id, token, weight)
+    TABLE that joins, filters, and aggregates like anything else (and
+    is exactly reproducible by any SQL engine), instead of an opaque
+    vector column. Physical shape: one explode → per-doc term counts
+    (one shuffle), document frequencies from a second aggregation of
+    the SAME counts (no re-tokenization), a scalar N, and a BROADCAST
+    join of the (vocabulary-sized) df table back onto term counts.
+
+    ``top_n`` keeps each document's top-n weighted terms (rank on the
+    ROUNDED weight, token tiebreak — deterministic across engines).
+
+    Returns (doc_id, token, tf, weight[, rank]).
+    """
+    from pyspark.sql import Window as W
+
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = documents.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    weighted = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(df_counts), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("weight"),
+        )
+    )
+    if top_n is None:
+        return weighted
+    w = W.partitionBy("doc_id").orderBy(F.desc("weight"), "token")
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )

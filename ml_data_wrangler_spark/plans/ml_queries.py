@@ -193,3 +193,39 @@ def qm06(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+@query(
+    "qm08_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), dfc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), weighted AS (
+  SELECT doc_id, tf.token, tf,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS weight
+  FROM tf, n JOIN dfc ON tf.token = dfc.token
+), ranked AS (
+  SELECT doc_id, token, tf, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, token) AS rank
+  FROM weighted
+)
+SELECT doc_id, token, tf, weight, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def qm08(spark, sf_dir):
+    """TF-IDF as a relational table: per-doc term counts, document
+    frequencies from the same counts, ln(N/df) weighting, top-3 terms
+    per doc under a (rounded weight, token) total order. The
+    vocabulary-sized df table broadcasts; nothing re-tokenizes."""
+    from ml_data_wrangler_spark.operators.vectorize import tfidf
+
+    return tfidf(t(spark, sf_dir, "documents"), top_n=3)
