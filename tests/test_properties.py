@@ -293,3 +293,44 @@ def test_simhash_pairs_lossless_vs_bruteforce(spark, sigs):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=64),   # blob bytes
+            st.integers(min_value=1, max_value=5000), # duration ms
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_chunk_audio_tiling_property(spark, specs):
+    """For ANY (blob size, duration): chunks tile the blob exactly —
+    concatenation reproduces the bytes, lengths match the plan, chunk
+    count is ceil(duration / chunk_ms)."""
+    from ml_data_wrangler_spark.operators.multimodal import chunk_audio
+
+    rows = [
+        Row(
+            media_id=i,
+            kind="audio",
+            content=bytes(range(256))[:n] if n <= 256 else b"x" * n,
+            meta=Row(width=0, height=0, sample_rate=16000,
+                     duration_ms=d, format="synthetic"),
+        )
+        for i, (n, d) in enumerate(specs)
+    ]
+    out = chunk_audio(spark.createDataFrame(rows), chunk_ms=1000).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i, (n, d) in enumerate(specs):
+        chunks = sorted(by_media.get(i, []), key=lambda r: r["chunk_idx"])
+        assert len(chunks) == -(-d // 1000)
+        glued = b"".join(bytes(c["chunk_bytes"]) for c in chunks)
+        assert glued == rows[i].content
+        assert all(
+            len(bytes(c["chunk_bytes"])) == c["n_chunk_bytes"] for c in chunks
+        )
