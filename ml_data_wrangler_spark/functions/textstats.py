@@ -114,3 +114,28 @@ def rolling_hash_shingles(text: Column, k: int = 5) -> Column:
     return F.when(n >= k, F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
     )).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest number of times any single element repeats in ``arr``
+    (the mode's count) as a PURE MAP-SIDE expression: sort the array,
+    then fold it counting the longest run. Zero shuffle, O(n log n)
+    per row — the per-document repetition statistic Gopher-style
+    quality filters need (Rae et al. 2021, arXiv:2112.11446, §A1.1),
+    computed without exploding the corpus into a (doc, gram) table.
+    Empty arrays fold to 0."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.sort_array(arr), acc0, step)["best"]

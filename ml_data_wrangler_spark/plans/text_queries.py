@@ -26,6 +26,7 @@ from ml_data_wrangler_spark.functions.textstats import (
     SUBWORD_PATTERN,
     detect_language,
     doc_fingerprint,
+    max_multiplicity,
     quality_score,
     subword_count,
     token_count,
@@ -346,4 +347,66 @@ def qt09(spark, sf_dir):
         .select("w1", "w2", "nb", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
+    )
+
+
+@query(
+    "qt10_repetition_scores",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+base AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+uni AS (
+  SELECT doc_id, MAX(c) AS top_uni, CAST(SUM(c) AS BIGINT) AS n_toks
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS tok FROM base)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+  FROM (SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l) - 1),
+                                           i -> l[i] || ' ' || l[i + 1])) AS bg
+              FROM base)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_toks,
+       ROUND(CAST(u.top_uni AS DOUBLE) / u.n_toks, 6) AS top_unigram_frac,
+       ROUND(CAST(b.top_bi AS DOUBLE) / b.n_bi, 6) AS top_bigram_frac,
+       (CAST(u.top_uni AS DOUBLE) / u.n_toks > 0.30
+        OR CAST(b.top_bi AS DOUBLE) / b.n_bi > 0.18) AS flagged
+FROM uni u JOIN big b USING (doc_id)
+""",
+)
+def qt10(spark, sf_dir):
+    """Gopher-style repetition quality scores (top-unigram and
+    top-bigram fraction per document, Rae et al. 2021 §A1.1 adapted to
+    token counts) — computed ENTIRELY map-side: the mode's count comes
+    from a sort-the-array + longest-run fold per row
+    (functions.textstats.max_multiplicity), so the corpus is never
+    exploded into a (doc, gram) table and the query plan has ZERO
+    exchanges. The oracle recomputes the same statistic the relational
+    way (unnest → two GROUP BYs), proving the fold is exact. At 100 TB
+    this is the difference between a free scan-time filter and a
+    corpus-sized shuffle."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("l"))
+        .where(F.size("l") >= 2)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("l", i), F.element_at("l", i + 1)),
+    )
+    n = F.size("l").cast("bigint")
+    uni_frac = max_multiplicity(F.col("l")).cast("double") / n
+    bi_frac = max_multiplicity(bigrams).cast("double") / (n - F.lit(1))
+    return docs.select(
+        "doc_id",
+        n.alias("n_toks"),
+        F.round(uni_frac, 6).alias("top_unigram_frac"),
+        F.round(bi_frac, 6).alias("top_bigram_frac"),
+        ((uni_frac > 0.30) | (bi_frac > 0.18)).alias("flagged"),
     )

@@ -209,3 +209,13 @@ def test_latest_state_single_shuffle_no_window(spark, sf_dir, q):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_repetition_scores_plan_exchange_free(spark, sf_dir, q):
+    """qt10's whole point is computing per-doc repetition stats without
+    exploding the corpus: the plan must contain NO exchange and no
+    Python evaluation — a pure scan→project pipeline."""
+    plan = _plan(q["qt10_repetition_scores"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

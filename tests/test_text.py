@@ -76,3 +76,21 @@ def test_tokenize(spark):
     df = spark.createDataFrame([Row(text="The quick-brown FOX, jumps 42 times!")])
     toks = df.select(tokenize(F.col("text")).alias("t")).collect()[0]["t"]
     assert toks == ["the", "quick", "brown", "fox", "jumps", "times"]
+
+
+def test_max_multiplicity_fold(spark):
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.functions.textstats import max_multiplicity
+
+    rows = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "c", "a"]),
+            (2, ["x"]),
+            (3, []),
+            (4, ["t", "t", "s", "s", "s", "t"]),
+        ],
+        "id int, l array<string>",
+    ).select("id", max_multiplicity(F.col("l")).alias("m"))
+    got = {r["id"]: r["m"] for r in rows.collect()}
+    assert got == {1: 3, 2: 1, 3: 0, 4: 3}
