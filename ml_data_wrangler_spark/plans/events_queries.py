@@ -402,3 +402,94 @@ def qe10(spark, sf_dir):
     return latest.select(
         "user_id", "last_event_id", "last_ts", "last_event_type", "last_value"
     )
+
+
+@query(
+    "qe11_funnel_conversion",
+    oracle="""
+WITH e AS (
+  -- µs TIMESTAMP, matching the Spark side's ns→µs read conversion
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM e
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+         MAX(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+       CAST(COUNT(t_click) AS BIGINT) AS n_clicked,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased,
+       CAST(COALESCE(SUM(CASE WHEN t_purchase IS NOT NULL
+                 THEN date_diff('microsecond', t_view, t_purchase) END), 0)
+            AS BIGINT) AS sum_view_to_purchase_us
+FROM per_user
+""",
+)
+def qe11(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase per user): the
+    product-analytics sequence-match operator. Each stage's timestamp
+    is the earliest event of that type AT OR AFTER the previous
+    stage's timestamp — a chain of conditional-min windows over ONE
+    hash partitioning on user_id (the three Window operators share the
+    partition key, so Catalyst plans a single exchange, no joins, no
+    self-join blowup). The per-user funnel collapses to one row, then
+    a scalar summary.
+
+    At 100 TB: funnel state per user is three timestamps — this is the
+    shape you'd feed applyInPandasWithState for the streaming variant
+    (qs02); the batch plan here shuffles the events table exactly
+    once."""
+    w = W.partitionBy("user_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    gap = F.when(
+        F.col("t_purchase").isNotNull(),
+        F.unix_micros("t_purchase") - F.unix_micros("t_view"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias("sum_view_to_purchase_us"),
+    )

@@ -219,3 +219,12 @@ def test_repetition_scores_plan_exchange_free(spark, sf_dir, q):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_hash_shuffle(spark, sf_dir, q):
+    """qe11's three conditional-min windows + per-user collapse all
+    share the user_id partitioning: exactly one hash exchange (the
+    final scalar summary is a SinglePartition exchange, not a hash
+    one)."""
+    plan = _plan(q["qe11_funnel_conversion"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
