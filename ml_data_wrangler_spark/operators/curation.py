@@ -147,3 +147,62 @@ def top_quality_per_group(
         .where(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def benchmark_ngram_filter(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_benchmark: bool = False,
+) -> DataFrame:
+    """Test-set decontamination: flag every training document that
+    shares at least one token ``n``-gram with the benchmark corpus —
+    the standard eval-leakage guard a pretraining pipeline runs before
+    tokenization (13-gram overlap in GPT-3's appendix; n is a knob).
+
+    Shape: both sides explode to DISTINCT per-doc n-grams (map-side
+    array expressions, no UDF), then a LEFT SEMI join on the gram
+    string finds contaminated ids, and a left join attaches the
+    boolean. The gram join is the only real shuffle; the semi join
+    never materializes pairs, so a gram shared by many train docs and
+    many benchmark docs stays linear, not quadratic.
+
+    At 100 TB: a real benchmark suite is a few million grams — pass
+    ``broadcast_benchmark=True`` and the contamination check becomes a
+    map-side broadcast semi join with ZERO shuffle on the corpus. The
+    default keeps the shuffled plan, correct for arbitrarily large
+    "benchmark" sides (e.g. cross-partition decontamination).
+
+    Returns ``train`` plus a non-null boolean ``contaminated`` column.
+    Documents shorter than ``n`` tokens produce no grams and are never
+    flagged.
+    """
+    from ml_data_wrangler_spark.functions.text import tokenize
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col(text_col))
+        k = F.size(toks) - (n - 1)
+        g = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(F.array_distinct(g)).alias("g"))
+
+    bench_g = grams(benchmark).select("g").distinct()
+    if broadcast_benchmark:
+        bench_g = F.broadcast(bench_g)
+    cont = (
+        grams(train)
+        .join(bench_g, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(cont, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

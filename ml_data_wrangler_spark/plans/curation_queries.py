@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.textstats import quality_score
-from ml_data_wrangler_spark.operators.curation import hash_split, top_quality_per_group
+from ml_data_wrangler_spark.operators.curation import (
+    benchmark_ngram_filter,
+    hash_bucket,
+    hash_split,
+    top_quality_per_group,
+)
 from ml_data_wrangler_spark.plans._util import t
 from ml_data_wrangler_spark.plans.registry import query
 from ml_data_wrangler_spark.plans.text_queries import _SQL_EN_SET, SQL_TOKS
@@ -184,3 +189,53 @@ def qc04(spark, sf_dir):
         },
         stratum_col="lang",
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "qc05_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKS} AS l, {_SQL_BUCKET} AS b
+  FROM documents
+), train_g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 4),
+                               i -> array_to_string(l[i:i+4], ' '))) AS g
+  FROM toks WHERE b < 250 AND len(l) >= 5
+), eval_g AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(l) - 4),
+                                        i -> array_to_string(l[i:i+4], ' '))) AS g
+  FROM toks WHERE b >= 250 AND len(l) >= 5
+), cont AS (
+  SELECT DISTINCT doc_id FROM train_g WHERE g IN (SELECT g FROM eval_g)
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) - COUNT(c.doc_id) AS BIGINT) AS n_kept
+FROM toks t LEFT JOIN cont c ON t.doc_id = c.doc_id
+WHERE t.b < 250
+GROUP BY t.source
+""",
+)
+def qc05(spark, sf_dir):
+    """Benchmark decontamination report: the corpus is split into a
+    held-out "benchmark" slice (hash bucket ≥ 250/256, standing in for
+    an external eval suite) and a training slice; any training doc
+    sharing a token 5-gram with the benchmark is flagged. Counts per
+    source prove the leakage guard. The oracle recomputes the whole
+    flow relationally (same md5 bucket, same grams, IN-subquery semi
+    join). The Spark plan's only corpus shuffle is the gram semi join;
+    with a real (small) benchmark suite the operator broadcasts it and
+    the check is shuffle-free — see
+    operators.curation.benchmark_ngram_filter."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    train = docs.where(bucket < 250)
+    bench = docs.where(bucket >= 250)
+    flagged = benchmark_ngram_filter(train, bench, n=5)
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+        F.sum((~F.col("contaminated")).cast("bigint")).alias("n_kept"),
+    )

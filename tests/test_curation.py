@@ -142,3 +142,30 @@ def test_stratified_hash_sample_validates(spark):
         stratified_hash_sample(df, "doc_id", {"x": 1.5}, stratum_col="s")
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "doc_id", {}, stratum_col="s")
+
+
+def test_decontamination_broadcast_path_matches_shuffled(spark):
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.operators.curation import benchmark_ngram_filter
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares a 5-gram
+            (2, "one two three four five six seven"),      # clean
+            (3, "too short"),                              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "XX alpha beta gamma delta epsilon YY")],
+        "doc_id long, text string",
+    )
+    shuffled = benchmark_ngram_filter(train, bench)
+    broadcasted = benchmark_ngram_filter(train, bench, broadcast_benchmark=True)
+    a = {(r["doc_id"], r["contaminated"]) for r in shuffled.collect()}
+    b = {(r["doc_id"], r["contaminated"]) for r in broadcasted.collect()}
+    assert a == b == {(1, True), (2, False), (3, False)}
+    # the broadcast path must plan the semi join as a broadcast join
+    plan = broadcasted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
