@@ -206,3 +206,46 @@ def benchmark_ngram_filter(
     return train.join(cont, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: conceptually concatenate each
+    group's documents in ``id_col`` order and cut the stream every
+    ``seq_len`` tokens — the packing rule pretraining loaders use to
+    turn variable-length documents into fixed-length training
+    sequences without padding waste. Each document is assigned the
+    sequence its FIRST token lands in (``seq_idx``) plus its offset
+    within that sequence; a document may straddle the cut, which is
+    exactly how packed pretraining batches behave (attention masks
+    handle the boundary, not the packer).
+
+    Determinism: the assignment depends only on (group, id order,
+    token counts) — stable under any partitioning or cluster layout,
+    so re-runs produce byte-identical packing (resumable corpus
+    builds).
+
+    Physical shape: one shuffle on the group key, then a running-sum
+    window within the group. If a single group outgrows one partition
+    at 100 TB, pre-shard it with a content-addressed sub-key (e.g.
+    ``hash_bucket(id) % k`` appended to the group) — packing is
+    per-shard in production loaders anyway.
+
+    Emits the input columns plus ``seq_idx`` and ``seq_offset``.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("seq_idx", F.floor(cum_before / seq_len)).withColumn(
+        "seq_offset", cum_before % seq_len
+    )

@@ -8,11 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ml_data_wrangler_spark.functions.textstats import quality_score
+from ml_data_wrangler_spark.functions.textstats import quality_score, token_count
 from ml_data_wrangler_spark.operators.curation import (
     benchmark_ngram_filter,
     hash_bucket,
     hash_split,
+    pack_sequences,
     top_quality_per_group,
 )
 from ml_data_wrangler_spark.plans._util import t
@@ -238,4 +239,43 @@ def qc05(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
         F.sum((~F.col("contaminated")).cast("bigint")).alias("n_kept"),
+    )
+
+
+@query(
+    "qc06_sequence_packing",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS nt
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM tk
+)
+SELECT source, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM c
+GROUP BY source, seq_idx
+""",
+)
+def qc06(spark, sf_dir):
+    """Sequence-packing manifest: pack each source's documents into
+    contiguous 512-token training sequences (operators.curation.
+    pack_sequences) and report docs/tokens per sequence. The window
+    and the final aggregation share the source partitioning — one
+    corpus shuffle total. The oracle rebuilds the packing from the
+    same running sum, proving the assignment is engine-portable (a
+    resumable corpus build can mix engines and get identical
+    sequences)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("nt")
+    )
+    packed = pack_sequences(
+        docs, F.col("nt"), group_col="source", id_col="doc_id", seq_len=512
+    )
+    return packed.groupBy("source", "seq_idx").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
     )

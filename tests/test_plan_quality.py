@@ -228,3 +228,11 @@ def test_funnel_single_hash_shuffle(spark, sf_dir, q):
     one)."""
     plan = _plan(q["qe11_funnel_conversion"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir, q):
+    """qc06: the packing window (partitionBy source) and the
+    per-sequence rollup (groupBy source, seq_idx) must share one hash
+    exchange — source-partitioning already clusters the rollup keys."""
+    plan = _plan(q["qc06_sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
