@@ -225,3 +225,70 @@ def qv07(spark, sf_dir):
     return brute_force_topk_vectorized(emb, queries_df, k=5).select(
         "query_id", "neighbor_id", "sim", "rank"
     )
+
+
+@query(
+    "qd09_embedding_neardup_verdicts",
+    oracle=f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+), edges AS (
+  SELECT u, w FROM pairs UNION SELECT w, u FROM pairs
+), reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+), comp AS (
+  SELECT u AS vec_id, LEAST(u, MIN(w)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT e.vec_id,
+       CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+       (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+""",
+)
+def qd09(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: same-label exact cosine pairs
+    (the deterministic blocking that keeps this oracle-checkable) →
+    connected components (alternating large/small-star, shared with
+    qd07) → one keeper per cluster (min vec_id), every vector labeled
+    keep/drop. This is semantic dedup — the tier that catches
+    paraphrased duplicates n-gram Jaccard can't see.
+
+    At 100 TB the blocking key swaps from `label` to an IVF cluster or
+    LSH bucket id (qv05/qv06 — qv08 shows the composed tier); the
+    component/keeper machinery downstream is identical. The CC
+    formulation never materializes per-node adjacency arrays, so a
+    boilerplate family with millions of members stays a bounded
+    aggregation, not a driver-side blowup."""
+    from ml_data_wrangler_spark.operators.dedup import connected_components
+
+    c = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(sim >= 0.35)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("w"))
+    )
+    cc = connected_components(pairs, src="u", dst="w")
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(cc.select(F.col("node").alias("vec_id"), "component"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+    )
