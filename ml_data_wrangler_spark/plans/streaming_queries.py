@@ -174,3 +174,30 @@ def qs05(spark, sf_dir):
         stream, dim, stream_key="user_id", dim_key="c_custkey"
     )
     return run_to_memory(agg, "qs05_sink", output_mode="complete")
+
+
+@query(
+    "qs06_stream_stream_join",
+    oracle="""
+WITH e AS (
+  -- µs TIMESTAMP, matching the engine's ns→µs read conversion
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+)
+SELECT c.event_id AS left_id, p.event_id AS right_id, p.user_id
+FROM e p JOIN e c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+""",
+)
+def qs06(spark, sf_dir):
+    """Stream–stream interval join (click→purchase attribution pairs
+    within 1 hour, per user), run as a REAL Structured Streaming job
+    with watermarks on both sides and hash-checked against the batch
+    θ-join SQL. The two-sided event-time bound is what keeps join
+    state finite — see streaming.windows.stream_stream_interval_join."""
+    from ml_data_wrangler_spark.streaming.windows import stream_stream_interval_join
+
+    stream = read_events_stream(spark, sf_dir)
+    pairs = stream_stream_interval_join(stream)
+    return run_to_memory(pairs, "qs06_sink", output_mode="append")

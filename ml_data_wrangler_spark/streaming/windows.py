@@ -174,3 +174,52 @@ def dedup_events(
     claim on an unbounded stream."""
     wm = events.withWatermark("ts", watermark)
     return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream INNER interval join: match every ``left_type``
+    event to the ``right_type`` events of the same user that follow it
+    within ``horizon`` (click → purchase attribution, the canonical
+    stream-stream shape).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH columns, so Spark derives a state-eviction horizon:
+    a click older than (watermark + horizon) can never match a future
+    purchase and its state is dropped. Without the time-range
+    condition the state store would grow with the full stream — the
+    difference between bounded state and an OOM at 100 TB/day.
+
+    Self-joining one source stream is fine: each side filters its own
+    event type, and the join shuffles both on user_id.
+    """
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("left_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("right_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("l_ts") < F.col("r_ts")),
+        "inner",
+    ).select("left_id", "right_id", "user_id")
