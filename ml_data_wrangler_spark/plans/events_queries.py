@@ -493,3 +493,45 @@ def qe11(spark, sf_dir):
         F.count("t_purchase").alias("n_purchased"),
         F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias("sum_view_to_purchase_us"),
     )
+
+
+@query(
+    "qe12_cumulative_new_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+""",
+)
+def qe12(spark, sf_dir):
+    """User-growth curve: each user's first-seen day → new users per
+    day → running cumulative total. The cumulative-distinct-count
+    problem done right: COUNT(DISTINCT) OVER a growing frame would
+    rescan every prefix; reducing each user to ONE first-seen row
+    first makes the running total a prefix sum over ~days rows.
+
+    Physical shape: one shuffle on user_id (min-ts reduce), one on day
+    (tiny), then a window over the per-day rows — the global orderBy
+    window touches only |days| rows, so the single-partition sort the
+    plan audit bans elsewhere is bounded and harmless here."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
