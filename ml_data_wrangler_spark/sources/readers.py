@@ -158,3 +158,22 @@ def read_csv(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+def read_text_lines(spark: SparkSession, path: str, line_sep: str | None = None) -> DataFrame:
+    """Raw text corpus scan: one row per line (``value`` string) plus
+    the originating file path — the entry format for web-crawl /
+    log-file corpora before any parsing. Splittable for uncompressed
+    files; a custom ``line_sep`` handles record-separated dumps
+    (e.g. ``\\x1e``-delimited WARC-ish extracts)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path).withColumn("file", F.input_file_name())
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized-read + pushdown discipline as
+    parquet (ORC is the other columnar at-rest format Spark reads
+    natively; some lakehouses standardize on it)."""
+    return spark.read.orc(path)

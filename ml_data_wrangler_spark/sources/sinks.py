@@ -104,3 +104,19 @@ def write_partitioned_parquet(
         )
     routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def write_orc(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """ORC sink with optional hive-style partitioning — the columnar
+    alternative when the downstream stack (Hive/Trino/Presto) prefers
+    ORC over parquet. Same pushdown/pruning behavior on re-read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(out_dir)
+    return out_dir

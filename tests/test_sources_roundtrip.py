@@ -82,3 +82,33 @@ def test_read_csv_delimiter_and_headerless(spark, tmp_path):
     p.write_text("5\tfive\n6\tsix\n")
     df = read_csv(spark, str(p), SCHEMA, header=False, delimiter="\t")
     assert {(r["id"], r["name"]) for r in df.collect()} == {(5, "five"), (6, "six")}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from ml_data_wrangler_spark.sources.readers import read_orc
+    from ml_data_wrangler_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [Row(k="a" if i % 2 == 0 else "b", v=i, s=f"x{i}") for i in range(100)]
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["k"])
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    got = back.where((F.col("k") == "a") & (F.col("v") < 10)).select("v")
+    assert sorted(r["v"] for r in got.collect()) == [0, 2, 4, 6, 8]
+    # partition pruning: only the k=a directory is scanned
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan, plan
+
+
+def test_text_lines_reader(spark, tmp_path):
+    from ml_data_wrangler_spark.sources.readers import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = read_text_lines(spark, str(p))
+    assert [r["value"] for r in df.orderBy("value").collect()] == [
+        "alpha", "beta", "gamma",
+    ]
+    assert all(r["file"].endswith("corpus.txt") for r in df.collect())
