@@ -535,3 +535,40 @@ def qe12(spark, sf_dir):
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+@query(
+    "qe13_retention_cohorts",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+), first_seen AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(floor(date_diff('day', f.cohort_day, e.d) / 7.0) AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY f.cohort_day, week_offset
+""",
+)
+def qe13(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, the
+    count still active N weeks later — the product-analytics retention
+    triangle. Two aggregations and a join, ALL keyed on user_id until
+    the final rollup: the first-seen reduce, the events join, and the
+    distinct-user dedup share one hash partitioning, so the events
+    table shuffles once; only the (cohort, offset) rollup — cardinality
+    |days|×|weeks| — reshuffles, and it's tiny."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    joined = ev.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_day", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
