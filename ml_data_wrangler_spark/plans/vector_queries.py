@@ -292,3 +292,74 @@ def qd09(spark, sf_dir):
             (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+@query(
+    "qv09_scalar_quantization",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dimstats AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM c, unnest(generate_series(1, 64)) t(i)
+  GROUP BY i
+), ranges AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dimstats
+)
+SELECT vec_id, label,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+         CASE WHEN mxs[i] = mns[i] THEN 0.0
+              ELSE pow(v[i] - (mns[i] + round((v[i] - mns[i]) * 255 / (mxs[i] - mns[i]))
+                               * (mxs[i] - mns[i]) / 255), 2)
+         END))), 6) AS l2_err
+FROM c, ranges
+""",
+)
+def qv09(spark, sf_dir):
+    """SQ8 scalar quantization (FAISS-style): train per-DIMENSION
+    [min, max] ranges over the corpus, quantize every coordinate to
+    8 bits, and report each vector's L2 reconstruction error — the
+    4× storage compression step an embedding store applies before
+    ANN serving.
+
+    Train/apply as Spark stages: the range "model" is a posexplode →
+    per-dimension min/max aggregate (64 rows), collected into two
+    arrays and CROSS-JOIN BROADCAST back onto the corpus — the
+    standard fit-then-map shape where the model is O(dims), so apply
+    is map-side and the corpus never shuffles. The oracle reproduces
+    the exact quantize→reconstruct arithmetic (same expression
+    structure, so the doubles are bit-identical)."""
+    c = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = c.select(F.posexplode("v").alias("i", "x"))
+    ranges = (
+        dims.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("s_mn"),
+            F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("s_mx"),
+        )
+        .select(
+            F.transform("s_mn", lambda s: s["mn"]).alias("mns"),
+            F.transform("s_mx", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+    joined = c.crossJoin(F.broadcast(ranges))
+
+    def dim_err(i):
+        x = F.element_at("v", i)
+        mn = F.element_at("mns", i)
+        mx = F.element_at("mxs", i)
+        q = F.round((x - mn) * 255 / (mx - mn))
+        recon = mn + q * (mx - mn) / 255
+        return F.when(mx == mn, F.lit(0.0)).otherwise(F.pow(x - recon, F.lit(2)))
+
+    err = F.sqrt(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(64)), dim_err),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    return joined.select("vec_id", "label", F.round(err, 6).alias("l2_err"))
