@@ -279,3 +279,72 @@ def qc06(spark, sf_dir):
     return packed.groupBy("source", "seq_idx").agg(
         F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
     )
+
+
+@query(
+    "qc07_mixture_rates",
+    oracle=f"""
+WITH tk AS (
+  SELECT source, CAST(len({SQL_TOKS}) AS BIGINT) AS nt FROM documents
+), src AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE))) AS BIGINT) AS w
+  FROM tk GROUP BY source
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS wsum FROM src
+), caps AS (
+  SELECT MIN(n * wsum // w) AS t FROM src, g
+)
+SELECT source, n AS n_tokens,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS natural_frac,
+       w AS weight,
+       ROUND(CAST(w * t AS DOUBLE) / (wsum * n), 6) AS sample_rate,
+       CAST(w * t // wsum AS BIGINT) AS expected_tokens
+FROM src, g, caps
+""",
+)
+def qc07(spark, sf_dir):
+    """Mixture-weight solver with temperature sampling (τ=2): target
+    proportions ∝ √(source tokens) — the standard multilingual /
+    multi-source rebalancing rule that upweights small sources without
+    flattening the mixture — then the largest total budget T for which
+    every per-source sampling rate stays ≤ 1 (T = minₛ nₛ·Σw/wₛ), and
+    each source's rate and expected token yield. Downstream,
+    ``stratified_hash_sample`` applies these rates content-addressed
+    (qc04).
+
+    Exactness discipline: weights are floor(√n) INTEGERS, every ratio
+    is a single division of exact BIGINT products (integer `div` for
+    token counts), so both engines compute bit-identical results —
+    no double-summation order anywhere. Physical shape: one shuffle
+    to per-source totals (20 rows), then two scalar aggregates
+    broadcast back — the corpus itself is touched once."""
+    tk = t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("nt")
+    )
+    src = tk.groupBy("source").agg(
+        F.sum("nt").cast("bigint").alias("n"),
+        F.floor(F.sqrt(F.sum("nt").cast("double"))).cast("bigint").alias("w"),
+    )
+    g = src.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum("w").cast("bigint").alias("wsum"),
+    )
+    caps = src.crossJoin(F.broadcast(g)).agg(
+        F.min(F.expr("n * wsum div w")).alias("t")
+    )
+    return (
+        src.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(caps))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("natural_frac"),
+            F.col("w").alias("weight"),
+            F.round(
+                (F.col("w") * F.col("t")).cast("double") / (F.col("wsum") * F.col("n")),
+                6,
+            ).alias("sample_rate"),
+            F.expr("w * t div wsum").cast("bigint").alias("expected_tokens"),
+        )
+    )
