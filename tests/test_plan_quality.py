@@ -236,3 +236,10 @@ def test_sequence_packing_single_shuffle(spark, sf_dir, q):
     exchange — source-partitioning already clusters the rollup keys."""
     plan = _plan(q["qc06_sequence_packing"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir, q):
+    """qe11 funnel stages can only narrow: viewed ≥ clicked-after-view
+    ≥ purchased-after-click."""
+    row = q["qe11_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert row["n_viewed"] >= row["n_clicked"] >= row["n_purchased"] >= 0

@@ -334,3 +334,46 @@ def test_chunk_audio_tiling_property(spark, specs):
         assert all(
             len(bytes(c["chunk_bytes"])) == c["n_chunk_bytes"] for c in chunks
         )
+
+
+@st.composite
+def packing_inputs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(["s1", "s2"])),
+                i,
+                draw(st.integers(min_value=0, max_value=700)),
+            )
+        )
+    seq_len = draw(st.integers(min_value=1, max_value=600))
+    return rows, seq_len
+
+
+@given(data=packing_inputs())
+@SLOW
+def test_pack_sequences_matches_naive(spark, data):
+    """pack_sequences == 'concatenate in id order, cut every seq_len
+    tokens' simulated sequentially in Python, for any token counts
+    (including zero-token docs) and any seq_len."""
+    from ml_data_wrangler_spark.operators.curation import pack_sequences
+
+    rows, seq_len = data
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    got = {
+        r["doc_id"]: (r["seq_idx"], r["seq_offset"])
+        for r in pack_sequences(
+            df, F.col("nt"), group_col="source", id_col="doc_id", seq_len=seq_len
+        ).collect()
+    }
+    expected = {}
+    for src in {r[0] for r in rows}:
+        cum = 0
+        for source, doc_id, nt in sorted(rows):
+            if source != src:
+                continue
+            expected[doc_id] = (cum // seq_len, cum % seq_len)
+            cum += nt
+    assert got == expected
