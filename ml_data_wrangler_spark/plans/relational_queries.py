@@ -990,3 +990,38 @@ def q21(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+_Q33_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT n_name, c_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_name) AS rk
+  FROM rev
+  JOIN customer ON custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_name, ROUND(revenue, 2) AS revenue
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("q33_sql_front_door", oracle=_Q33_SQL)
+def q33(spark, sf_dir):
+    """The SQL front door: register every table as a temp view and run
+    the SAME ANSI text through ``spark.sql`` that the DuckDB oracle
+    runs — proving a reference user can bring raw SQL (CTEs, windows,
+    decimal arithmetic) to this engine unchanged. Catalyst plans it
+    identically to the DataFrame formulations (broadcast dims, one
+    revenue shuffle); the decimal-sum-then-cast discipline keeps the
+    value hash engine-portable."""
+    from ml_data_wrangler_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q33_SQL)
