@@ -410,3 +410,66 @@ def qt10(spark, sf_dir):
         F.round(bi_frac, 6).alias("top_bigram_frac"),
         ((uni_frac > 0.30) | (bi_frac > 0.18)).alias("flagged"),
     )
+
+
+@query(
+    "qt11_quality_gate",
+    oracle=f"""
+WITH feat AS (
+  SELECT source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS nt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         lang AS labeled_lang,
+         {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+         {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es
+  FROM documents
+), flags AS (
+  SELECT source,
+         (nt = 0) AS empty_doc,
+         (nt > 0 AND nt < 10) AS too_short,
+         (a_ratio < 0.5) AS low_alpha,
+         (CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+               WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+               WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+               WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+               ELSE 'de' END) <> labeled_lang AS lang_mismatch
+  FROM feat
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN empty_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN low_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+       CAST(SUM(CASE WHEN lang_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch,
+       CAST(SUM(CASE WHEN NOT (empty_doc OR too_short OR low_alpha OR lang_mismatch)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source
+""",
+)
+def qt11(spark, sf_dir):
+    """Data-quality gate report: per-source counts for each rejection
+    rule (empty / too-short / low-alphabetic / language-mismatch) plus
+    the pass count — the observability summary a corpus build emits
+    before selection, so data loss is a number, not a surprise (the
+    reference logged its wrangle failures; this is that intent as an
+    operator). All rules are map-side expressions over one scan; one
+    20-row aggregation."""
+    d = t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    from ml_data_wrangler_spark.functions.textstats import alpha_ratio
+
+    empty_doc = nt == 0
+    too_short = (nt > 0) & (nt < 10)
+    low_alpha = alpha_ratio(F.col("text")) < 0.5
+    lang_mismatch = detect_language(F.col("text")) != F.col("lang")
+    cnt = lambda c: F.sum(c.cast("bigint"))  # noqa: E731
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(empty_doc).alias("n_empty"),
+        cnt(too_short).alias("n_too_short"),
+        cnt(low_alpha).alias("n_low_alpha"),
+        cnt(lang_mismatch).alias("n_lang_mismatch"),
+        cnt(~(empty_doc | too_short | low_alpha | lang_mismatch)).alias("n_pass"),
+    )
