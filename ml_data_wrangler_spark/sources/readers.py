@@ -26,17 +26,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan → Tungsten vectorized reader; predicate pushdown and
     column pruning happen automatically for anything layered on top.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects outright; read it as raw nanos (legacy conf,
-    set here so it works under ANY caller's session) and integer-divide
-    down to microseconds — same truncation DuckDB applies, and integer
-    ``div`` because ns-since-epoch exceeds double's exact-int range.
+    The events table's ``ts`` physical type has varied across driver
+    generations: parquet TIMESTAMP(NANOS) (readable only as raw nanos
+    via the legacy conf) vs plain microsecond TIMESTAMP (read as
+    TIMESTAMP_NTZ). Normalize both to session-tz TimestampType so every
+    downstream operator/oracle sees identical µs semantics — integer
+    ``div`` for the nanos branch because ns-since-epoch exceeds
+    double's exact-int range, and a plain cast for the NTZ branch
+    (value-identical under the engine's pinned UTC session).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

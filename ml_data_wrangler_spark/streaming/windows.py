@@ -26,22 +26,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two fixture quirks: (1) the fixture is a single parquet FILE —
     # FileStreamSource force-sets basePath to the literal path unless
     # it's a glob, and a file basePath is rejected, so read via a glob
-    # with basePath pinned to the containing directory; (2) ``ts`` is
-    # parquet TIMESTAMP(NANOS), unreadable as TimestampType — declare
-    # it long (legacy nanosAsLong) and integer-divide to micros.
+    # with basePath pinned to the containing directory; (2) ``ts``'s
+    # physical type varies by driver generation — TIMESTAMP(NANOS)
+    # (readable only as long via the legacy conf) vs plain µs
+    # TIMESTAMP. Streams need the schema up front, so probe it with a
+    # driver-side batch read of the same footer, then normalize to
+    # session-tz TimestampType either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
     schema = T.StructType(
         [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            f
+            if f.name != "ts"
+            else T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampNTZType()
+            )
             for f in TESTDATA_SCHEMAS["events"].fields
         ]
     )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parquet*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_nanos:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

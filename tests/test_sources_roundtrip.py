@@ -112,3 +112,49 @@ def test_text_lines_reader(spark, tmp_path):
         "alpha", "beta", "gamma",
     ]
     assert all(r["file"].endswith("corpus.txt") for r in df.collect())
+
+
+def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
+    """The driver's testdata generator has stored events.ts as parquet
+    TIMESTAMP(NANOS) (rounds 1-2) and as plain µs TIMESTAMP (round 3+).
+    read_table must normalize BOTH physical layouts to the same
+    session-tz TimestampType values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    ts_vals = [
+        datetime.datetime(2026, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2026, 1, 2, 3, 4, 5, 654321),
+    ]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["view", "click"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    results = []
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(base["event_id"], pa.int64()),
+                "ts": pa.array(ts_vals, pa.timestamp(unit)),
+                "user_id": pa.array(base["user_id"], pa.int64()),
+                "event_type": pa.array(base["event_type"], pa.string()),
+                "value": pa.array(base["value"], pa.float64()),
+                "props": pa.array(base["props"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = read_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        results.append(
+            [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
+        )
+    assert results[0] == results[1] == ts_vals
