@@ -348,3 +348,80 @@ def qc07(spark, sf_dir):
             F.expr("w * t div wsum").cast("bigint").alias("expected_tokens"),
         )
     )
+
+
+@query(
+    "qc08_dedup_budget_pipeline",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+), survivors AS (
+  SELECT f.doc_id, f.source, f.text FROM fp f JOIN keepers k ON f.doc_id = k.doc_id
+), feat AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM survivors
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+), walked AS (
+  SELECT doc_id, source, quality,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM walked WHERE cum_tokens <= 1500
+""",
+)
+def qc08(spark, sf_dir):
+    """The composed selection pipeline a corpus build actually runs:
+    exact dedup (min-id keeper per content fingerprint) FOLLOWED BY
+    the per-source quality-ordered token-budget fill — selection rules
+    only make sense after duplicates stop double-spending the budget.
+
+    Composition is free in the relational design: qd01's dedup output
+    and qc03's budget walk are the same DataFrames chained, and
+    Catalyst plans the whole thing as one job (fingerprint shuffle →
+    keeper semi-join → source-keyed window). The oracle mirrors the
+    full chain as one CTE pipeline — proving multi-stage curation
+    flows, not just single operators, hash-match across engines."""
+    from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", "text", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    survivors = fp.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    d = survivors.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    from ml_data_wrangler_spark.operators.curation import fill_token_budget
+
+    return fill_token_budget(
+        d,
+        group_col="source",
+        score_col=F.col("quality"),
+        tokens_col=F.col("n_tokens"),
+        budget_per_group=1500,
+    ).select("doc_id", "source", "quality", "cum_tokens")

@@ -572,3 +572,87 @@ def qe13(spark, sf_dir):
     return joined.groupBy("cohort_day", "week_offset").agg(
         F.count_distinct("user_id").alias("n_active")
     )
+
+
+@query(
+    "qe14_daily_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS day_num,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), hist AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS n_hist,
+         AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       CAST(n_hist AS BIGINT) AS n_hist,
+       CASE WHEN n_hist >= 5 AND sd > 0
+            THEN ROUND((n - mu) / sd, 4) END AS z,
+       COALESCE(n_hist >= 5 AND sd > 0
+                AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+FROM hist
+ORDER BY event_type, day
+""",
+)
+def qe14(spark, sf_dir):
+    """Trailing-window anomaly detection: each (event_type, day)'s
+    event count scored as a z-score against that type's OWN previous
+    30 days (RANGE frame on the epoch-day value, so calendar gaps
+    widen the window rather than silently shrinking it; the current
+    day is excluded from its own baseline). Days with fewer than 5
+    history points or zero variance score NULL — observability
+    pipelines alert on `is_anomaly`, not on raw counts.
+
+    Shape at scale: the raw stream collapses to |types|×|days| rows in
+    one aggregation; the window then runs over that tiny frame — the
+    monitoring pattern that works identically on 100 TB because
+    everything after the first groupBy is per-type-days-sized. Float
+    discipline: mean/stddev assembled identically on both engines and
+    the z-score rounded to 4 decimals; the anomaly flag thresholds the
+    UNROUNDED score identically on both sides."""
+    day = F.date_trunc("day", "ts")
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            day.cast("date").alias("day"),
+            F.datediff(day.cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-30, -1)
+    )
+    nd = F.col("n").cast("double")
+    hist = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("*").over(w).alias("n_hist"),
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sd"),
+    )
+    usable = (F.col("n_hist") >= 5) & (F.col("sd") > 0)
+    z_raw = (F.col("n") - F.col("mu")) / F.col("sd")
+    return hist.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("n_hist").cast("bigint").alias("n_hist"),
+        F.when(usable, F.round(z_raw, 4)).alias("z"),
+        F.coalesce(usable & (F.abs(z_raw) > 3.0), F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "day")

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.operators.lda import fit_lda, lda_sweep, topics_df
+from ml_data_wrangler_spark.functions.text import tokenize
 from ml_data_wrangler_spark.operators.nlp import lemmatized_tokens
 from ml_data_wrangler_spark.operators.vectorize import (
     tokens_df,
@@ -229,3 +230,106 @@ def qm08(spark, sf_dir):
     from ml_data_wrangler_spark.operators.vectorize import tfidf
 
     return tfidf(t(spark, sf_dir, "documents"), top_n=3)
+
+
+@query(
+    "qm09_tfidf_doc_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), dfc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), w AS (
+  SELECT doc_id, tf.token, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt
+  FROM tf CROSS JOIN n JOIN dfc ON tf.token = dfc.token
+), norms AS (
+  SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         SUM(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+""",
+)
+def qm09(spark, sf_dir):
+    """Sparse TF-IDF document similarity: top-20 doc pairs by cosine
+    over the relational TF-IDF weights (qm08's table), computed the
+    inverted-index way — postings self-join on token, dot products
+    from the shared-term rows only, norms from a per-doc aggregate.
+    This is the IR-correct sparse formulation: cost is Σ df(t)², not
+    |docs|², and singleton terms (df=1) are pruned from the pair join
+    losslessly (they can't co-occur; they still count toward norms).
+
+    At 100 TB the same plan needs the tiers the dedup family already
+    models: a max-df cap (ubiquitous terms carry ~zero idf weight) or
+    the qv06/qv08 LSH candidate stage in front — the fixture's tiny
+    dense vocabulary (31 tokens) runs uncapped by design so the oracle
+    can verify the exact semantics. Float discipline: weights rounded
+    to 6 decimals BEFORE any product (identical on both engines), the
+    final cosine rounded to 6, (cosine, doc_a, doc_b) total order."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = t(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    w = (
+        tf.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dfc), "token")
+        .select(
+            "doc_id",
+            "token",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = w.where(F.col("df") >= 2).select(
+        F.col("token"), F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa")
+    )
+    b = w.where(F.col("df") >= 2).select(
+        F.col("token"), F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )

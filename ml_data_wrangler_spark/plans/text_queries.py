@@ -473,3 +473,60 @@ def qt11(spark, sf_dir):
         cnt(lang_mismatch).alias("n_lang_mismatch"),
         cnt(~(empty_doc | too_short | low_alpha | lang_mismatch)).alias("n_pass"),
     )
+
+
+@query(
+    "qt12_unigram_lm_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n1 FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n_tokens FROM uni
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       ROUND(AVG(ln(CAST(n1 AS DOUBLE) / n_tokens)), 4) AS lm_score
+FROM tok
+CROSS JOIN tot
+JOIN uni USING (token)
+GROUP BY doc_id
+ORDER BY lm_score, doc_id
+LIMIT 50
+""",
+)
+def qt12(spark, sf_dir):
+    """Unigram language-model quality scoring: each document's mean
+    log-probability under the corpus's own unigram MLE — the cheap
+    statistical stand-in for perplexity filtering (docs full of rare
+    junk tokens score low; no external LM needed). Returns the 50 most
+    atypical documents.
+
+    Shape at scale: one token aggregation builds the model; the
+    vocabulary-sized count table then joins back onto the token
+    stream. The model side is bounded by distinct-token count —
+    AQE broadcasts it at realistic vocabulary sizes, and the join
+    key is the token either way (never a re-shuffle of documents).
+    Float discipline: ln + mean assembled identically on both
+    engines, rounded to 4 decimals to absorb summation-order ulps;
+    (score, doc_id) total order before the limit."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    )
+    uni = toks.groupBy("token").agg(F.count("*").alias("n1"))
+    tot = uni.agg(F.sum("n1").alias("n_tokens"))
+    return (
+        toks.join(uni, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.col("n1").cast("double") / F.col("n_tokens"))), 4
+            ).alias("lm_score"),
+        )
+        .orderBy("lm_score", "doc_id")
+        .limit(50)
+    )
