@@ -272,3 +272,99 @@ def qd05(spark, sf_dir):
     from ml_data_wrangler_spark.operators.dedup import dedup_pipeline
 
     return dedup_pipeline(t(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.6)
+
+
+@query(
+    "qd10_minhash_accuracy",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard,
+       TRUE AS within_bound
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+""",
+)
+def qd10(spark, sf_dir):
+    """MinHash sketch ACCURACY, oracle-pinned: for every exact
+    near-dup pair (3-gram Jaccard ≥ 0.6, qd02's semantics), estimate
+    the same Jaccard from 128-component MinHash signatures and emit
+    whether |estimate − exact| ≤ 0.2 (≈4.6σ for k=128). The estimate
+    is fully deterministic — xxhash64-seeded min-hashes over the same
+    shingle sets on any partitioning — so the bound is a hard
+    invariant, not a probabilistic hope, and the oracle reproduces the
+    exact side and pins the boolean TRUE. This is the qe07/qe08
+    bounded-error pattern applied to the dedup sketches: the driver
+    gate now verifies the MinHash MACHINERY (signature construction +
+    agreement estimator), which the rows-only qd03 LSH query cannot.
+
+    Signatures are pure JVM array expressions (transform/array_min
+    over xxhash64), one row per doc — no UDF, no shuffle until the
+    pair join."""
+    from ml_data_wrangler_spark.functions.text import tokenize
+    from ml_data_wrangler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6, strategy="count")
+
+    lcol = tokenize(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("l", i),
+                F.element_at("l", i + 1),
+                F.element_at("l", i + 2),
+            ),
+        )
+    )
+    sigs = (
+        docs.select("doc_id", lcol.alias("l"))
+        .where(F.size("l") >= 3)
+        # project the shingle array ONCE per row before the 128-seed
+        # loop — inside the lambda Catalyst would re-derive it per seed
+        .select("doc_id", sh.alias("shingles"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(127)),
+                lambda seed: F.array_min(
+                    F.transform("shingles", lambda s: F.xxhash64(s, seed))
+                ),
+            ).alias("sig"),
+        )
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = agree.cast("double") / F.lit(128.0)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= F.lit(0.2)).alias("within_bound"),
+        )
+    )
