@@ -303,27 +303,35 @@ def qm09(spark, sf_dir):
             ).alias("wt"),
         )
     )
-    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-    a = w.where(F.col("df") >= 2).select(
-        F.col("token"), F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa")
+    # norm attached to every posting row via a doc-keyed window, so
+    # the pair aggregation carries it along (F.first) — this avoids a
+    # separate norms aggregate + two joins, which would re-derive the
+    # whole weight subtree twice more (self-joins already duplicate
+    # lineage once; don't quadruple it)
+    from pyspark.sql import Window as W
+
+    w2 = w.withColumn(
+        "nrm",
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(W.partitionBy("doc_id"))),
+    ).where(F.col("df") >= 2)
+    a = w2.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa"),
+        F.col("nrm").alias("na"),
     )
-    b = w.where(F.col("df") >= 2).select(
-        F.col("token"), F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb")
+    b = w2.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb"),
+        F.col("nrm").alias("nb"),
     )
-    dots = (
+    return (
         a.join(b, "token")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("shared"),
             F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

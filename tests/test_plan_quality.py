@@ -243,3 +243,54 @@ def test_funnel_stage_counts_monotone(spark, sf_dir, q):
     ≥ purchased-after-click."""
     row = q["qe11_funnel_conversion"](spark, sf_dir).collect()[0]
     assert row["n_viewed"] >= row["n_clicked"] >= row["n_purchased"] >= 0
+
+
+def test_anomaly_zscore_plan_shape(spark, sf_dir, q):
+    """qe14: one hash shuffle for the daily aggregation (with map-side
+    partial) plus the per-type window sort — never a single-partition
+    global window, never Python."""
+    plan = _plan(q["qe14_daily_anomaly_zscore"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "pythonUDF" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # partial + final daily counts
+    assert "Window" in plan
+
+
+def test_unigram_lm_plan_no_python(spark, sf_dir, q):
+    """qt12: tokenization/ln/avg are all JVM expressions; the
+    vocabulary-sized model table must not force a sort-merge join."""
+    plan = _plan(q["qt12_unigram_lm_score"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_pairs_plan_broadcasts_model_tables(spark, sf_dir, q):
+    """qm09: the df/N model tables broadcast; the posting self-join is
+    a hash join on token, never a nested loop over documents."""
+    plan = _plan(q["qm09_tfidf_doc_pairs"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    # the only nested-loops allowed are the 1-row scalar-N cross
+    # joins (one per self-join side); postings/df joins must hash
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert all(
+        "Cross" in line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_signature_plan_no_python_no_extra_shuffle(spark, sf_dir, q):
+    """qd10: signatures are JVM array expressions (no UDF); the only
+    exchanges are the pair aggregation and the signature joins."""
+    plan = _plan(q["qd10_minhash_accuracy"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    assert "xxhash64" in plan
+
+
+def test_dedup_budget_pipeline_single_window_shuffle(spark, sf_dir, q):
+    """qc08: the composed pipeline stays one job — fingerprint agg,
+    keeper semi-join, source window; no Python anywhere."""
+    plan = _plan(q["qc08_dedup_budget_pipeline"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    assert "Window" in plan
