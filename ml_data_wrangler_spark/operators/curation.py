@@ -249,3 +249,41 @@ def pack_sequences(
     return df.withColumn("seq_idx", F.floor(cum_before / seq_len)).withColumn(
         "seq_offset", cum_before % seq_len
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: order the corpus by a
+    content-addressed pseudo-random key (md5 of ``seed:id``) and deal
+    rows into ``n_shards`` shards with a position inside each — the
+    "shuffle then shard" step every epoch of LLM training consumes.
+    A different ``seed`` string yields an independent permutation
+    (epoch 2 = new seed), while the SAME seed reproduces the exact
+    order on any partitioning, cluster layout, or engine —
+    ``df.orderBy(rand())`` can do neither.
+
+    Physical shape: the shard assignment is map-only (a hash
+    expression); the in-shard position is ONE shuffle on the shard id
+    + a window ordered by the hash key. Shards are hash-balanced
+    (±O(√(n/shards))), so no shard becomes a straggler at 100 TB.
+
+    Emits the input columns plus ``shard`` and ``pos``.
+    """
+    if not 1 <= n_shards <= 1 << 16:
+        raise ValueError(f"n_shards out of range (max 65536): {n_shards}")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_key", key).withColumn(
+        "shard", (F.col("_key") % n_shards).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_key")

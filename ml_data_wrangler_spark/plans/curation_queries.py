@@ -425,3 +425,41 @@ def qc08(spark, sf_dir):
         tokens_col=F.col("n_tokens"),
         budget_per_group=1500,
     ).select("doc_id", "source", "quality", "cum_tokens")
+
+
+_SQL_EPOCH_KEY = (
+    "CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "qc09_epoch_shuffle_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, {_SQL_EPOCH_KEY} AS k FROM documents
+), dealt AS (
+  SELECT doc_id, source, CAST(k % 8 AS INTEGER) AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT)
+           AS pos
+  FROM keyed
+)
+SELECT doc_id, source, shard, pos FROM dealt
+""",
+)
+def qc09(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding: every document gets a
+    content-addressed pseudo-random position in one of 8 training
+    shards (epoch_shuffle operator; seed string = the epoch). The
+    oracle recomputes the permutation from the same md5 key, proving
+    the shuffled order is engine- and partitioning-independent —
+    reproducible data order is what makes training runs comparable
+    and resumable. ``orderBy(rand())`` shuffles too, but differently
+    on every run, partitioning, and engine."""
+    from ml_data_wrangler_spark.operators.curation import epoch_shuffle
+
+    return epoch_shuffle(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        id_col="doc_id",
+        seed="epoch1",
+        n_shards=8,
+    ).select("doc_id", "source", "shard", "pos")

@@ -169,3 +169,38 @@ def test_decontamination_broadcast_path_matches_shuffled(spark):
     # the broadcast path must plan the semi join as a broadcast join
     plan = broadcasted._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from ml_data_wrangler_spark.operators.curation import epoch_shuffle
+
+    df = spark.range(1, 1001).select(F.col("id").alias("doc_id"))
+
+    def perm(seed, parts):
+        out = epoch_shuffle(df.repartition(parts), "doc_id", seed, n_shards=8)
+        rows = out.orderBy("shard", "pos").collect()
+        return [(r["doc_id"], r["shard"], r["pos"]) for r in rows]
+
+    # same seed → identical permutation regardless of partitioning
+    assert perm("epoch1", 1) == perm("epoch1", 7)
+    # different seed → a different permutation of the same rows
+    p1, p2 = perm("epoch1", 4), perm("epoch2", 4)
+    assert p1 != p2
+    assert sorted(x[0] for x in p1) == sorted(x[0] for x in p2)
+    # positions are dense 1..n within each shard
+    by_shard = {}
+    for doc_id, shard, pos in p1:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert positions == list(range(1, len(positions) + 1))
+    # hash balance: no shard is empty or dominant on 1000 rows
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 2 * min(sizes)
+
+
+def test_epoch_shuffle_validates_shards(spark):
+    from ml_data_wrangler_spark.operators.curation import epoch_shuffle
+
+    df = spark.range(1, 10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", "s", n_shards=0)
