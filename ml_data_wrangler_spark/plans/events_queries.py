@@ -656,3 +656,61 @@ def qe14(spark, sf_dir):
         F.when(usable, F.round(z_raw, 4)).alias("z"),
         F.coalesce(usable & (F.abs(z_raw) > 3.0), F.lit(False)).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "qe15_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tn FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.event_type, n,
+       ROUND(CAST(n AS DOUBLE) / tn, 6) AS prob
+FROM pairs p JOIN tot USING (prev_type)
+ORDER BY prev_type, event_type
+""",
+)
+def qe15(spark, sf_dir):
+    """First-order event-transition matrix: P(next event type | current
+    type) from each user's time-ordered stream — the Markov summary
+    behind next-action prediction, funnel-leak hunting, and bot
+    detection (impossible transitions light up).
+
+    Shape at scale: ONE shuffle on user_id for the lag window, then
+    the pair counts collapse to |types|² rows; the probability
+    normalization joins two tiny aggregates of the SAME pair table
+    (broadcast). The (ts, event_id) tiebreak makes the sequence — and
+    therefore the matrix — a total order both engines reproduce
+    exactly."""
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "event_type")
+    )

@@ -181,3 +181,19 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     parquet (ORC is the other columnar at-rest format Spark reads
     natively; some lakehouses standardize on it)."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Scan parquet written across SCHEMA GENERATIONS (columns added
+    over time) as one DataFrame: ``mergeSchema`` unions the footers'
+    schemas and rows from older files surface NULL for columns they
+    predate — the standard contract for a long-lived corpus directory
+    that gained columns (e.g. a quality score added in month 3).
+
+    mergeSchema costs a footer read per file at planning time (not a
+    data pass), so it's fine at 100 TB file counts; pin a literal
+    schema once the layout stabilizes to skip even that. Column
+    RENAMES or type changes are NOT reconciled — that's a rewrite,
+    not evolution, and the reader will surface both columns.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -158,3 +158,69 @@ def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
             [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
         )
     assert results[0] == results[1] == ts_vals
+
+
+def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
+    from ml_data_wrangler_spark.sources.readers import read_parquet_evolving
+
+    gen1 = spark.createDataFrame(
+        [Row(doc_id=1, text="old row")],
+    )
+    gen2 = spark.createDataFrame(
+        [Row(doc_id=2, text="new row", quality=0.9)],
+    )
+    gen1.write.parquet(str(tmp_path / "d" / "gen=1"))
+    gen2.write.parquet(str(tmp_path / "d" / "gen=2"))
+    df = read_parquet_evolving(spark, str(tmp_path / "d"))
+    assert "quality" in df.columns
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["quality"] is None  # pre-evolution rows NULL-fill
+    assert rows[2]["quality"] == 0.9
+
+
+def test_corpus_shards_manifest_matches_written_data(spark, tmp_path):
+    from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
+
+    df = spark.range(1, 501).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_corpus_shards_with_manifest(
+        df, out, id_col="doc_id", n_shards=4
+    ).collect()
+    assert [m["shard"] for m in manifest] == [0, 1, 2, 3]
+    assert sum(m["n_rows"] for m in manifest) == 500
+    # exactly one data file per shard (bounded-file-count contract)
+    for m in manifest:
+        files = [
+            f
+            for f in glob.glob(os.path.join(out, f"shard={m['shard']}", "*"))
+            if not f.endswith((".crc", "_SUCCESS"))
+        ]
+        assert len(files) == 1, files
+        assert files[0].endswith(".json.gz")
+    # re-read what was written; recompute counts and the
+    # order-independent content hash — must equal the manifest
+    back = spark.read.json(os.path.join(out))
+    assert back.count() == 500
+    re_manifest = {
+        r["shard"]: (r["n"], r["h"])
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.col("doc_id"), F.col("text")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("h"),
+        )
+        .collect()
+    }
+    for m in manifest:
+        assert re_manifest[m["shard"]] == (m["n_rows"], m["content_hash"])
+
+
+def test_corpus_shards_validates_n_shards(spark, tmp_path):
+    from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
+
+    df = spark.range(1, 5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        write_corpus_shards_with_manifest(df, str(tmp_path / "x"), "doc_id", 0)
