@@ -341,3 +341,107 @@ def qm09(spark, sf_dir):
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query(
+    "qm10_chi2_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKS}) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY source, token
+), src AS (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS n_src FROM st GROUP BY source
+), tk AS (
+  SELECT token, CAST(SUM(a) AS BIGINT) AS n_tok FROM st GROUP BY token
+), g AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n FROM st
+), cells AS (
+  SELECT st.source, st.token, a,
+         (n_tok - a) AS b, (n_src - a) AS c,
+         (n - n_tok - n_src + a) AS d, n
+  FROM st JOIN src USING (source) JOIN tk USING (token) CROSS JOIN g
+), scored AS (
+  SELECT source, token, a,
+         ROUND(CAST(n AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+               / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)), 4)
+           AS chi2,
+         (CAST(a AS DOUBLE) * n > CAST(a + b AS DOUBLE) * (a + c)) AS enriched
+  FROM cells
+), ranked AS (
+  SELECT source, token, a AS n_in_source, chi2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, token) AS rank
+  FROM scored WHERE enriched
+)
+SELECT source, token, n_in_source, chi2, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+def qm10(spark, sf_dir):
+    """Per-source keyword extraction by chi-squared association: for
+    every (source, token) build the 2×2 contingency table (token-in-
+    source vs token-elsewhere) from token counts, score χ² =
+    N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), keep the top-5 POSITIVELY
+    enriched terms per source — "what vocabulary makes this source
+    different", the domain-signature primitive used for source
+    tagging and contamination triage.
+
+    Shape at scale: one token-count aggregation, then the per-source
+    and per-token marginals are both tiny re-aggregations of that
+    SAME table (broadcast back) — the corpus is tokenized exactly
+    once. The contingency cells are exact BIGINTs on both engines, so
+    the only float is the final one-expression χ², rounded to 4; the
+    enrichment direction test is pure integer cross-multiplication."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("a"))
+    src = st.groupBy("source").agg(F.sum("a").alias("n_src"))
+    tk = st.groupBy("token").agg(F.sum("a").alias("n_tok"))
+    g = st.agg(F.sum("a").alias("n"))
+    cells = (
+        st.join(F.broadcast(src), "source")
+        .join(F.broadcast(tk), "token")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("n_tok") - F.col("a")).alias("b"),
+            (F.col("n_src") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_tok") - F.col("n_src") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = F.round(
+        F.col("n").cast("double") * ad_bc * ad_bc
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ),
+        4,
+    )
+    enriched = (
+        F.col("a").cast("double") * F.col("n")
+        > (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = cells.select(
+        "source", "token", F.col("a").alias("n_in_source"),
+        chi2.alias("chi2"), enriched.alias("enriched"),
+    ).where(F.col("enriched"))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("chi2"), "token")
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("source", "token", "n_in_source", "chi2", "rank")
+        .orderBy("source", "rank")
+    )

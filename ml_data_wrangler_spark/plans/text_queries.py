@@ -530,3 +530,76 @@ def qt12(spark, sf_dir):
         .orderBy("lm_score", "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "qt13_zipf_fit",
+    oracle=f"""
+WITH uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n1 DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n1 AS DOUBLE)) AS y
+  FROM uni
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked
+)
+SELECT k AS n_types,
+       (SELECT CAST(SUM(n1) AS BIGINT) FROM uni) AS n_tokens,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4)
+         AS zipf_intercept
+FROM s
+""",
+)
+def qt13(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(freq) vs
+    ln(rank) over the token distribution — the corpus-health
+    diagnostic (natural language sits near slope −1; template spam,
+    boilerplate floods, and synthetic junk bend it) that belongs in
+    every corpus build's observability report.
+
+    Shape at scale: ONE token aggregation; the regression runs over
+    the vocabulary-sized table (rank via a global window over |vocab|
+    rows — bounded, like qe12's per-day window) and collapses to a
+    single row of sums. Float discipline: slope assembled from the
+    five sums in ONE expression, identical association order both
+    engines, rounded to 4."""
+    uni = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n1"))
+    )
+    from pyspark.sql import Window as W
+
+    x = F.log(
+        F.row_number().over(W.orderBy(F.desc("n1"), "token")).cast("double")
+    )
+    y = F.log(F.col("n1").cast("double"))
+    ranked = uni.select(
+        x.alias("x"), y.alias("y"), F.col("n1")
+    )
+    s = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("n1").alias("n_tokens"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_types"),
+        F.col("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "zipf_intercept"
+        ),
+    )
