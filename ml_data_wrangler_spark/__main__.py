@@ -83,6 +83,50 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_corpus_build(args) -> int:
+    """The composed corpus build: exact dedup → quality floor →
+    manifest-verified sharded JSONL delivery. One command from raw
+    documents to a training-ready corpus directory + integrity
+    manifest — the end-to-end flow the individual operators exist
+    for."""
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.functions.textstats import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+    from ml_data_wrangler_spark.sources.readers import read_table
+    from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
+
+    spark = _spark(args.cpus)
+    docs = read_table(spark, args.sf_dir, "documents")
+    n_raw = docs.count()
+
+    fp = docs.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    unique = fp.join(keepers.select("doc_id"), "doc_id", "left_semi").drop(
+        "fingerprint"
+    )
+    curated = unique.withColumn("quality", quality_score(F.col("text"))).where(
+        F.col("quality") >= args.min_quality
+    )
+    out = curated.select(
+        "doc_id", "text", "lang", "source",
+        F.round("quality", 6).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    manifest = write_corpus_shards_with_manifest(
+        out, args.out, id_col="doc_id", n_shards=args.shards
+    ).collect()
+    n_kept = sum(m["n_rows"] for m in manifest)
+    print(f"raw {n_raw} docs → {n_kept} kept "
+          f"(dedup+quality>={args.min_quality}) in {args.shards} shards")
+    for m in manifest:
+        print(f"shard={m['shard']}\tn_rows={m['n_rows']}\thash={m['content_hash']}")
+    return 0
+
+
 def cmd_list(args) -> int:
     from ml_data_wrangler_spark.plans import registry
 
@@ -128,6 +172,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--rows", type=int, default=20)
     s.set_defaults(fn=cmd_sql)
+
+    cb = sub.add_parser(
+        "corpus-build",
+        help="documents → dedup → quality floor → manifest-verified shards",
+    )
+    cb.add_argument("--sf-dir", required=True)
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--min-quality", type=float, default=0.3)
+    cb.add_argument("--shards", type=int, default=8)
+    cb.set_defaults(fn=cmd_corpus_build)
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=cmd_list)

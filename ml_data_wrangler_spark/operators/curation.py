@@ -287,3 +287,51 @@ def epoch_shuffle(
     )
     w = W.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_key")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    segmentation step before embedding/indexing (RAG) or fixed-window
+    training: chunk i covers tokens [i·stride, i·stride + size), so
+    consecutive chunks overlap by ``size − stride`` tokens and no
+    token is dropped. Chunk starts are every multiple of ``stride``
+    below the token count (the tail chunk is shorter; empty documents
+    yield no chunks).
+
+    Map-only: tokenize → per-row sequence explode → array slice; no
+    shuffle, no UDF — at 100 TB this runs at scan speed and chunk
+    count scales with token count, not document count.
+
+    Emits (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    from ml_data_wrangler_spark.functions.text import tokenize
+
+    if stride < 1 or size < 1 or stride > size:
+        raise ValueError(f"need 1 <= stride <= size, got size={size} stride={stride}")
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("l"))
+    n_chunks_minus1 = F.floor((F.size("l") - 1) / stride).cast("bigint")
+    exploded = (
+        toks.where(F.size("l") > 0)
+        .select(
+            id_col,
+            "l",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn("start_tok", F.col("chunk_idx") * stride)
+    )
+    chunk = F.slice("l", F.col("start_tok").cast("int") + 1, size)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -463,3 +463,36 @@ def qc09(spark, sf_dir):
         seed="epoch1",
         n_shards=8,
     ).select("doc_id", "source", "shard", "pos")
+
+
+@query(
+    "qc10_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), c AS (
+  SELECT doc_id, i AS chunk_idx, i * 40 AS start_tok,
+         l[i * 40 + 1 : least(i * 40 + 50, len(l))] AS chunk
+  FROM toks,
+       unnest(generate_series(0, CAST(floor((len(l) - 1) / 40) AS BIGINT))) AS g(i)
+  WHERE len(l) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+""",
+)
+def qc10(spark, sf_dir):
+    """Overlapping token-window chunking (size=50, stride=40 → 10-token
+    overlap) over every document — the segmentation primitive RAG
+    indexing and fixed-context training both consume. Map-only plan
+    (tokenize → sequence explode → slice), verified token-for-token by
+    the oracle's list-slicing mirror, including tail-chunk clamping
+    and empty-document elision."""
+    from ml_data_wrangler_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), size=50, stride=40
+    )

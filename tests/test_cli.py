@@ -80,3 +80,22 @@ def test_cli_lda_sweep(spark, sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "k=2" in out and "k=3" in out
+
+
+def test_cli_corpus_build(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "corpus-build",
+            "--sf-dir", sf_dir,
+            "--out", out_dir,
+            "--min-quality", "0.2",
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "kept" in text and text.count("shard=") == 4
+    back = spark.read.json(out_dir)
+    assert back.count() > 0
+    assert {"doc_id", "text", "quality", "n_tokens", "shard"} <= set(back.columns)

@@ -204,3 +204,51 @@ def test_epoch_shuffle_validates_shards(spark):
     df = spark.range(1, 10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", "s", n_shards=0)
+
+
+def _alpha_words(n):
+    import itertools
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    return [
+        a + b for a, b in itertools.islice(itertools.product(letters, letters), n)
+    ]
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    from ml_data_wrangler_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(_alpha_words(95))),
+            Row(doc_id=2, text="only three words"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = chunk_documents(docs, size=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 95 tokens → starts 0, 40, 80 → sizes 50, 50, 15
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in c1] == [
+        (0, 50), (40, 50), (80, 15),
+    ]
+    # overlap: chunk 1 starts 10 tokens before chunk 0 ends
+    assert c1[0]["chunk_text"].split()[40:] == c1[1]["chunk_text"].split()[:10]
+    # every token appears in order in the stride-concatenation
+    rebuilt = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        rebuilt += r["chunk_text"].split()[50 - 40:]
+    assert rebuilt == _alpha_words(95)
+    # short doc: one chunk, full text; empty doc: no chunks
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_validates(spark):
+    from ml_data_wrangler_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=10, stride=11)
