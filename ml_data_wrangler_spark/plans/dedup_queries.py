@@ -368,3 +368,57 @@ def qd10(spark, sf_dir):
             (F.abs(est - F.col("jaccard")) <= F.lit(0.2)).alias("within_bound"),
         )
     )
+
+
+@query(
+    "qd11_boilerplate_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), c AS (
+  SELECT doc_id,
+         array_to_string(
+           l[i * 40 + 1 : least(i * 40 + 50, len(l))], ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(floor((len(l) - 1) / 40) AS BIGINT))) AS g(i)
+  WHERE len(l) > 0
+)
+SELECT md5(chunk_text) AS chunk_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM c
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, chunk_fp
+LIMIT 20
+""",
+)
+def qd11(spark, sf_dir):
+    """Cross-document boilerplate detection: fingerprint every
+    overlapping token chunk (qc10's segmentation) and surface the
+    chunks that recur across ≥2 DISTINCT documents — headers, footers,
+    license blocks, and templated passages that within-document
+    repetition scores (qt10) and whole-document dedup (qd01) both
+    miss. Removing boilerplate spans, not just duplicate documents, is
+    a standard corpus-cleaning stage.
+
+    Shape at scale: chunking is map-only; ONE hash aggregation on the
+    chunk fingerprint (map-side combined) does everything — the same
+    single-shuffle profile as exact dedup, on chunk grain. Composition
+    again comes free: the chunker and the dedup aggregation are the
+    same DataFrames chained."""
+    from ml_data_wrangler_spark.operators.curation import chunk_documents
+
+    chunks = chunk_documents(t(spark, sf_dir, "documents"), size=50, stride=40)
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("chunk_fp"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "chunk_fp")
+        .limit(20)
+    )

@@ -714,3 +714,82 @@ def qe15(spark, sf_dir):
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+@query(
+    "qe16_cms_heavy_hitters",
+    oracle="""
+WITH exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       TRUE AS est_ge_exact, TRUE AS est_within_bound
+FROM exact
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+)
+def qe16(spark, sf_dir):
+    """Count-min sketch, oracle-pinned like qe07/qe08/qd10: build a
+    d=4 × w=256 CMS over user event counts (pmod(xxhash64(key, row),
+    w) bucketing — pure JVM expressions), read back each heavy
+    hitter's estimate as the min across rows, and emit the two CMS
+    guarantees as booleans the oracle pins TRUE: the estimate never
+    undercounts, and it overshoots by at most ⌈(e/w)·N⌉ (deterministic
+    here — fixed hashes, fixed data). The sketch is 1024 mergeable
+    counters regardless of key cardinality — the 100 TB shape for
+    frequency estimation where exact per-key counts don't fit;
+    exactness of the top-20 themselves is checked against the exact
+    aggregation in the same oracle.
+
+    Shape: one map-side explode (4 rows per event) into a 1024-row
+    aggregation, broadcast back onto the heavy-hitter lookups; the
+    exact side is one groupBy. No UDF, no driver loops."""
+    import math
+
+    ev = t(spark, sf_dir, "events").select("user_id")
+    d_rows, w = 4, 256
+    cms = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(F.xxhash64(F.col("user_id"), F.lit(r)), w).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(d_rows)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("n_total"))
+    est_cols = []
+    joined = exact.crossJoin(F.broadcast(total))
+    for r in range(d_rows):
+        cms_r = cms.where(F.col("r") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        joined = joined.withColumn(
+            f"b{r}", F.pmod(F.xxhash64(F.col("user_id"), F.lit(r)), w)
+        ).join(F.broadcast(cms_r), f"b{r}")
+        est_cols.append(F.col(f"c{r}"))
+    est = F.least(*est_cols)
+    slack = F.ceil(F.lit(math.e / w) * F.col("n_total"))
+    return (
+        joined.select(
+            "user_id",
+            "n_events",
+            (est >= F.col("n_events")).alias("est_ge_exact"),
+            (est <= F.col("n_events") + slack).alias("est_within_bound"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
