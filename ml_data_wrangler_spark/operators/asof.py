@@ -27,6 +27,7 @@ def asof_join_backward(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_payload: dict[str, str] | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` for the same key (left outer: unmatched
@@ -34,6 +35,13 @@ def asof_join_backward(
 
     ``right_payload`` maps right column → output alias. Right side must
     be unique per (key, ts) — dedupe upstream for deterministic output.
+
+    ``tolerance_seconds`` bounds match staleness: a carried match older
+    than ``left.ts − tolerance`` is nulled out, the feature-store
+    contract ("join the latest feature value, but never one staler
+    than T") that prevents silently training on expired state. The
+    bound is applied AFTER the carry-forward window at µs precision,
+    so it adds zero shuffles.
 
     Returns the left DataFrame's columns + aliased right payload +
     ``matched_ts`` (the right timestamp that matched).
@@ -70,10 +78,19 @@ def asof_join_backward(
         ],
         F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
     )
+    if tolerance_seconds is None:
+        fresh = F.lit(True)
+    else:
+        fresh = F.unix_micros(F.col("_c_ts")) >= F.unix_micros(F.col("_t")) - int(
+            tolerance_seconds * 1_000_000
+        )
     return carried.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_c_{rc}").alias(alias) for rc, alias in right_payload.items()],
-        F.col("_c_ts").alias("matched_ts"),
+        *[
+            F.when(fresh, F.col(f"_c_{rc}")).alias(alias)
+            for rc, alias in right_payload.items()
+        ],
+        F.when(fresh, F.col("_c_ts")).alias("matched_ts"),
     )
 
 

@@ -196,3 +196,55 @@ def qj03(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_overlaps"))
     )
+
+
+@query(
+    "qj04_asof_with_tolerance",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, CAST(MAX(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), m AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+         date_diff('microsecond', c.click_ts, p.purchase_ts) <= 3600000000
+           AS fresh
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN fresh THEN click_id END AS click_id,
+       CASE WHEN fresh THEN click_ts END AS matched_ts
+FROM m
+""",
+)
+def qj04(spark, sf_dir):
+    """qj01's as-of join under a 1-hour STALENESS BOUND: a purchase
+    only keeps its most-recent-click match if that click happened
+    within the last hour — otherwise the match is nulled, exactly the
+    feature-store freshness contract (serve the latest feature value,
+    but never one staler than T). Same single-shuffle union+window
+    plan as qj01; the bound is a µs-precision post-filter, so
+    tolerance costs nothing. The oracle reproduces it with DuckDB's
+    native ASOF JOIN plus the identical freshness CASE."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_payload={"click_id": "click_id"},
+        tolerance_seconds=3600,
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "matched_ts")
