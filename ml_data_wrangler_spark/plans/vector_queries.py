@@ -363,3 +363,56 @@ def qv09(spark, sf_dir):
         )
     )
     return joined.select("vec_id", "label", F.round(err, 6).alias("l2_err"))
+
+
+@query(
+    "qv10_embedding_dim_health",
+    oracle="""
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(val AS DOUBLE)), 4) AS mean,
+       ROUND(STDDEV_SAMP(CAST(val AS DOUBLE)), 4) AS std,
+       ROUND(CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS zero_frac,
+       ROUND(MIN(CAST(val AS DOUBLE)), 4) AS min_val,
+       ROUND(MAX(CAST(val AS DOUBLE)), 4) AS max_val
+FROM (
+  SELECT i - 1 AS dim, embedding[i] AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+)
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def qv10(spark, sf_dir):
+    """Per-dimension embedding health report: mean, spread, zero
+    fraction, and range for every coordinate of the embedding column —
+    the observability table that catches collapsed dimensions (std≈0),
+    dead ReLU coordinates (zero_frac≈1), and scale drift between
+    encoder versions before they silently poison ANN recall.
+
+    Shape at scale: posexplode is map-side, then ONE aggregation with
+    |dims| groups — constant output size no matter the corpus; this is
+    a metadata table you compute per ingest batch and diff. float32
+    values are widened to double identically on both engines (exact),
+    stats rounded to 4."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "val")
+    )
+    vd = F.col("val").cast("double")
+    return (
+        e.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(vd), 4).alias("mean"),
+            F.round(F.stddev_samp(vd), 4).alias("std"),
+            F.round(
+                F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("zero_frac"),
+            F.round(F.min(vd), 4).alias("min_val"),
+            F.round(F.max(vd), 4).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
