@@ -41,7 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r02.json — it snapshots ~50 queries in registration
 # order). Listing them lets queries() order NEVER-YET-GATED queries
 # first, so the union of per-round gate files converges on full
-# coverage of the 95-query registry.
+# coverage of the registry (131 queries as of round 3). NEXT ROUND:
+# fold CORRECTNESS_r03's recorded names into this set so the ordering
+# keeps converging.
 _GATED_PASS_R02 = frozenset(
     [f"q{i:02d}" for i in range(1, 33)]
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
