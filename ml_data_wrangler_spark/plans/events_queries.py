@@ -793,3 +793,44 @@ def qe16(spark, sf_dir):
         .orderBy(F.desc("n_events"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "qe17_salted_type_stats",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def qe17(spark, sf_dir):
+    """The SKEW-SAFE aggregation, gate-verified: per-type event stats
+    computed through salted_aggregate — groupBy(key, salt) partials
+    merged by an EXPLICIT decomposition (count→sum, sum→sum, max→max)
+    — with the oracle running the plain GROUP BY. event_type is
+    exactly the hot-key shape (a handful of values covering every
+    row); at 100 TB the plain aggregation sends each type to ONE
+    reducer while the salted one spreads it across 16, and this query
+    pins that the rewrite changes the shuffle distribution WITHOUT
+    changing a single output value (decimal-exact money, so even
+    summation regrouping is identity)."""
+    from ml_data_wrangler_spark.operators.skew import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": (F.count("*"), "sum"),
+            "total_value": (F.sum(F.col("value").cast("decimal(12,2)")), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

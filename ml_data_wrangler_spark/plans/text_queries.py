@@ -603,3 +603,63 @@ def qt13(spark, sf_dir):
             "zipf_intercept"
         ),
     )
+
+
+@query(
+    "qt14_lang_confusion_matrix",
+    oracle=f"""
+WITH hits AS (
+  SELECT lang AS labeled_lang,
+         {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+         {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es
+  FROM documents
+), det AS (
+  SELECT labeled_lang,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS detected_lang
+  FROM hits
+), m AS (
+  SELECT labeled_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM det GROUP BY labeled_lang, detected_lang
+), tot AS (
+  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_label FROM m
+  GROUP BY labeled_lang
+)
+SELECT m.labeled_lang, m.detected_lang, n,
+       ROUND(CAST(n AS DOUBLE) / n_label, 4) AS frac_of_label
+FROM m JOIN tot USING (labeled_lang)
+ORDER BY labeled_lang, detected_lang
+""",
+)
+def qt14(spark, sf_dir):
+    """Language-ID confusion matrix: labeled language × detected
+    language with row-normalized fractions — the classifier-quality
+    report behind qt11's single mismatch count (WHICH languages get
+    confused, and how often, not just that some do). Diagonal mass =
+    detector accuracy per label; off-diagonal cells say whether to
+    grow a language's function-word set.
+
+    Map-side detection (array expressions), one |langs|²-group
+    aggregation, then a broadcast join against the row totals derived
+    from the same counts."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("labeled_lang"),
+        detect_language(F.col("text")).alias("detected_lang"),
+    )
+    m = d.groupBy("labeled_lang", "detected_lang").agg(F.count("*").alias("n"))
+    tot = m.groupBy("labeled_lang").agg(F.sum("n").alias("n_label"))
+    return (
+        m.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "detected_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_label"), 4).alias(
+                "frac_of_label"
+            ),
+        )
+        .orderBy("labeled_lang", "detected_lang")
+    )
