@@ -445,3 +445,124 @@ def qm10(spark, sf_dir):
         .select("source", "token", "n_in_source", "chi2", "rank")
         .orderBy("source", "rank")
     )
+
+
+@query(
+    "qm11_bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n_tokens FROM uni
+), bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
+    WHERE len(l) >= 2
+  )
+  GROUP BY w1, w2
+), pos AS (
+  SELECT doc_id, l[i] AS w, CASE WHEN i > 1 THEN l[i - 1] END AS prev
+  FROM toks, unnest(generate_series(1, len(l))) AS g(i)
+  WHERE len(l) > 0
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN prev IS NULL
+              THEN CAST(u.n1 AS DOUBLE) / t.n_tokens
+              ELSE 0.7 * COALESCE(b.nb, 0) / up.n1
+                   + 0.3 * CAST(u.n1 AS DOUBLE) / t.n_tokens
+         END AS p
+  FROM pos
+  JOIN uni u ON pos.w = u.tok
+  LEFT JOIN uni up ON pos.prev = up.tok
+  LEFT JOIN bg b ON pos.prev = b.w1 AND pos.w = b.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       ROUND(AVG(ln(p)), 4) AS lm2_score
+FROM scored GROUP BY doc_id
+ORDER BY lm2_score, doc_id
+LIMIT 30
+""",
+)
+def qm11(spark, sf_dir):
+    """Interpolated bigram language-model scoring: each token scored
+    by λ·P(w|prev) + (1−λ)·P(w) (λ=0.7, document-initial tokens score
+    unigram-only), per-doc mean log-probability, bottom-30 surfaced.
+    The upgrade over qt12's unigram score: a shuffled-word salad keeps
+    its unigram profile but collapses under the bigram term — the
+    order-sensitivity a perplexity filter actually needs.
+
+    Shape at scale: the unigram and bigram models are two bounded
+    aggregations broadcast back onto ONE positional explode of the
+    corpus (bigram table bounded by observed-pair count, prunable by
+    min-count); the scoring join never re-shuffles documents. Float
+    discipline: the interpolation is assembled with identical
+    association order on both engines, mean rounded to 4."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("l")
+    )
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    tot = uni.agg(F.sum("n1").alias("n_tokens"))
+    bg = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("w1"),
+                        F.element_at("l", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("nb"))
+    )
+    pos = (
+        toks.where(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l")),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("w"),
+                        F.when(i > 1, F.element_at("l", i - 1)).alias("prev"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.w").alias("w"), F.col("s.prev").alias("prev"))
+    )
+    u = uni.select(F.col("tok").alias("w"), F.col("n1").alias("n1_w"))
+    up = uni.select(F.col("tok").alias("prev"), F.col("n1").alias("n1_prev"))
+    p = F.when(
+        F.col("prev").isNull(),
+        F.col("n1_w").cast("double") / F.col("n_tokens"),
+    ).otherwise(
+        F.lit(0.7) * F.coalesce(F.col("nb"), F.lit(0)) / F.col("n1_prev")
+        + F.lit(0.3) * F.col("n1_w").cast("double") / F.col("n_tokens")
+    )
+    return (
+        pos.join(F.broadcast(u), "w")
+        .join(F.broadcast(up), "prev", "left")
+        .join(F.broadcast(bg), (F.col("prev") == F.col("w1")) & (F.col("w") == F.col("w2")), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(F.log(p)), 4).alias("lm2_score"),
+        )
+        .orderBy("lm2_score", "doc_id")
+        .limit(30)
+    )
