@@ -181,3 +181,45 @@ def chunk_audio(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
             (start_byte + 1).cast("int"), (end_byte - start_byte).cast("int")
         ).alias("chunk_bytes"),
     )
+
+
+def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch grid over the image subset: one row per
+    ``patch × patch`` tile of each image's (metadata) dimensions, with
+    its grid position and pixel origin — the tokenization step of a
+    vision-transformer pipeline expressed as pure arithmetic over the
+    metadata (the per-patch pixel decode is the documented codec
+    stub, same contract as frame sampling).
+
+    Map-only explode: image count → image count × (w/patch)·(h/patch)
+    rows, no shuffle. Images whose dimensions don't divide evenly
+    drop the ragged right/bottom margin (floor grid), mirroring the
+    standard ViT center-crop-then-patch convention.
+    """
+    if patch < 1:
+        raise ValueError(f"patch must be positive: {patch}")
+    imgs = media.where(F.col("kind") == "image").select(
+        "media_id",
+        F.floor(F.col("meta.width") / patch).cast("long").alias("cols"),
+        F.floor(F.col("meta.height") / patch).cast("long").alias("rows"),
+        "content",
+    )
+    g = imgs.where((F.col("cols") > 0) & (F.col("rows") > 0)).select(
+        "media_id",
+        "cols",
+        "content",
+        F.explode(F.sequence(F.lit(0), F.col("rows") * F.col("cols") - 1)).alias(
+            "patch_idx"
+        ),
+    )
+    row = (F.col("patch_idx") / F.col("cols")).cast("long")
+    col = F.col("patch_idx") % F.col("cols")
+    return g.select(
+        "media_id",
+        F.col("patch_idx").cast("long").alias("patch_idx"),
+        row.alias("grid_row"),
+        col.alias("grid_col"),
+        (col * patch).cast("long").alias("x0"),
+        (row * patch).cast("long").alias("y0"),
+        F.xxhash64(F.col("content"), F.col("patch_idx")).alias("patch_token"),
+    )

@@ -190,3 +190,39 @@ def qx04(spark, sf_dir):
         "media_id", "chunk_idx", "start_ms", "end_ms", "start_byte",
         F.length("chunk_bytes").cast("long").alias("n_chunk_bytes"),
     )
+
+
+@query(
+    "qx05_vit_patch_grid",
+    oracle="""
+WITH v AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0
+), g AS (
+  SELECT media_id, unnest(generate_series(0, 14 * 14 - 1)) AS patch_idx
+  FROM v
+)
+SELECT media_id,
+       CAST(patch_idx AS BIGINT) AS patch_idx,
+       CAST(patch_idx // 14 AS BIGINT) AS grid_row,
+       CAST(patch_idx % 14 AS BIGINT) AS grid_col,
+       CAST((patch_idx % 14) * 16 AS BIGINT) AS x0,
+       CAST((patch_idx // 14) * 16 AS BIGINT) AS y0
+FROM g
+""",
+)
+def qx05(spark, sf_dir):
+    """ViT patch tokenization plumbing: resize the image subset to
+    224×224, then emit the 14×14 grid of 16-pixel patches per image
+    with grid coordinates and pixel origins — 1 image → 196 patch
+    rows, the vision dual of text chunking (qc10). The oracle
+    re-derives every coordinate from the metadata contract alone; the
+    per-patch decode token is the documented stub, exercised
+    rows-only (same split as qx02's frame tokens)."""
+    from ml_data_wrangler_spark.operators.multimodal import patch_grid, resize_images
+
+    patches = patch_grid(
+        resize_images(synth_media(spark, sf_dir), width=224, height=224), patch=16
+    )
+    return patches.select(
+        "media_id", "patch_idx", "grid_row", "grid_col", "x0", "y0"
+    )
