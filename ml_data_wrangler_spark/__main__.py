@@ -103,11 +103,22 @@ def cmd_corpus_build(args) -> int:
     docs = read_table(spark, args.sf_dir, "documents")
     n_raw = docs.count()
 
-    fp = docs.withColumn("fingerprint", doc_fingerprint(F.col("text")))
-    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    unique = fp.join(keepers.select("doc_id"), "doc_id", "left_semi").drop(
-        "fingerprint"
-    )
+    if args.near_dup_threshold is not None:
+        # tiered dedup: exact fingerprints + n-gram Jaccard near-dups
+        from ml_data_wrangler_spark.operators.dedup import dedup_pipeline
+
+        verdicts = dedup_pipeline(
+            docs, jaccard_threshold=args.near_dup_threshold
+        )
+        unique = docs.join(
+            verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+    else:
+        fp = docs.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+        keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+        unique = fp.join(keepers.select("doc_id"), "doc_id", "left_semi").drop(
+            "fingerprint"
+        )
     curated = unique.withColumn("quality", quality_score(F.col("text"))).where(
         F.col("quality") >= args.min_quality
     )
@@ -181,6 +192,13 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--out", required=True)
     cb.add_argument("--min-quality", type=float, default=0.3)
     cb.add_argument("--shards", type=int, default=8)
+    cb.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="also drop n-gram-Jaccard near-duplicates at this threshold "
+        "(default: exact dedup only)",
+    )
     cb.set_defaults(fn=cmd_corpus_build)
 
     ls = sub.add_parser("list", help="list registered queries")

@@ -99,3 +99,17 @@ def test_cli_corpus_build(spark, sf_dir, tmp_path, capsys):
     back = spark.read.json(out_dir)
     assert back.count() > 0
     assert {"doc_id", "text", "quality", "n_tokens", "shard"} <= set(back.columns)
+
+
+def test_cli_corpus_build_near_dup_tier(spark, sf_dir, tmp_path, capsys):
+    out_exact = str(tmp_path / "exact")
+    out_near = str(tmp_path / "near")
+    assert main(["corpus-build", "--sf-dir", sf_dir, "--out", out_exact,
+                 "--min-quality", "0.0", "--shards", "2"]) == 0
+    assert main(["corpus-build", "--sf-dir", sf_dir, "--out", out_near,
+                 "--min-quality", "0.0", "--shards", "2",
+                 "--near-dup-threshold", "0.6"]) == 0
+    n_exact = spark.read.json(out_exact).count()
+    n_near = spark.read.json(out_near).count()
+    # the near-dup tier can only remove additional documents
+    assert 0 < n_near <= n_exact
