@@ -834,3 +834,64 @@ def qe17(spark, sf_dir):
         F.col("total_value").cast("double").alias("total_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+@query(
+    "qe18_event_contract",
+    oracle="""
+WITH flags AS (
+  SELECT CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END AS v_event_id_present,
+         CASE WHEN event_type IN ('view','click','purchase','signup','error')
+              THEN 0 ELSE 1 END AS v_known_event_type,
+         CASE WHEN ts IS NOT NULL
+                   AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2020-01-01'
+              THEN 0 ELSE 1 END AS v_ts_in_range,
+         CASE WHEN user_id IS NOT NULL AND user_id > 0 THEN 0 ELSE 1 END
+           AS v_user_id_positive,
+         CASE WHEN value IS NOT NULL AND value >= 0 THEN 0 ELSE 1 END
+           AS v_value_non_negative
+  FROM events
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(v_event_id_present) AS BIGINT) AS c1,
+         CAST(SUM(v_known_event_type) AS BIGINT) AS c2,
+         CAST(SUM(v_ts_in_range) AS BIGINT) AS c3,
+         CAST(SUM(v_user_id_positive) AS BIGINT) AS c4,
+         CAST(SUM(v_value_non_negative) AS BIGINT) AS c5
+  FROM flags
+)
+SELECT u.constraint, n_rows, u.n_violations,
+       ROUND(CAST(u.n_violations AS DOUBLE) / n_rows, 6) AS violation_frac
+FROM tot,
+     (SELECT 'event_id_present' AS "constraint", c1 AS n_violations FROM tot
+      UNION ALL SELECT 'known_event_type', c2 FROM tot
+      UNION ALL SELECT 'ts_in_range', c3 FROM tot
+      UNION ALL SELECT 'user_id_positive', c4 FROM tot
+      UNION ALL SELECT 'value_non_negative', c5 FROM tot) u
+ORDER BY u.constraint
+""",
+)
+def qe18(spark, sf_dir):
+    """The generic data-contract runner, gate-verified: five named
+    row-level constraints over the event stream evaluated in ONE
+    partial-aggregated pass (operators/quality.constraint_report),
+    emitting the per-constraint violation report a pipeline publishes
+    with every batch. Violation counting treats null predicates as
+    violations (three-valued logic can't let nulls sneak past a range
+    check); the oracle mirrors each predicate and the single-pass
+    roll-up."""
+    from ml_data_wrangler_spark.operators.quality import constraint_report
+
+    ev = t(spark, sf_dir, "events")
+    return constraint_report(
+        ev,
+        {
+            "event_id_present": F.col("event_id").isNotNull(),
+            "known_event_type": F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "ts_in_range": F.col("ts") >= F.lit("2020-01-01").cast("timestamp"),
+            "user_id_positive": F.col("user_id") > 0,
+            "value_non_negative": F.col("value") >= 0,
+        },
+    )
