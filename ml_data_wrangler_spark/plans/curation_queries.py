@@ -496,3 +496,59 @@ def qc10(spark, sf_dir):
     return chunk_documents(
         t(spark, sf_dir, "documents"), size=50, stride=40
     )
+
+
+@query(
+    "qc12_packing_utilization",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS nt
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM tk
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(floor(cum_before / 512.0)) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST((MAX(floor(cum_before / 512.0)) + 1) * 512 AS BIGINT) AS capacity,
+       ROUND(CAST(SUM(nt) AS DOUBLE)
+             / ((MAX(floor(cum_before / 512.0)) + 1) * 512), 6) AS fill_frac
+FROM c
+GROUP BY source
+ORDER BY source
+""",
+)
+def qc12(spark, sf_dir):
+    """Packing-efficiency rollup on top of qc06's manifest: per
+    source, how many 512-token sequences the contiguous fill produces
+    and what fraction of their capacity is actually tokens — the
+    budget-vs-padding number a training run plans GPU hours around
+    (contiguous fill wastes only the final sequence's tail; a
+    doc-per-sequence layout would waste the variance). Same one
+    shuffle as the packing itself; the rollup reuses the identical
+    running-sum assignment so the report can never drift from the
+    manifest."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("nt")
+    )
+    packed = pack_sequences(
+        docs, F.col("nt"), group_col="source", id_col="doc_id", seq_len=512
+    )
+    n_seqs = F.max("seq_idx") + 1
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_seqs.cast("bigint").alias("n_seqs"),
+            F.sum("nt").alias("n_tokens"),
+            (n_seqs * 512).cast("bigint").alias("capacity"),
+            F.round(
+                F.sum("nt").cast("double") / (n_seqs * 512), 6
+            ).alias("fill_frac"),
+        )
+        .orderBy("source")
+    )
