@@ -131,3 +131,34 @@ def qg05(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "qg06_rollup_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY grouping_level, l_returnflag, l_linestatus
+""",
+)
+def qg06(spark, sf_dir):
+    """ROLLUP with the machine-readable GROUPING_ID: subtotal rows
+    carry an integer level instead of ambiguous NULLs (a NULL key
+    value and a rolled-up key are indistinguishable without it) — the
+    way downstream consumers are supposed to dispatch on aggregation
+    level. Bit order matches the grouping column order on both
+    engines."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_level", "n")
+        .orderBy("grouping_level", "l_returnflag", "l_linestatus")
+    )

@@ -286,3 +286,46 @@ def qw08(spark, sf_dir):
         "o_orderdate",
         dbl(F.sum(money("o_totalprice")).over(w)).alias("trailing_30d"),
     )
+
+
+@query(
+    "qw09_order_position_profile",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         FIRST_VALUE(o_orderdate) OVER cw AS first_order_date,
+         NTH_VALUE(o_totalprice, 2) OVER cw AS second_order_price,
+         ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice, o_orderkey), 6)
+           AS price_cume_dist
+  FROM orders
+  WINDOW cw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, o_orderkey,
+       CAST(first_order_date AS TIMESTAMP) AS first_order_date,
+       second_order_price, price_cume_dist
+FROM w
+""",
+)
+def qw09(spark, sf_dir):
+    """Per-order position profile inside its customer's history:
+    FIRST_VALUE (acquisition date), NTH_VALUE(…, 2) over the full
+    frame (NULL for single-order customers — frame semantics, not a
+    sentinel), and CUME_DIST of the order's price — the remaining
+    value-window API surface (qw01-qw08 cover rank/lag/rolling). One
+    shuffle on the customer key serves all three, with explicit
+    orderkey tiebreaks so both engines see identical frames."""
+    cw = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    pw = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(cw).alias("first_order_date"),
+        F.nth_value("o_totalprice", 2).over(cw).alias("second_order_price"),
+        F.round(F.cume_dist().over(pw), 6).alias("price_cume_dist"),
+    )
