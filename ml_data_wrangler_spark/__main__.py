@@ -7,6 +7,8 @@
         --k-min 2 --k-max 6 --coherence umass
     python -m ml_data_wrangler_spark query qt01_top_tokens \
         --sf-dir /root/testdata/sf0.001
+    python -m ml_data_wrangler_spark corpus-build --sf-dir /root/testdata/sf0.01 \
+        --out ./corpus --min-quality 0.3 --shards 8 --near-dup-threshold 0.6
     python -m ml_data_wrangler_spark list
 """
 
