@@ -377,3 +377,46 @@ def test_pack_sequences_matches_naive(spark, data):
             expected[doc_id] = (cum // seq_len, cum % seq_len)
             cum += nt
     assert got == expected
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=130), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+)
+@SLOW
+def test_chunk_documents_property(spark, lengths, size, stride):
+    """For ANY (doc length, size, stride≤size): chunk starts are every
+    multiple of stride below the token count, the stride-concatenation
+    reproduces the token stream exactly, and every chunk except the
+    last is full-size."""
+    import string
+
+    if stride > size:
+        stride, size = size, stride
+    from ml_data_wrangler_spark.operators.curation import chunk_documents
+
+    def words(n):
+        alpha = string.ascii_lowercase
+        return [alpha[i % 26] + alpha[(i // 26) % 26] + alpha[i % 7] for i in range(n)]
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(words(n))) for i, n in enumerate(lengths)]
+    )
+    out = chunk_documents(docs, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        expected_starts = list(range(0, n, stride)) if n > 0 else []
+        assert [c["start_tok"] for c in chunks] == expected_starts
+        toks = words(n)
+        for c in chunks:
+            s = c["start_tok"]
+            assert c["chunk_text"].split() == toks[s : s + size]
+            assert c["n_chunk_tokens"] == len(toks[s : s + size])
+        rebuilt = []
+        for c in chunks:
+            rebuilt += c["chunk_text"].split()[: stride] if c is not chunks[-1] else c["chunk_text"].split()
+        assert rebuilt == toks
