@@ -895,3 +895,46 @@ def qe18(spark, sf_dir):
             "value_non_negative": F.col("value") >= 0,
         },
     )
+
+
+@query(
+    "qe19_hour_of_week_profile",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+SELECT dow, hour, n,
+       ROUND(CAST(n AS DOUBLE) * 168 / total, 4) AS load_factor
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+""",
+)
+def qe19(spark, sf_dir):
+    """Hour-of-week seasonality profile: event volume per (day-of-week,
+    hour) cell with a load factor normalized so a perfectly flat week
+    scores 1.0 everywhere — the traffic-shape fingerprint capacity
+    planning and the qe14 anomaly baseline both read (a 3× Friday-noon
+    factor is signal; the same count at 4am Sunday is an incident).
+    One 168-cell aggregation; day-of-week numbering aligned across
+    engines (Sunday=1)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    )
+    cells = ev.groupBy("dow", "hour").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(F.col("n").cast("double") * 168 / F.col("total"), 4).alias(
+                "load_factor"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )

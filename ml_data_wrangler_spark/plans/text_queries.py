@@ -663,3 +663,82 @@ def qt14(spark, sf_dir):
         )
         .orderBy("labeled_lang", "detected_lang")
     )
+
+
+_SQL_WS_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)"
+
+
+def _sql_pii_count(pattern: str) -> str:
+    return (
+        f"CAST(len(list_filter({_SQL_WS_TOKS}, w -> regexp_matches(w, '{pattern}')))"
+        " AS BIGINT)"
+    )
+
+
+@query(
+    "qt15_pii_incidence",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({_SQL_WS_TOKS}) AS BIGINT) AS n_tokens,
+         {_sql_pii_count(EMAIL_RE)} AS n_email,
+         {_sql_pii_count(URL_RE)} AS n_url,
+         {_sql_pii_count(UUID_RE)} AS n_uuid,
+         {_sql_pii_count(MD5_RE)} AS n_md5,
+         {_sql_pii_count(IPV4_RE)} AS n_ipv4
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_email) AS BIGINT) AS n_email,
+       CAST(SUM(n_url) AS BIGINT) AS n_url,
+       CAST(SUM(n_uuid) AS BIGINT) AS n_uuid,
+       CAST(SUM(n_md5) AS BIGINT) AS n_md5,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(CASE WHEN n_email + n_url + n_uuid + n_md5 + n_ipv4 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def qt15(spark, sf_dir):
+    """PII incidence report: per source, how many tokens match each
+    scrub class (email/URL/UUID/MD5/IPv4 — the same validators qt03
+    REMOVES with) and how many documents carry any — the compliance
+    number a pipeline publishes BEFORE scrubbing, so redaction volume
+    is monitored, not assumed. All map-side regex counts over one
+    scan, one 20-row aggregation."""
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
+
+    def n_match(pattern):
+        return F.size(
+            F.filter(ws, lambda w: w.rlike(pattern))
+        ).cast("bigint")
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        n_match(EMAIL_RE).alias("n_email"),
+        n_match(URL_RE).alias("n_url"),
+        n_match(UUID_RE).alias("n_uuid"),
+        n_match(MD5_RE).alias("n_md5"),
+        n_match(IPV4_RE).alias("n_ipv4"),
+    )
+    any_pii = (
+        F.col("n_email") + F.col("n_url") + F.col("n_uuid")
+        + F.col("n_md5") + F.col("n_ipv4")
+    ) > 0
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_url").alias("n_url"),
+            F.sum("n_uuid").alias("n_uuid"),
+            F.sum("n_md5").alias("n_md5"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum(any_pii.cast("bigint")).alias("n_docs_with_pii"),
+        )
+        .orderBy("source")
+    )
