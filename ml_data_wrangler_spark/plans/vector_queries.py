@@ -416,3 +416,50 @@ def qv10(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "qv11_gemm_agreement",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS recall_ge_099
+FROM embeddings WHERE vec_id % 20 = 0
+""",
+)
+def qv11(spark, sf_dir):
+    """The Arrow/numpy GEMM KNN path, gate-pinned: run BOTH exact
+    formulations (qv01's per-element JVM fold and qv07's mapInPandas
+    GEMM) over the same query sample inside one job, measure top-5
+    neighbor agreement per query, and emit the qe07-style bounded
+    boolean — mean recall ≥ 0.99 — that the oracle pins TRUE (the two
+    paths differ only in float fold order on near-ties). This promotes
+    the unit-test assertion into the driver's correctness gate, so a
+    regression in the Pandas-UDF plumbing (batch shape, partition-
+    local top-k, merge window) fails the gate, not just CI."""
+    from ml_data_wrangler_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    exact = brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    gemm = brute_force_topk_vectorized(emb, queries_df, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_gemm")
+    )
+    per_query = (
+        exact.join(
+            gemm,
+            (exact["query_id"] == gemm["query_id"])
+            & (exact["n_exact"] == gemm["n_gemm"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("qid"))
+        .agg((F.count(gemm["n_gemm"]) / F.lit(5.0)).alias("recall"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.99).alias("recall_ge_099"),
+    )
