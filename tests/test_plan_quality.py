@@ -294,3 +294,44 @@ def test_dedup_budget_pipeline_single_window_shuffle(spark, sf_dir, q):
     plan = _plan(q["qc08_dedup_budget_pipeline"](spark, sf_dir))
     assert "pythonUDF" not in plan.lower()
     assert "Window" in plan
+
+
+def test_cms_plan_no_python_no_sort_merge(spark, sf_dir, q):
+    """qe16: sketch build + readback is hash-aggregate/broadcast only."""
+    plan = _plan(q["qe16_cms_heavy_hitters"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir, q):
+    """qe17: the salted aggregation must show BOTH groupings (key+salt
+    partial, then key merge) and no Python."""
+    plan = _plan(q["qe17_salted_type_stats"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    # partial(key,salt) + final(key,salt) + partial(key) + final(key)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_contract_runner_single_aggregate(spark, sf_dir, q):
+    """qe18: all five constraints fold into one join-free aggregation."""
+    plan = _plan(q["qe18_event_contract"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_chunking_prunes_scan(spark, sf_dir, q):
+    """qc10: the chunker must read only (doc_id, text) — never the
+    whole documents schema."""
+    plan = _plan(q["qc10_chunk_documents"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(":") <= 3, read_schema
+    assert "doc_id" in read_schema and "text" in read_schema
+
+
+def test_capped_tfidf_no_uncapped_blowup(spark, sf_dir, q):
+    """qm12: the df cap must appear as a filter BELOW the pair join
+    (postings are pruned before the self-join, not after)."""
+    plan = _plan(q["qm12_tfidf_pairs_capped"](spark, sf_dir))
+    assert "pythonUDF" not in plan.lower()
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar-N only
