@@ -201,3 +201,54 @@ def qs06(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     pairs = stream_stream_interval_join(stream)
     return run_to_memory(pairs, "qs06_sink", output_mode="append")
+
+
+@query(
+    "qs07_stream_approx_dau",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def qs07(spark, sf_dir):
+    """Streaming approximate DAU: daily distinct users from the event
+    STREAM via approx_count_distinct (exact distinct is unsupported in
+    streaming aggregation — the HLL sketch is not a compromise here,
+    it is the only shape that exists), verified with the qe07/qe09
+    bounded-error pattern: the streamed estimate joins the batch-exact
+    count and the oracle pins |approx − exact| / exact ≤ 3·rsd TRUE.
+    HLL register-max merging is order-independent, so the streamed
+    estimate is deterministic regardless of micro-batching — that
+    determinism is exactly what makes the bound gate-checkable."""
+    from ml_data_wrangler_spark.plans._util import t
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"))
+        .select(F.col("w.start").alias("day"), "dau_approx")
+    )
+    streamed = run_to_memory(agg, "qs07_sink", output_mode="complete")
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau_exact"))
+    )
+    return (
+        exact.join(streamed, "day")
+        .select(
+            "day",
+            "dau_exact",
+            (
+                F.abs(F.col("dau_approx") - F.col("dau_exact"))
+                / F.col("dau_exact")
+                <= 0.06
+            ).alias("approx_ok"),
+        )
+        .orderBy("day")
+    )
