@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r02.json — it snapshots ~50 queries in registration
 # order). Listing them lets queries() order NEVER-YET-GATED queries
 # first, so the union of per-round gate files converges on full
-# coverage of the registry (143 queries as of round 3). NEXT ROUND:
+# coverage of the registry (144 queries as of round 3). NEXT ROUND:
 # fold CORRECTNESS_r03's recorded names into this set so the ordering
 # keeps converging.
 _GATED_PASS_R02 = frozenset(

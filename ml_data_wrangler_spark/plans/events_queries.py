@@ -938,3 +938,48 @@ def qe19(spark, sf_dir):
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "qe20_event_debounce",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM seq
+WHERE prev_ts IS NULL
+   OR date_diff('microsecond', prev_ts, ts) >= 600000000
+ORDER BY event_id
+""",
+)
+def qe20(spark, sf_dir):
+    """Event debounce: suppress an event when the SAME (user, type)
+    fired less than 10 minutes earlier — the telemetry de-noising rule
+    for double-clicks, retry storms, and duplicate beacons. Lag-based
+    (each event compares to its immediate predecessor), which is the
+    deterministic, one-window-pass semantics; the greedy
+    keep-first-then-drop-all-within-T variant is inherently sequential
+    and belongs to the streaming dedup (qs04) with its watermark
+    state. One shuffle on (user, type); the gap test is µs-exact
+    integer arithmetic on both engines."""
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        seq.where(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= 600_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
