@@ -37,18 +37,29 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries the driver's correctness gate already recorded as PASS
-# (CORRECTNESS_r02.json — it snapshots ~50 queries in registration
-# order). Listing them lets queries() order NEVER-YET-GATED queries
-# first, so the union of per-round gate files converges on full
-# coverage of the registry (144 queries as of round 3). NEXT ROUND:
-# fold CORRECTNESS_r03's recorded names into this set so the ordering
-# keeps converging.
-_GATED_PASS_R02 = frozenset(
+# Queries the driver's correctness gate already recorded (the driver
+# snapshots ~50 queries per round in registration order). Listing them
+# lets queries() order NEVER-YET-GATED queries first, so the union of
+# per-round gate files converges on full coverage of the registry
+# (144+ queries as of round 4). Union of CORRECTNESS_r01/r02/r03.
+# qm05 is deliberately EXCLUDED: its round-3 gate row errored (array
+# output column crashed the driver canon — now fixed to emit a joined
+# string) and it must be re-gated to prove the fix.
+_GATED_PASS = frozenset(
+    # r01 ∪ r02
     [f"q{i:02d}" for i in range(1, 33)]
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
     + ["qj01", "qj02", "qj03"]
     + [f"qw{i:02d}" for i in range(1, 9)]
+    # r03 (minus qm05 — see above)
+    + [f"qc{i:02d}" for i in range(1, 7)]
+    + ["qd01", "qd02", "qd03", "qd04", "qd06", "qd07", "qd08"]
+    + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
+    + ["qm01", "qm02", "qm03", "qm04", "qm07"]
+    + [f"qs{i:02d}" for i in range(1, 7)]
+    + [f"qt{i:02d}" for i in range(1, 8)]
+    + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
+    + [f"qx{i:02d}" for i in range(1, 6)]
 )
 
 
@@ -59,8 +70,8 @@ def _short(name: str) -> str:
 def _gate_order(names: list[str]) -> list[str]:
     """Never-gated queries first (family-interleaved by the registry),
     previously-gated ones after."""
-    fresh = [n for n in names if _short(n) not in _GATED_PASS_R02]
-    seen = [n for n in names if _short(n) in _GATED_PASS_R02]
+    fresh = [n for n in names if _short(n) not in _GATED_PASS]
+    seen = [n for n in names if _short(n) in _GATED_PASS]
     return fresh + seen
 
 

@@ -54,6 +54,57 @@ def dbl(c: Column) -> Column:
     return c.cast("double")
 
 
+def global_row_number(
+    df: DataFrame, *order: Column, out: str = "rn", n_out: str | None = None
+) -> DataFrame:
+    """Distributed global ROW_NUMBER() OVER (ORDER BY *order) — never a
+    single-partition window (the classic global-rank scale trap: an
+    unpartitioned WindowExec moves EVERY row to one reducer).
+
+    Two-pass pattern (qw07's, extracted so every global rank in the
+    registry shares it):
+
+      1. range-partition on the sort key (Spark samples split points),
+         row_number within each partition;
+      2. per-partition counts → running offsets via a triangular
+         broadcast self-join over the #partitions-row relation (no
+         WindowExec anywhere in the plan runs unpartitioned);
+      3. broadcast offsets back: ``out`` = offset + local row_number.
+
+    The caller must pass a TOTAL order (include a tiebreak column) for
+    a deterministic result. When ``n_out`` is given, the total row
+    count is attached under that name (needed for percent_rank/ntile).
+    """
+    from pyspark.sql import Window as W
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(parallelism, *order).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("_gr_pid").orderBy(*order)
+    local = parts.withColumn("_gr_local", F.row_number().over(local_w))
+    counts = local.groupBy("_gr_pid").agg(F.count("*").alias("_gr_cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col("x._gr_pid").alias("_gr_pid"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("y._gr_pid") < F.col("x._gr_pid"), F.col("y._gr_cnt")
+                ).otherwise(0)
+            ).alias("_gr_offset"),
+            F.sum("y._gr_cnt").alias("_gr_n"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "_gr_pid").withColumn(
+        out, F.col("_gr_offset") + F.col("_gr_local")
+    )
+    if n_out is not None:
+        ranked = ranked.withColumn(n_out, F.col("_gr_n"))
+    return ranked.drop("_gr_pid", "_gr_local", "_gr_cnt", "_gr_offset", "_gr_n")
+
+
 # The same expressions for the DuckDB side, as SQL fragments.
 SQL_MONEY = "CAST({c} AS DECIMAL(12,2))"
 SQL_DISC_PRICE = (

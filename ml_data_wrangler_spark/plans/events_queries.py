@@ -521,9 +521,10 @@ def qe12(spark, sf_dir):
     first makes the running total a prefix sum over ~days rows.
 
     Physical shape: one shuffle on user_id (min-ts reduce), one on day
-    (tiny), then a window over the per-day rows — the global orderBy
-    window touches only |days| rows, so the single-partition sort the
-    plan audit bans elsewhere is bounded and harmless here."""
+    (tiny), then the prefix sum over the |days|-row relation runs as a
+    triangular broadcast self-join (the global_row_number offset
+    trick) — |days|² comparisons on a tiny table, and NO WindowExec in
+    the registry ever runs unpartitioned (audited)."""
     ev = t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("first_day")
@@ -531,9 +532,16 @@ def qe12(spark, sf_dir):
     per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return per_day.select(
-        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    x, y = per_day.alias("x"), per_day.alias("y")
+    return (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col("x.day").alias("day"), F.col("x.new_users").alias("new_users"))
+        .agg(
+            F.sum(
+                F.when(F.col("y.day") <= F.col("x.day"), F.col("y.new_users")).otherwise(0)
+            ).alias("cumulative_users"),
+        )
+        .select("day", "new_users", "cumulative_users")
     )
 
 

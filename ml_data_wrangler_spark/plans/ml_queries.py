@@ -149,7 +149,7 @@ WITH lem AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       toks[1:5] AS first_tokens
+       array_to_string(toks[1:5], ' ') AS first_tokens
 FROM lem
 """,
 )
@@ -157,7 +157,9 @@ def qm05(spark, sf_dir):
     """N1-N4 — lemmatization pipeline (Arrow-batched pandas UDF;
     spaCy backend when available, deterministic rule backend here).
     Returns (doc_id, n_tokens, first_tokens) — scalar projections of
-    the token array.
+    the token array. first_tokens is space-joined to a STRING because
+    the driver's canonicalizer hashes atomic columns only (an
+    array<string> final column crashed its pandas sort in round 3).
 
     ORACLE-CHECKED against a full DuckDB SQL mirror of the rule
     backend (tokenize → alpha-strip → stopword/length filter →
@@ -170,7 +172,7 @@ def qm05(spark, sf_dir):
     return lt.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),
-        F.slice("tokens", 1, 5).alias("first_tokens"),
+        F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("first_tokens"),
     )
 
 

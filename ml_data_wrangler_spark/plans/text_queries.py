@@ -563,26 +563,27 @@ def qt13(spark, sf_dir):
     boilerplate floods, and synthetic junk bend it) that belongs in
     every corpus build's observability report.
 
-    Shape at scale: ONE token aggregation; the regression runs over
-    the vocabulary-sized table (rank via a global window over |vocab|
-    rows — bounded, like qe12's per-day window) and collapses to a
-    single row of sums. Float discipline: slope assembled from the
-    five sums in ONE expression, identical association order both
-    engines, rounded to 4."""
+    Shape at scale: ONE token aggregation; the rank over the
+    vocabulary-sized table (hundreds of millions of token types at
+    100 TB — NOT days-bounded) uses the two-pass distributed
+    global_row_number (qw07's pattern: range-partition + local
+    row_number + broadcast offsets), so no WindowExec in the plan ever
+    runs unpartitioned; everything collapses to a single row of sums.
+    Float discipline: slope assembled from the five sums in ONE
+    expression, identical association order both engines, rounded to
+    4."""
+    from ml_data_wrangler_spark.plans._util import global_row_number
+
     uni = (
         t(spark, sf_dir, "documents")
         .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n1"))
     )
-    from pyspark.sql import Window as W
-
-    x = F.log(
-        F.row_number().over(W.orderBy(F.desc("n1"), "token")).cast("double")
-    )
-    y = F.log(F.col("n1").cast("double"))
-    ranked = uni.select(
-        x.alias("x"), y.alias("y"), F.col("n1")
+    ranked = global_row_number(uni, F.desc("n1"), F.col("token")).select(
+        F.log(F.col("rn").cast("double")).alias("x"),
+        F.log(F.col("n1").cast("double")).alias("y"),
+        F.col("n1"),
     )
     s = ranked.agg(
         F.count("*").alias("k"),

@@ -203,34 +203,17 @@ def qw07(spark, sf_dir):
     The sort key (o_totalprice, o_orderkey) is unique per row, so
     percent_rank = (rn−1)/(N−1) and ntile(4) follows the SQL bucket
     rule: with N = 4q + r, the first r buckets take q+1 rows. Results
-    hash-match the oracle's PERCENT_RANK/NTILE exactly."""
+    hash-match the oracle's PERCENT_RANK/NTILE exactly.
+
+    (The two-pass rank itself lives in _util.global_row_number so
+    every global rank in the registry — this one, qt13's Zipf rank —
+    shares the audited implementation.)"""
+    from ml_data_wrangler_spark.plans._util import global_row_number
+
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    parallelism = spark.sparkContext.defaultParallelism
-    parts = o.repartitionByRange(
-        parallelism, "o_totalprice", "o_orderkey"
-    ).withColumn("pid", F.spark_partition_id())
-    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = parts.withColumn("local_rn", F.row_number().over(local_w))
-    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
-    # running offsets over the per-partition counts via a triangular
-    # self-join (#partitions² rows — trivial) rather than a global
-    # window, so NO WindowExec in the whole plan ever runs
-    # unpartitioned
-    x, y = counts.alias("x"), counts.alias("y")
-    offsets = (
-        x.join(F.broadcast(y), F.lit(True))
-        .groupBy(F.col("x.pid").alias("pid"))
-        .agg(
-            F.sum(
-                F.when(F.col("y.pid") < F.col("x.pid"), F.col("y.cnt")).otherwise(0)
-            ).alias("offset"),
-            F.sum("y.cnt").alias("n"),
-        )
-    )
-    rn = (F.col("offset") + F.col("local_rn")).alias("rn")
-    ranked = local.join(F.broadcast(offsets), "pid").select(
-        "o_orderkey", rn, F.col("n")
-    )
+    ranked = global_row_number(
+        o, F.col("o_totalprice"), F.col("o_orderkey"), out="rn", n_out="n"
+    ).select("o_orderkey", "rn", "n")
     # SQL NTILE(k): N = k*q + r → first r buckets hold q+1 rows
     k = F.lit(4)
     q = F.floor(F.col("n") / k)

@@ -11,7 +11,6 @@ from tests.oracle_harness import (
     compare,
     duckdb_connection,
     run_oracle,
-    run_spark_query,
 )
 
 QUERIES = registry.queries()
@@ -27,9 +26,26 @@ def con(sf_dir):
     c.close()
 
 
+def _assert_atomic_schema(name, df):
+    """The driver's canonicalizer pandas-sorts every output column and
+    hashes values — an array/map/struct-typed FINAL column crashes it
+    (proven: qm05 in round 3). Every oracle-checked query must emit
+    atomic types only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} emits non-atomic columns {bad}"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, sf_dir, con, name):
-    cols, rows = run_spark_query(spark, QUERIES[name], sf_dir)
+    df = QUERIES[name](spark, sf_dir)
+    _assert_atomic_schema(name, df)
+    cols, rows = list(df.columns), [tuple(r) for r in df.collect()]
     o_cols, o_rows = run_oracle(con, ORACLES[name])
     problems = compare(name, cols, rows, o_cols, o_rows)
     assert not problems, f"{name}: " + " | ".join(problems)

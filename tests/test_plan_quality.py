@@ -105,6 +105,46 @@ def test_jaccard_plan_parallel_and_no_nested_loop(spark, sf_dir, q):
     assert "DataFilters: [isnotnull(doc_id" in plan or "transform(sequence" not in plan.split("FileScan")[1][:600]
 
 
+# Queries whose CONSTRUCTION executes distributed jobs (model fits,
+# streaming runs, iterative connected-components) — their returned
+# frame is a memory-sink scan or a driver-assembled result, so a
+# window audit on the final plan is vacuous; each family has its own
+# dedicated audit above/below instead.
+_EAGER_CONSTRUCT = frozenset(
+    [f"qs{i:02d}" for i in range(1, 8)]
+    + ["qm03", "qm04", "qm07", "qv05", "qv06", "qd03", "qd07", "qd09"]
+)
+
+
+def test_registry_sweep_no_unpartitioned_window(spark, sf_dir, q):
+    """Registry-wide audit: NO query plans an unpartitioned window or
+    an Exchange SinglePartition sort stage (the global-rank scale trap
+    qt13 fell into in round 3). Lazily-constructed queries only (see
+    _EAGER_CONSTRUCT); global aggregations to ONE ROW legitimately
+    plan Exchange SinglePartition for the final scalar collapse, so
+    only WINDOW-bearing single-partition exchanges fail."""
+    offenders = []
+    for name, fn in q.items():
+        if name.split("_", 1)[0] in _EAGER_CONSTRUCT:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "Window" not in plan:
+            continue
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                if "SinglePartition" in line:
+                    offenders.append(f"{name}: {line.strip()[:160]}")
+        # a Window fed by a single-partition exchange is the same trap
+        # even when the spec line doesn't say so: the exchange's
+        # CONSUMER appears just above it in the printed tree
+        segs = plan.split("Exchange SinglePartition")
+        for i in range(1, len(segs)):
+            prev = segs[i - 1].splitlines()[-4:]
+            if any("Window " in ln for ln in prev):
+                offenders.append(f"{name}: Window over Exchange SinglePartition")
+    assert not offenders, offenders
+
+
 def test_qw07_no_single_partition_window(spark, sf_dir, q):
     """qw07's docstring claims the global rank never plans a
     single-partition window: the sort is range-partitioned and every
