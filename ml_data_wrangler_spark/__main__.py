@@ -90,7 +90,13 @@ def cmd_corpus_build(args) -> int:
     manifest-verified sharded JSONL delivery. One command from raw
     documents to a training-ready corpus directory + integrity
     manifest — the end-to-end flow the individual operators exist
-    for."""
+    for.
+
+    The dedup+quality pipeline is computed ONCE: the sink persists the
+    routed frame across its write job and manifest aggregation. The
+    only other action here is n_raw = docs.count(), a plain parquet
+    row-count against the source (metadata-cheap, no pipeline
+    recompute)."""
     from pyspark.sql import functions as F
 
     from ml_data_wrangler_spark.functions.textstats import (

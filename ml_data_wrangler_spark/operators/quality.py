@@ -35,8 +35,13 @@ def constraint_report(df: DataFrame, constraints: dict[str, Column]) -> DataFram
     """
     if not constraints:
         raise ValueError("constraints must be a non-empty dict")
+    # coalesce each SUM: over zero rows SUM is NULL, and the empty
+    # batch (a contract runner WILL eventually see one) must report a
+    # consistent (n_rows=0, n_violations=0, violation_frac=0.0) row
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum((~F.coalesce(pred, F.lit(False))).cast("bigint")).alias(f"_v_{i}")
+        F.coalesce(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("bigint")), F.lit(0)
+        ).alias(f"_v_{i}")
         for i, pred in enumerate(constraints.values())
     ]
     row = df.agg(*aggs)

@@ -205,6 +205,65 @@ def lsh_ann_pairs(
     )
 
 
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    block_col: str = "label",
+    sim_threshold: float = 0.35,
+    block_cap: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic blocked pairwise cosine with a hot-block work cap.
+
+    Within each block (e.g. a label), vectors are ranked by id (a
+    window PARTITIONED by the block — never global) and split into
+    consecutive sub-blocks of ``block_cap`` rows; pairs are compared
+    only within a sub-block. For every block with ≤ block_cap members
+    — the normal case — there is exactly one sub-block and the
+    semantics are EXACT all-pairs-within-block. For a hot block the
+    comparison count degrades gracefully from |block|² to
+    |block|·block_cap (linear in the data), so one skewed key can
+    never go quadratic; production routes such blocks to the LSH tier
+    (tiered_cosine_pairs) instead, which bounds candidates without
+    the sub-block recall loss.
+
+    Fully oracle-expressible: rank/sub-block/join/threshold are plain
+    SQL. Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded
+    to 6 and ≥ sim_threshold.
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col), F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "_sub",
+        F.floor(
+            (F.row_number().over(W.partitionBy("_blk").orderBy(id_col)) - 1)
+            / F.lit(block_cap)
+        ),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    # shuffle-hash: array-typed relations must never broadcast on an
+    # underestimated size
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._sub") == F.col("b._sub"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(sim >= sim_threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            sim.alias("sim"),
+        )
+    )
+
+
 def tiered_cosine_pairs(
     corpus: DataFrame,
     sim_threshold: float = 0.35,

@@ -790,7 +790,13 @@ def qe16(spark, sf_dir):
         ).join(F.broadcast(cms_r), f"b{r}")
         est_cols.append(F.col(f"c{r}"))
     est = F.least(*est_cols)
-    slack = F.ceil(F.lit(math.e / w) * F.col("n_total"))
+    # 3× the textbook ⌈(e/w)·N⌉ slack: the CMS overshoot bound is a
+    # per-row Markov bound (≥1−1/e per row, min over d rows), i.e.
+    # high-probability, NOT hard — and the driver regenerates testdata
+    # between rounds. At 3× the per-key flip probability is ≤(1/3e)⁴
+    # ≈ 2e-4 (negligible across the top-20), while a real bug (wrong
+    # bucketing, dropped rows) still trips it by orders of magnitude.
+    slack = F.ceil(F.lit(3.0 * math.e / w) * F.col("n_total"))
     return (
         joined.select(
             "user_id",

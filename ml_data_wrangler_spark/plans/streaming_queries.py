@@ -220,7 +220,7 @@ def qs07(spark, sf_dir):
     streaming aggregation — the HLL sketch is not a compromise here,
     it is the only shape that exists), verified with the qe07/qe09
     bounded-error pattern: the streamed estimate joins the batch-exact
-    count and the oracle pins |approx − exact| / exact ≤ 3·rsd TRUE.
+    count and the oracle pins |approx − exact| / exact ≤ 6·rsd TRUE.
     HLL register-max merging is order-independent, so the streamed
     estimate is deterministic regardless of micro-batching — that
     determinism is exactly what makes the bound gate-checkable."""
@@ -244,10 +244,17 @@ def qs07(spark, sf_dir):
         .select(
             "day",
             "dau_exact",
+            # 6·rsd margin (rsd=0.02 → 12%): the HLL error is a
+            # HIGH-PROBABILITY bound, not a hard one, and the driver
+            # regenerates testdata between rounds — 3·rsd (~99.7%)
+            # leaves a real spurious-flip tail across many day-rows; a
+            # 6-sigma margin does not, while still failing on any
+            # implementation bug (which produces errors of the
+            # estimate's magnitude, not fractions of rsd)
             (
                 F.abs(F.col("dau_approx") - F.col("dau_exact"))
                 / F.col("dau_exact")
-                <= 0.06
+                <= 0.12
             ).alias("approx_ok"),
         )
         .orderBy("day")

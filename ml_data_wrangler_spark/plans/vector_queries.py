@@ -139,37 +139,38 @@ def qv03(spark, sf_dir):
 @query(
     "qv04_cosine_candidates",
     oracle=f"""
-WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(floor((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+                    / 1000) AS BIGINT) AS sub
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) AS sim
-FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM c a JOIN c b ON a.label = b.label AND a.sub = b.sub
+                  AND a.vec_id < b.vec_id
 WHERE ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
 """,
 )
 def qv04(spark, sf_dir):
     """Embedding-cosine near-dup candidates: same-label blocked
-    pairwise cosine ≥ 0.35. Oracle-checkable (deterministic blocking),
-    but Σ|block|² — one hot label goes quadratic at scale. qv08 is the
-    recommended path: LSH candidates → the same exact cosine verify,
-    which bounds candidate generation independent of label skew."""
-    c = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = c.alias("a")
-    b = c.alias("b")
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(sim >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
+    pairwise cosine ≥ 0.35, with a 1000-row hot-block cap (consecutive
+    id-ranked sub-blocks — see operators/similarity.blocked_cosine_
+    pairs). Exact all-pairs-within-label whenever a label has ≤1000
+    members (always true at test SFs, so the oracle pins the exact
+    semantics); a hot label degrades to |block|·cap comparisons
+    instead of going quadratic. qv08 remains the recommended 100 TB
+    path (LSH candidates → exact verify — no sub-block recall loss);
+    the cap here makes the oracle-checkable exact dual safe to run
+    anywhere. Cap semantics unit-tested with a biting cap in
+    tests/test_dedup_similarity.py."""
+    from ml_data_wrangler_spark.operators.similarity import blocked_cosine_pairs
+
+    return blocked_cosine_pairs(
+        t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        sim_threshold=0.35,
+        block_cap=1000,
     )
 
 

@@ -138,9 +138,16 @@ def write_corpus_shards_with_manifest(
 
     The content hash is order-independent (sum of per-row xxhash64 in
     unbounded-integer space via DECIMAL(38,0)), so it is stable no
-    matter how tasks interleave rows into the shard file. Both the
-    shard routing and the manifest come from ONE shuffle of the data;
-    the manifest aggregation is map-side-combined per shard.
+    matter how tasks interleave rows into the shard file. Each row is
+    hashed over its canonical JSON serialization (to_json of the full
+    row struct), so a value moving between columns — or a column going
+    NULL — always changes the hash; a positional xxhash64(*cols) would
+    skip NULLs without advancing state and collide such rows. The
+    routed frame is PERSISTED across the write job and the manifest
+    aggregation, so the manifest provably describes the same
+    materialized rows that were written even if an upstream stage is
+    nondeterministic (the write is the materializing action; the
+    manifest aggregation reads the cached partitions).
 
     At 100 TB: shards are the unit of parallel delivery and of resume
     — a failed transfer re-ships one shard, and the manifest detects
@@ -151,20 +158,30 @@ def write_corpus_shards_with_manifest(
 
     if not 1 <= n_shards <= 1 << 16:
         raise ValueError(f"n_shards out of range (max 65536): {n_shards}")
-    routed = df.withColumn("shard", hash_bucket(F.col(id_col), n_shards).cast("int"))
-    (
-        routed.repartition(n_shards, F.col("shard"))
-        .write.mode(mode)
-        .partitionBy("shard")
-        .option("compression", "gzip")
-        .json(out_dir)
-    )
-    row_hash = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-    return (
-        routed.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(row_hash).cast("decimal(38,0)").alias("content_hash"),
+    routed = df.withColumn(
+        "shard", hash_bucket(F.col(id_col), n_shards).cast("int")
+    ).repartition(n_shards, F.col("shard"))
+    routed.persist()
+    try:
+        (
+            routed.write.mode(mode)
+            .partitionBy("shard")
+            .option("compression", "gzip")
+            .json(out_dir)
         )
-        .orderBy("shard")
-    )
+        row_hash = F.xxhash64(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        ).cast("decimal(38,0)")
+        manifest = (
+            routed.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(row_hash).cast("decimal(38,0)").alias("content_hash"),
+            )
+            .orderBy("shard")
+        )
+        manifest_rows = manifest.collect()
+    finally:
+        routed.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(manifest_rows, schema=manifest.schema)

@@ -137,6 +137,31 @@ def test_brute_force_topk_order(vectors):
     assert sims[2] > 0.99
 
 
+def test_blocked_cosine_pairs_cap_semantics(spark):
+    """qv04's hot-block cap: with block_cap larger than every block the
+    result is EXACT all-pairs-within-block; with a biting cap, pairs
+    only form within consecutive id-ranked sub-blocks, so total work is
+    |block|·cap, never |block|². Identical near-identical vectors make
+    every within-block pair pass the threshold, so the counts are pure
+    combinatorics."""
+    from ml_data_wrangler_spark.operators.similarity import blocked_cosine_pairs
+
+    rows = [
+        Row(vec_id=i, label="hot", embedding=[1.0, 0.0, float(i) * 1e-4])
+        for i in range(1, 8)  # 7-member hot block, all mutually sim≈1
+    ] + [Row(vec_id=100, label="cold", embedding=[0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows)
+
+    uncapped = blocked_cosine_pairs(df, block_cap=1000, sim_threshold=0.9)
+    assert uncapped.count() == 7 * 6 // 2  # exact all-pairs in the block
+
+    capped = blocked_cosine_pairs(df, block_cap=3, sim_threshold=0.9)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    # sub-blocks by id rank: {1,2,3}, {4,5,6}, {7} → 3 + 3 + 0 pairs,
+    # and never a pair straddling a sub-block boundary
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)}
+
+
 def test_tiered_cosine_pairs_recall_and_precision(spark):
     """qv08's tiered path (LSH candidates → exact verify) on the
     synthetic embeddings: precision must be exact by construction

@@ -46,6 +46,16 @@ def test_constraint_report_single_job_plan(spark):
     assert "pythonUDF" not in plan.lower()
 
 
+def test_constraint_report_empty_batch_consistent(spark):
+    """Zero input rows → every constraint reports (0, 0, 0.0), never a
+    NULL n_violations (SUM over zero rows is NULL without coalesce)."""
+    df = spark.createDataFrame([], "value long")
+    out = constraint_report(df.where(F.lit(False)), {"nonneg": F.col("value") >= 0}).collect()
+    assert [(r["n_rows"], r["n_violations"], r["violation_frac"]) for r in out] == [
+        (0, 0, 0.0)
+    ]
+
+
 def test_constraint_report_rejects_empty(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):

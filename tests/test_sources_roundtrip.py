@@ -209,13 +209,42 @@ def test_corpus_shards_manifest_matches_written_data(spark, tmp_path):
         .agg(
             F.count("*").alias("n"),
             F.sum(
-                F.xxhash64(F.col("doc_id"), F.col("text")).cast("decimal(38,0)")
+                F.xxhash64(
+                    F.to_json(F.struct(F.col("doc_id"), F.col("text")))
+                ).cast("decimal(38,0)")
             ).cast("decimal(38,0)").alias("h"),
         )
         .collect()
     }
     for m in manifest:
         assert re_manifest[m["shard"]] == (m["n_rows"], m["content_hash"])
+
+
+def test_corpus_shards_hash_distinguishes_null_position(spark, tmp_path):
+    """Rows that differ only in WHICH column is NULL must hash
+    differently (a positional xxhash64 over columns skips NULLs
+    without advancing state and collides them — the canonical-JSON
+    row hash must not)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+        ]
+    )
+    m1 = write_corpus_shards_with_manifest(
+        spark.createDataFrame([(1, "x", None)], schema),
+        str(tmp_path / "m1"), id_col="doc_id", n_shards=1,
+    ).collect()
+    m2 = write_corpus_shards_with_manifest(
+        spark.createDataFrame([(1, None, "x")], schema),
+        str(tmp_path / "m2"), id_col="doc_id", n_shards=1,
+    ).collect()
+    assert m1[0]["content_hash"] != m2[0]["content_hash"]
 
 
 def test_corpus_shards_validates_n_shards(spark, tmp_path):
