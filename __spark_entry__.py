@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # lets queries() order NEVER-YET-GATED queries first, so the union of
 # per-round gate files converges on full coverage of the registry
 # (144+ queries as of round 4). Union of CORRECTNESS_r01/r02/r03.
-# qm05 is deliberately EXCLUDED: its round-3 gate row errored (array
-# output column crashed the driver canon — now fixed to emit a joined
-# string) and it must be re-gated to prove the fix.
+# Deliberately EXCLUDED so they re-gate under their round-4 forms:
+# qm05 (array output crashed the driver canon — now a joined string),
+# qd03/qd04/qv06 (rows-only in r03 — now oracle-pinned bounded-error
+# forms).
 _GATED_PASS = frozenset(
     # r01 ∪ r02
     [f"q{i:02d}" for i in range(1, 33)]
@@ -53,7 +54,7 @@ _GATED_PASS = frozenset(
     + [f"qw{i:02d}" for i in range(1, 9)]
     # r03 (minus qm05 — see above)
     + [f"qc{i:02d}" for i in range(1, 7)]
-    + ["qd01", "qd02", "qd03", "qd04", "qd06", "qd07", "qd08"]
+    + ["qd01", "qd02", "qd06", "qd07", "qd08"]
     + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
     + ["qm01", "qm02", "qm03", "qm04", "qm07"]
     + [f"qs{i:02d}" for i in range(1, 7)]
@@ -85,8 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirrors. Missing keys (LDA topics +
-    coherence sweeps, lemmatize, MinHash, SimHash, IVF/LSH ANN,
-    HLL/quantile sketches, multimodal stub features) are
-    approximate/model-based ops → rows-only check by design."""
+    coherence sweeps, raw 64-bit SimHash pairs, raw IVF/GEMM result
+    streams) are model-based/non-SQL ops → rows-only check by design;
+    the approximate families additionally gate through oracle-pinned
+    bounded-error duals (qd03/qd04/qv06/qv11/qv12, qe07/qe16/qs07)."""
     o = registry.oracle_sql()
     return {n: o[n] for n in _gate_order(list(registry.queries())) if n in o}

@@ -201,12 +201,75 @@ def qv05(spark, sf_dir):
     )
 
 
-@query("qv06_lsh_ann_pairs")  # LSH buckets → rows-only oracle
+@query(
+    "qv06_lsh_ann_pairs",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(floor(vec_id / 2000) AS BIGINT) AS sub,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) AS sim,
+       TRUE AS lsh_recall_ok
+FROM c a JOIN c b ON a.sub = b.sub AND a.vec_id < b.vec_id
+WHERE ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+""",
+)
 def qv06(spark, sf_dir):
-    """Random-hyperplane LSH near-neighbor pairs on the unit sphere
-    (BucketedRandomProjectionLSH over L2-normalized embeddings)."""
-    return lsh_ann_pairs(
-        t(spark, sf_dir, "embeddings"), distance_threshold=1.15, seed=42
+    """Random-hyperplane LSH near-neighbor pairs
+    (BucketedRandomProjectionLSH over L2-normalized embeddings),
+    ORACLE-PINNED via the qd03 pattern: every exact cosine≥0.35 pair
+    (ground truth the oracle recomputes) is emitted with the aggregate
+    LSH recall ≥ 0.7 boolean. The candidate net uses distance 1.2
+    (cos ≥ 0.28 on the unit sphere — strictly wider than the 0.35
+    gate). Measured recall here: 0.974 over 271 true pairs at sf0.01;
+    0.7 leaves regeneration margin while a broken hash family (~0
+    recall) always trips. The raw LSH pair stream stays available via
+    operators.similarity.lsh_ann_pairs.
+
+    The exact ground-truth side is NOT an unbounded all-pairs θ-join:
+    both sides carry an id-block key floor(vec_id/2000) and equi-join
+    on it (ShuffledHashJoin — arrays never broadcast). vec_ids are
+    dense, so every test SF (≤2000 vectors) falls in ONE sub-block —
+    exact all-pairs, oracle unchanged — while at 100 TB the ground
+    truth becomes a deterministic id-block sample with Σ N·2000 total
+    comparisons (linear), each block an independent reducer. Sampled
+    ground truth is exactly how you measure ANN recall at scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.floor(F.col("vec_id") / 2000).cast("long").alias("sub"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    exact = (
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= 0.35)
+    )
+    cand = (
+        lsh_ann_pairs(emb, distance_threshold=1.2, seed=42)
+        .select("vec_a", "vec_b")
+        .withColumn("_found", F.lit(1))
+    )
+    j = exact.join(cand, ["vec_a", "vec_b"], "left")
+    stats = j.agg(
+        (
+            F.coalesce(F.sum("_found"), F.lit(0))
+            / F.greatest(F.count("*"), F.lit(1))
+            >= 0.7
+        ).alias("lsh_recall_ok")
+    )
+    return j.crossJoin(F.broadcast(stats)).select(
+        "vec_a", "vec_b", "sim", "lsh_recall_ok"
     )
 
 
@@ -463,4 +526,52 @@ def qv11(spark, sf_dir):
     return per_query.agg(
         F.count("*").alias("n_queries"),
         (F.avg("recall") >= 0.99).alias("recall_ge_099"),
+    )
+
+
+@query(
+    "qv12_ivf_recall",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS ivf_recall_ok
+FROM embeddings WHERE vec_id % 20 = 0
+""",
+)
+def qv12(spark, sf_dir):
+    """IVF ANN promoted into the correctness gate (qv11's pattern):
+    run qv05's exact configuration (KMeans(8) index, nprobe=2, k=3,
+    seed 42) AND the exact brute-force top-3 in one job, and emit
+    recall@3 ≥ 0.25 as the oracle-pinned boolean plus the exact-side
+    row counts the oracle recomputes (top-3 is tie-broken on
+    (rounded sim desc, vec_id), so exactly 3·n_queries rows is a hard
+    count). Measured recall here: 0.48 at sf0.01 (uniform-ish
+    synthetic embeddings probing 2/8 cells — the honest number; real
+    clustered corpora sit far higher, and the clustered-fixture test
+    pins that regime). The 0.25 floor clears driver regeneration
+    swings while a broken index or probe (~3/N ≈ 0.006 random recall)
+    trips it by 40×. qv05 stays the raw ANN result stream."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    assigned, centroids = ivf_index(emb, n_clusters=8, seed=42)
+    ivf = ivf_search(assigned, centroids, queries_df, k=3, nprobe=2).select(
+        "query_id", F.col("neighbor_id").alias("n_ivf")
+    )
+    exact = brute_force_topk(emb, queries_df, k=3).select(
+        "query_id", F.col("neighbor_id").alias("n_exact_id")
+    )
+    per_query = (
+        exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (exact["n_exact_id"] == ivf["n_ivf"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("qid"))
+        .agg(F.count(ivf["n_ivf"]).alias("n_hit"), F.count("*").alias("n_k"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_k").alias("n_exact"),
+        ((F.sum("n_hit") / F.sum("n_k")) >= 0.25).alias("ivf_recall_ok"),
     )
