@@ -552,3 +552,73 @@ def qc12(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qc13_corpus_build",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), keepers AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+), unique_docs AS (
+  SELECT f.doc_id, f.text FROM fp f JOIN keepers k ON f.doc_id = k.doc_id
+), feat AS (
+  SELECT doc_id, text,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM unique_docs
+), scored AS (
+  SELECT doc_id, tok_cnt,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+            AS BIGINT) AS shard,
+       quality,
+       tok_cnt AS n_tokens
+FROM scored
+WHERE quality >= 0.3
+""",
+)
+def qc13(spark, sf_dir):
+    """The corpus-build CLI path (``python -m ml_data_wrangler_spark
+    corpus-build``, __main__.cmd_corpus_build's default exact-dedup
+    branch) promoted into the correctness gate: exact fingerprint
+    dedup (min-doc_id keeper) → quality floor 0.3 → 4-way
+    content-addressed shard routing, emitting exactly the survivor
+    rows the CLI would ship (doc_id, shard, quality, n_tokens). The
+    oracle recomputes every stage — fingerprint, keeper policy,
+    quality formula, md5 shard bucket — so a drift in ANY stage of the
+    composed pipeline (not just its operators in isolation)
+    hash-fails. The JSONL write + xxhash64 manifest stay exercised by
+    tests/test_sources_roundtrip.py (file-system side effects and
+    non-SQL hashes don't belong in the gate).
+
+    Scale shape: identical to the CLI — one fingerprint shuffle, one
+    broadcastable keeper semi-join, map-only scoring/routing."""
+    from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "text", doc_fingerprint(F.col("text")).alias("fp"))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    unique = fp.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    return (
+        unique.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), 4).cast("long").alias("shard"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .where(F.col("quality") >= 0.3)
+    )
