@@ -622,3 +622,100 @@ def qc13(spark, sf_dir):
         )
         .where(F.col("quality") >= 0.3)
     )
+
+
+@query(
+    "qc14_corpus_build_tiered",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp
+), exact AS (
+  SELECT f.doc_id, f.doc_id = k.keeper AS exact_kept
+  FROM fp f JOIN keepers k ON f.fp = k.fp
+), surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN exact e ON d.doc_id = e.doc_id WHERE e.exact_kept
+), toksj AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM surv
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toksj WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+), kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN exact e ON d.doc_id = e.doc_id
+  LEFT JOIN losers l ON d.doc_id = l.doc_id
+  WHERE e.exact_kept AND l.doc_id IS NULL
+), feat AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM kept
+), scored AS (
+  SELECT doc_id, tok_cnt,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+            AS BIGINT) AS shard,
+       quality,
+       tok_cnt AS n_tokens
+FROM scored
+WHERE quality >= 0.3
+""",
+)
+def qc14(spark, sf_dir):
+    """qc13's sibling: the corpus-build CLI's TIERED branch
+    (``--near-dup-threshold 0.6`` → __main__.cmd_corpus_build via
+    operators.dedup.dedup_pipeline): exact fingerprint tier → n-gram
+    Jaccard near-dup resolution (min-id keeper) → quality floor 0.3 →
+    4-way content-addressed shards. The oracle replays the whole
+    composition — both dedup tiers, the keep/drop policy, the quality
+    formula, and the shard bucket — so the production corpus-build
+    path is gate-checked end-to-end in both its CLI configurations.
+
+    Scale shape: the same tiers qd05 audits (fingerprint shuffle,
+    shingle posting join over exact-survivors only, pair aggregation)
+    plus map-only scoring/routing — nothing beyond the operators'
+    already-audited plans."""
+    from ml_data_wrangler_spark.operators.dedup import dedup_pipeline
+
+    docs = t(spark, sf_dir, "documents")
+    verdicts = dedup_pipeline(docs, k=3, jaccard_threshold=0.6)
+    kept = docs.join(
+        verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return (
+        kept.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), 4).cast("long").alias("shard"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .where(F.col("quality") >= 0.3)
+    )
