@@ -420,3 +420,38 @@ def test_chunk_documents_property(spark, lengths, size, stride):
         for c in chunks:
             rebuilt += c["chunk_text"].split()[: stride] if c is not chunks[-1] else c["chunk_text"].split()
         assert rebuilt == toks
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 5)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_row_number_matches_single_partition_window(spark, vals):
+    """_util.global_row_number (the distributed two-pass rank behind
+    qw07/qt13) must agree EXACTLY with the single-partition
+    ROW_NUMBER() reference on any input — including duplicate sort
+    keys broken by the tiebreak column — and n_out must be the total
+    row count everywhere."""
+    from pyspark.sql import Window as W
+
+    from ml_data_wrangler_spark.plans._util import global_row_number
+
+    rows = [Row(i=i, a=a, b=b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows).repartition(7)
+    got = {
+        r["i"]: (r["rn"], r["n"])
+        for r in global_row_number(
+            df, F.desc("a"), F.col("b"), F.col("i"), out="rn", n_out="n"
+        ).collect()
+    }
+    ref_w = W.orderBy(F.desc("a"), F.col("b"), F.col("i"))
+    ref = {
+        r["i"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(ref_w)).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == ref
+    assert {v[1] for v in got.values()} == {len(vals)}
