@@ -145,6 +145,20 @@ def test_registry_sweep_no_unpartitioned_window(spark, sf_dir, q):
     assert not offenders, offenders
 
 
+def test_triangular_self_joins_reuse_exchange(spark, sf_dir, q):
+    """qe12 and qw07 both self-join an aggregated relation (the
+    triangular prefix-sum/offset trick). The two sides are identical
+    subplans, so AQE must REUSE the aggregation's exchange at runtime
+    — if it didn't, the upstream shuffle would compute twice and the
+    'computed once' docstring claims would be false. (Reuse only
+    appears in the adaptive plan AFTER execution.)"""
+    for name in ("qe12_cumulative_new_users", "qw07_order_percentile"):
+        df = q[name](spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "ReusedExchange" in plan, f"{name} recomputes its self-join side"
+
+
 def test_qw07_no_single_partition_window(spark, sf_dir, q):
     """qw07's docstring claims the global rank never plans a
     single-partition window: the sort is range-partitioned and every
