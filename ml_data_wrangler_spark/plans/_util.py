@@ -12,6 +12,13 @@ registry.py docstring):
     aggregates in CAST(... AS BIGINT).
   * Every LIMIT/top-k is preceded by a TOTAL order (explicit tiebreak
     columns) on both sides.
+  * SIGNED ZERO: a rounded aggregate of FLOAT inputs whose true value
+    sits at ~0 can come out +0.0 on one engine and -0.0 on the other
+    (different summation order → ±ε → round keeps the sign; observed
+    on qv10's per-dim means at sf0.1). Any such column gets `+ 0.0`
+    (Spark) / `+ 0` (SQL) after the round — IEEE (±0.0)+0.0 = +0.0 on
+    both engines. Integer-derived aggregates (counts, decimal money)
+    are exact and don't need it.
 """
 
 from __future__ import annotations

@@ -103,7 +103,7 @@ WITH e AS (
   SELECT label, list(dv ORDER BY i) AS c FROM dims GROUP BY label
 )
 SELECT a.label AS label_a, b.label AS label_b,
-       ROUND({_SQL_COS.format(a="a.c", b="b.c")}, 6) AS centroid_sim
+       ROUND({_SQL_COS.format(a="a.c", b="b.c")}, 6) + 0 AS centroid_sim
 FROM cent a JOIN cent b ON a.label < b.label
 """,
 )
@@ -129,7 +129,10 @@ def qv03(spark, sf_dir):
         .select(
             F.col("a.label").alias("label_a"),
             F.col("b.label").alias("label_b"),
-            F.round(cosine_similarity(F.col("a.c"), F.col("b.c")), 6).alias(
+            # + 0.0: centroids are means of floats (order-dependent ±ε
+            # near zero) — normalize the sign of a rounded zero, same
+            # as qv10's mean
+            (F.round(cosine_similarity(F.col("a.c"), F.col("b.c")), 6) + F.lit(0.0)).alias(
                 "centroid_sim"
             ),
         )
@@ -434,7 +437,7 @@ def qv09(spark, sf_dir):
     oracle="""
 SELECT CAST(dim AS BIGINT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(CAST(val AS DOUBLE)), 4) AS mean,
+       ROUND(AVG(CAST(val AS DOUBLE)), 4) + 0 AS mean,
        ROUND(STDDEV_SAMP(CAST(val AS DOUBLE)), 4) AS std,
        ROUND(CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 4) AS zero_frac,
@@ -468,7 +471,12 @@ def qv10(spark, sf_dir):
         e.groupBy(F.col("dim").cast("bigint").alias("dim"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(vd), 4).alias("mean"),
+            # + 0.0 normalizes the SIGN of a zero: embedding dims are
+            # near-zero-centered, so the two engines' different
+            # summation orders can land on ±ε that rounds to +0.0 on
+            # one side and -0.0 on the other (observed at sf0.1, dims
+            # 9/24). IEEE (-0.0)+0.0 = +0.0 — identical on both sides.
+            (F.round(F.avg(vd), 4) + F.lit(0.0)).alias("mean"),
             F.round(F.stddev_samp(vd), 4).alias("std"),
             F.round(
                 F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).cast("double")
