@@ -255,21 +255,22 @@ def qd04(spark, sf_dir):
     signature VALUES are not oracle-expressible; what IS
     oracle-pinnable is the operator's hard contract: simhash is a
     deterministic pure function of the text, so a doc and its
-    verbatim copy (synthesized under doc_id+10^7 — the corpus has no
-    natural exact dups) MUST get bit-identical signatures and land in
-    the same candidate bucket, independent of partitioning. Catches
+    verbatim copy (synthesized under -(doc_id+1), collision-free for
+    any non-negative id space — the corpus has no natural exact dups)
+    MUST get bit-identical signatures and land in the same candidate
+    bucket, independent of partitioning. Catches
     nondeterministic hashing, partition-dependent token order, and
     signature truncation bugs. Signature/bucket outputs stay available
     via operators.dedup.simhash_signatures; qd08 exercises the 64-bit
     pair path."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    copies = docs.select((-(F.col("doc_id") + 1)).alias("doc_id"), "text")
     sigs = simhash_signatures(docs.unionByName(copies), bits=32)
-    orig = sigs.where(F.col("doc_id") < 10_000_000).select(
+    orig = sigs.where(F.col("doc_id") >= 0).select(
         "doc_id", F.col("simhash").alias("sig_a")
     )
-    copy = sigs.where(F.col("doc_id") >= 10_000_000).select(
-        (F.col("doc_id") - 10_000_000).alias("doc_id"),
+    copy = sigs.where(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.col("simhash").alias("sig_b"),
     )
     return orig.join(copy, "doc_id").select(

@@ -247,6 +247,19 @@ def test_corpus_shards_hash_distinguishes_null_position(spark, tmp_path):
     assert m1[0]["content_hash"] != m2[0]["content_hash"]
 
 
+def test_corpus_shards_empty_input(spark, tmp_path):
+    """An empty corpus must produce an empty manifest (schema intact),
+    not a crash — resume/retry flows hit this."""
+    from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    manifest = write_corpus_shards_with_manifest(
+        df, str(tmp_path / "empty"), id_col="doc_id", n_shards=2
+    )
+    assert manifest.columns == ["shard", "n_rows", "content_hash"]
+    assert manifest.count() == 0
+
+
 def test_corpus_shards_validates_n_shards(spark, tmp_path):
     from ml_data_wrangler_spark.sources.sinks import write_corpus_shards_with_manifest
 
