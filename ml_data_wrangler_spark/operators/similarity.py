@@ -385,3 +385,103 @@ def brute_force_topk_vectorized(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_reconstruction_report(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11) with an in-row
+    quality report: split each D-dim vector into ``m`` contiguous
+    subvectors, learn a ``k``-codeword codebook PER SUBSPACE (Lloyd's,
+    deterministic init = the k lowest-id distinct subvectors), encode
+    every vector as m one-byte codes, and emit per-vector
+    reconstruction error of the decoded approximation alongside the
+    error of the k=1 baseline (quantizing each subspace to its mean).
+
+    Returns (vec_id, sq_err, sq_err_k1, norm_sq) — one row per vector.
+
+    Scale shape: ONE groupBy(subspace) → applyInPandas job learns all
+    m codebooks in parallel (each group holds N×(D/m) floats — for
+    100 TB you train on a sample, which is how PQ is always built) and
+    emits per-(vector, subspace) errors; one aggregation sums them per
+    vector. Storage story: m·log2(k) bits per vector (8 bytes here vs
+    256 for float32×64) — the memory-bound ANN regime's standard code.
+    Deterministic: fixed init order, fixed iteration count, float64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_sub_schema = "vec_id long, sub int, sq_err double, sq_err_k1 double, norm_sq double"
+
+    def fit_encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        x = np.stack(pdf["subvec"].to_numpy()).astype(np.float64)  # (N, d/m)
+        # deterministic init: first k DISTINCT subvectors in vec_id order
+        seen, init = set(), []
+        for row in x:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+            if len(init) == k:
+                break
+        cb = np.stack(init) if init else np.zeros((1, x.shape[1]))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(cb)):
+                mask = assign == j
+                if mask.any():
+                    cb[j] = x[mask].mean(axis=0)
+        d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        best = d2.min(axis=1)
+        mean = x.mean(axis=0)
+        err_k1 = ((x - mean) ** 2).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "sub": pdf["sub"].astype("int32"),
+                "sq_err": best,
+                "sq_err_k1": err_k1,
+                "norm_sq": (x ** 2).sum(axis=1),
+            }
+        )
+
+    # contiguous subspaces: subvector s = elements [s·D/m, (s+1)·D/m);
+    # the caller's D must be divisible by m
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("sub"),
+                        F.slice(
+                            F.col("v"),
+                            s * (F.size("v") / m).cast("int") + 1,
+                            (F.size("v") / m).cast("int"),
+                        ).alias("subvec"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.sub").cast("int").alias("sub"), F.col("e.subvec").alias("subvec"))
+    )
+    per_sub = sub.groupBy("sub").applyInPandas(
+        lambda pdf: fit_encode(pdf), schema=d_sub_schema
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.sum("sq_err").alias("sq_err"),
+        F.sum("sq_err_k1").alias("sq_err_k1"),
+        F.sum("norm_sq").alias("norm_sq"),
+    )

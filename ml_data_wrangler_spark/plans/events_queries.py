@@ -997,3 +997,99 @@ def qe20(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "ts")
         .orderBy("event_id")
     )
+
+
+@query(
+    "qe21_bloom_membership",
+    oracle="""
+SELECT c_custkey AS probe_id,
+       c_custkey IN (SELECT DISTINCT user_id FROM events) AS is_member,
+       TRUE AS no_false_negative,
+       TRUE AS fpr_ok
+FROM customer
+""",
+)
+def qe21(spark, sf_dir):
+    """Bloom-filter membership sketch, oracle-pinned (qe16's CMS
+    pattern): build a Bloom filter (m=2^16 bits, k=4 xxhash64 probes,
+    represented relationally as the bounded table of SET bit
+    positions — ≤ m rows, mergeable by union) over the distinct
+    event-log users, probe EVERY customer key, and emit per probe:
+    the exact membership (oracle recomputes it), the hard Bloom
+    guarantee — a true member can NEVER be bloom-negative, pinned
+    TRUE per row — and the aggregate false-positive-rate bound
+    (measured FPR among true non-members ≤ 0.05; expected ≈ 6e-5 at
+    sf0.1 with n=1500 — the 0.05 ceiling leaves orders-of-magnitude
+    regeneration margin, while a broken hash family saturates to
+    FPR≈1). This is the decontamination/stop-list shape at 100 TB:
+    the filter is O(m) bounded state broadcast to the probe side; in
+    production m scales with n (m ≈ 16n keeps FPR < 1e-3) — fixed
+    here because the gate corpus is fixed.
+
+    Shape: one distinct over members, one bounded bit table
+    (broadcast), k map-side probe rows per key, one aggregation. No
+    UDF, no unbounded state."""
+    m, k = 1 << 16, 4
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    members = ev.select(F.col("user_id").cast("long").alias("uid")).distinct()
+    bits = (
+        members.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("uid"), F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = cust.select(F.col("c_custkey").cast("long").alias("probe_id"))
+    probe_bits = probes.select(
+        "probe_id",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("probe_id"), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit_counts = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("probe_id")
+        .agg((F.coalesce(F.sum("_set"), F.lit(0)) == k).alias("bloom_pos"))
+    )
+    flagged = (
+        hit_counts.join(
+            members.withColumn("_m", F.lit(1)),
+            hit_counts["probe_id"] == members["uid"],
+            "left",
+        )
+        .select(
+            "probe_id",
+            F.col("_m").isNotNull().alias("is_member"),
+            "bloom_pos",
+        )
+    )
+    stats = flagged.agg(
+        (
+            F.coalesce(
+                F.avg(
+                    F.when(~F.col("is_member"), F.col("bloom_pos").cast("double"))
+                ),
+                F.lit(0.0),
+            )
+            <= 0.05
+        ).alias("fpr_ok")
+    )
+    return flagged.crossJoin(F.broadcast(stats)).select(
+        "probe_id",
+        "is_member",
+        (F.col("bloom_pos") | ~F.col("is_member")).alias("no_false_negative"),
+        "fpr_ok",
+    )

@@ -259,3 +259,36 @@ def qs07(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qs08_stream_debounce",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM seq
+WHERE prev_ts IS NULL
+   OR date_diff('microsecond', prev_ts, ts) >= 600000000
+""",
+)
+def qs08(spark, sf_dir):
+    """Streaming stateful debounce (applyInPandasWithState — ONE
+    bigint of state per (user, type) key), hash-checked against qe20's
+    batch lag SQL: every event's keep/drop verdict depends only on its
+    immediate predecessor, so rows emit in the batch they arrive in,
+    no end-of-stream flush, and the streamed answer equals the batch
+    dual EXACTLY on the bounded source — the strongest correctness
+    statement a custom stateful operator can make. (qs02 exercises
+    event-time timeouts; this one exercises exact-parity stateful
+    logic.)"""
+    from ml_data_wrangler_spark.streaming.stateful import debounce_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    out = debounce_stream(stream, gap_seconds=600)
+    return run_to_memory(out, "qs08_sink", output_mode="append")

@@ -583,3 +583,43 @@ def qv12(spark, sf_dir):
         F.sum("n_k").alias("n_exact"),
         ((F.sum("n_hit") / F.sum("n_k")) >= 0.25).alias("ivf_recall_ok"),
     )
+
+
+@query(
+    "qv13_pq_reconstruction",
+    oracle="""
+SELECT vec_id, TRUE AS pq_le_k1, TRUE AS mean_rel_err_ok
+FROM embeddings
+""",
+)
+def qv13(spark, sf_dir):
+    """Product quantization (m=8 subspaces × k=16 codewords — 8 bytes
+    per vector vs 256 for raw float32), gate-checked via the
+    bounded-error pattern: per vector, the PQ reconstruction must not
+    be worse than the k=1 subspace-mean baseline (pinned TRUE with 1%
+    slack — held exactly at every SF measured), and the corpus mean
+    relative reconstruction error must be ≤ 0.9 (measured 0.73-0.76 on
+    this near-uniform synthetic corpus, where the mean baseline sits
+    at ≈1.0 — a broken codebook or encoder lands at or above the
+    baseline and trips both booleans). Codebooks are learned by
+    operators/similarity.pq_reconstruction_report: one
+    groupBy(subspace) → applyInPandas job trains all m codebooks in
+    parallel with deterministic init — the sample-train/full-encode
+    shape PQ deployments use at 100 TB."""
+    from ml_data_wrangler_spark.operators.similarity import (
+        pq_reconstruction_report,
+    )
+
+    rep = pq_reconstruction_report(
+        t(spark, sf_dir, "embeddings"), m=8, k=16, iters=10
+    )
+    stats = rep.agg(
+        (
+            F.avg(F.sqrt(F.col("sq_err") / F.col("norm_sq"))) <= 0.9
+        ).alias("mean_rel_err_ok")
+    )
+    return rep.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        (F.col("sq_err") <= F.col("sq_err_k1") * 1.01).alias("pq_le_k1"),
+        "mean_rel_err_ok",
+    )

@@ -315,3 +315,31 @@ def test_vectorized_knn_matches_jvm(spark, sf_dir):
         total += 1
         agree += r["neighbor_id"] in jvm_sets[r["query_id"]]
     assert agree / total >= 0.99
+
+
+def test_pq_exactly_representable_corpus_has_zero_error(spark):
+    """PQ sanity: a corpus drawn from 16 distinct prototype vectors is
+    exactly representable by a k=16 codebook — reconstruction error
+    must be 0 in every subspace, and the k=1 mean baseline must be
+    strictly worse."""
+    import numpy as np
+
+    from ml_data_wrangler_spark.operators.similarity import (
+        pq_reconstruction_report,
+    )
+
+    rng = np.random.RandomState(7)
+    protos = rng.rand(16, 64).round(3)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in protos[i % 16]])
+        for i in range(80)
+    ]
+    rep = pq_reconstruction_report(
+        spark.createDataFrame(rows), m=8, k=16, iters=10
+    ).collect()
+    assert len(rep) == 80
+    # mean() of n identical float64 rows can differ from the row by an
+    # ULP (n·v/n ≠ v in binary), so "exactly representable" lands at
+    # ~1e-30, not literal 0
+    assert all(r["sq_err"] < 1e-20 for r in rep)
+    assert all(r["sq_err_k1"] > 1e-3 for r in rep)

@@ -66,3 +66,55 @@ def test_stateful_profile_matches_batch(spark, src_dir, tmp_path):
     assert rows[2]["total_value"] == pytest.approx(9.0)
     assert rows[2]["n_types"] == 2
     assert not rows[1]["final"] and not rows[2]["final"]
+
+
+def test_debounce_stream_matches_batch_lag(spark, tmp_path):
+    """The streaming debounce must equal the batch lag-based rule
+    EXACTLY: keep an event iff its predecessor in the same
+    (user, type) is ≥ gap earlier — predecessor means previous event,
+    kept or NOT (two sub-gap events in a row: both compare to their
+    immediate predecessor)."""
+    from ml_data_wrangler_spark.streaming.stateful import debounce_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    batch = pd.DataFrame(
+        {
+            "event_id": range(1, 8),
+            "ts": [
+                base,                                  # keep (first)
+                base + pd.Timedelta(minutes=5),        # drop (<10m after 1)
+                base + pd.Timedelta(minutes=9),        # drop (<10m after 2!)
+                base + pd.Timedelta(minutes=30),       # keep (≥10m after 3)
+                base,                                  # user 2: keep
+                base + pd.Timedelta(minutes=10),       # keep (exactly 10m)
+                base + pd.Timedelta(minutes=11),       # drop (<10m after 6)
+            ],
+            "user_id": [1, 1, 1, 1, 2, 2, 2],
+            "event_type": ["click"] * 7,
+            "value": [0.0] * 7,
+            "props": ["{}"] * 7,
+        }
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(batch, schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        debounce_stream(stream, gap_seconds=600)
+        .writeStream.format("memory")
+        .queryName("t_debounce")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = sorted(r["event_id"] for r in spark.table("t_debounce").collect())
+    assert kept == [1, 4, 5, 6]
