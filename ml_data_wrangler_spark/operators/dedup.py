@@ -615,3 +615,71 @@ def dedup_pipeline(
             .alias("reason"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: |shingles(src) ∩
+    shingles(dst)| / |shingles(src)| ≥ threshold, src ≠ dst.
+
+    The asymmetric complement of ngram_jaccard_pairs: Jaccard misses
+    a short document quoted whole inside a long one (the union term
+    swamps the intersection), while containment flags exactly that —
+    quotes, excerpt reposts, and template instantiations, the
+    subset-duplication a corpus dedup pass needs beside symmetric
+    near-dups. Emits BOTH directions when both clear the threshold
+    (a≈b duplicates appear as a→b and b→a).
+
+    Same physical shape and the same optimizer safeguards as the
+    "count" Jaccard strategy (see ngram_jaccard_pairs): repartition
+    raw text before the CPU-bound shingling, guard-not-filter,
+    explode_outer, one posting self-join (shuffle_hash — never
+    broadcast a posting stream), one pair aggregation. Cost is the
+    same Σ df² posting join; the only delta is the denominator.
+
+    Returns (src, dst, containment) with containment rounded to 6.
+    """
+    spark = documents.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    toks = tokenize(F.col("text"))
+    shingles = F.when(
+        F.size("toks") >= k,
+        F.array_distinct(_shingles_from_tokens(F.col("toks"), k)),
+    ).otherwise(F.array().cast("array<string>"))
+    raw = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).repartition(parallelism)
+    pre = (
+        raw.select("doc_id", toks.alias("toks"))
+        .select("doc_id", shingles.alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    a, b = pre.alias("a"), pre.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.n").alias("n_src"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.col("n_src")
+    return (
+        pairs.where(cont >= F.lit(threshold) - F.lit(1e-9))
+        .select("src", "dst", F.round(cont, 6).alias("containment"))
+    )

@@ -494,3 +494,37 @@ def qd11(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "chunk_fp")
         .limit(20)
     )
+
+
+@query(
+    "qd12_containment_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       ROUND(CAST(shared AS DOUBLE) / s.n, 6) AS containment
+FROM pairs JOIN sizes s ON src = s.doc_id
+WHERE CAST(shared AS DOUBLE) / s.n >= 0.8 - 1e-9
+""",
+)
+def qd12(spark, sf_dir):
+    """Directed shingle containment ≥ 0.8 (operators/dedup.
+    containment_pairs): the asymmetric dedup signal — a short doc
+    quoted whole inside a long one clears containment while its
+    Jaccard (union-normalized) stays low. Same posting-join physical
+    shape as qd02; the oracle replays the exact directed semantics."""
+    from ml_data_wrangler_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.8)

@@ -1093,3 +1093,72 @@ def qe21(spark, sf_dir):
         (F.col("bloom_pos") | ~F.col("is_member")).alias("no_false_negative"),
         "fpr_ok",
     )
+
+
+@query(
+    "qe22_scd2_intervals",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+), dedup AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM e
+), changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM dedup
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to,
+       (LEAD(valid_from) OVER (PARTITION BY user_id
+                               ORDER BY valid_from, event_id) IS NULL)
+         AS is_current
+FROM changes
+""",
+)
+def qe22(spark, sf_dir):
+    """SCD Type-2 history build from a change-event stream: collapse
+    consecutive same-state events per user (lag), then assign each
+    surviving state a half-open validity interval [valid_from,
+    valid_to) via lead — the standard warehouse dimension-history
+    operator (current row: valid_to NULL, is_current TRUE).
+
+    Shape at scale: ONE shuffle on user_id feeds both windows (lag
+    for change detection, lead for interval close) — same-partitioning
+    windows share the exchange; no join, no second pass over the
+    events. The (ts, event_id) tiebreak makes interval boundaries a
+    total order both engines reproduce exactly."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    lead_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        lead_to.alias("valid_to"),
+        lead_to.isNull().alias("is_current"),
+    )
