@@ -70,7 +70,9 @@ _GATED_PASS = frozenset(
 # priority re-gate out of this round's snapshot; once the round-4
 # correctness file folds into _GATED_PASS next round, these become
 # the front of the line automatically.
-_GATE_LATE = frozenset(["qe21", "qs08", "qv13", "qd12", "qe22"])
+_GATE_LATE = frozenset(
+    ["qe21", "qs08", "qv13", "qd12", "qe22", "qd13", "qc15"]
+)
 
 
 def _short(name: str) -> str:

@@ -719,3 +719,84 @@ def qc14(spark, sf_dir):
         )
         .where(F.col("quality") >= 0.3)
     )
+
+
+@query(
+    "qc15_weighted_sample",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         greatest(
+           ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6),
+           0.05) AS w,
+         greatest(
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                AS DOUBLE) / POWER(2.0, 60),
+           POWER(2.0, -60)) AS u
+  FROM documents JOIN feat USING (doc_id, source)
+), keyed AS (
+  SELECT doc_id, source, w,
+         ROUND(ln(u) / w, 12) AS k
+  FROM scored
+), ranked AS (
+  SELECT doc_id, source, w, k,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, w AS weight, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 20
+""",
+)
+def qc15(spark, sf_dir):
+    """Deterministic weighted sampling without replacement, per
+    source: the exponential-sort trick (Efraimidis-Spirakis A-ES) with
+    a HASH-DERIVED uniform — u = md5₆₀(doc_id)/2⁶⁰, key = ln(u)/w,
+    top-20 per source by key — so higher-quality documents
+    (w = clamped quality score) win proportionally more often, yet
+    the sample is a pure function of the data: reproducible across
+    runs, partitionings, and engines (the content-addressed discipline
+    qc01's splits use, extended to WEIGHTED selection — the
+    quality-weighted corpus subsampling step of a training-data
+    pipeline).
+
+    Cross-engine determinism: u = double(md5₆₀)/2⁶⁰ is bit-identical
+    on both engines (identical decimal→double rounding, then an EXACT
+    power-of-two scaling; the measure-zero u=0 is clamped to 2⁻⁶⁰);
+    ln()/w is additionally rounded to 12 digits BEFORE ranking (libm
+    last-ulp differences vanish), doc_id breaks ties. One shuffle on
+    source; the rank window is partitioned (never global)."""
+    docs = t(spark, sf_dir, "documents")
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(2**60)),
+        F.lit(2.0 ** -60),
+    )
+    w = F.greatest(quality_score(F.col("text")), F.lit(0.05))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        w.alias("w"),
+        F.round(F.log(u) / w, 12).alias("k"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    )
+    return (
+        keyed.withColumn("rank", rn.cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("source", "doc_id", F.col("w").alias("weight"), "rank")
+    )

@@ -528,3 +528,68 @@ def qd12(spark, sf_dir):
     from ml_data_wrangler_spark.operators.dedup import containment_pairs
 
     return containment_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+@query(
+    "qd13_editdist_verify",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), cand AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+       ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / greatest(len(ta.text), len(tb.text)), 6) AS char_sim
+FROM cand
+JOIN documents ta ON doc_a = ta.doc_id
+JOIN documents tb ON doc_b = tb.doc_id
+""",
+)
+def qd13(spark, sf_dir):
+    """Character-level verification tier: exact Levenshtein distance +
+    normalized character similarity for every qd02 near-dup candidate
+    pair — the post-candidate verify stage that distinguishes
+    token-level near-dups (reordered boilerplate: high Jaccard, high
+    edit distance) from true character-level variants (typo/timestamp
+    edits: low edit distance). Levenshtein is O(|a|·|b|) per pair, so
+    it NEVER runs all-pairs — only over the bounded candidate set the
+    shingle index produces (the tiered-dedup discipline throughout
+    this repo). JVM built-in F.levenshtein on the Spark side; both
+    engines implement the classic DP, so values match exactly."""
+    docs = t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(docs, k=3, threshold=0.6).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    ed = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_dist"),
+            F.round(
+                1.0
+                - ed.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ).alias("char_sim"),
+        )
+    )
