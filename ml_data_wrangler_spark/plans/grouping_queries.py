@@ -162,3 +162,45 @@ def qg06(spark, sf_dir):
         .select("l_returnflag", "l_linestatus", "grouping_level", "n")
         .orderBy("grouping_level", "l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "qg07_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY grouping_level, l_returnflag, l_linestatus
+""",
+)
+def qg07(spark, sf_dir):
+    """Explicit NON-HIERARCHICAL grouping sets — ((flag, status),
+    (status), ()) skips the (flag)-only level a ROLLUP would produce
+    and adds the (status)-only level a rollup of (flag, status) never
+    emits, so
+    this is the GROUPING SETS operator proper, not rollup/cube
+    (qg01-qg06) in disguise. Expressed through Spark SQL (the
+    DataFrame API exposes only rollup/cube; GROUPING SETS is the SQL
+    surface) over a temp view, with GROUPING_ID dispatch like qg06.
+
+    Physical shape: Spark plans one Expand (3 replicas of each input
+    row, one per set) into a single hash aggregation — the replicas
+    carry only the grouped columns, so cost is |sets|×|rows| narrow
+    tuples through ONE shuffle, not |sets| passes over the table."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS grouping_level,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY grouping_level, l_returnflag, l_linestatus
+        """
+    )
