@@ -623,3 +623,67 @@ def qv13(spark, sf_dir):
         (F.col("sq_err") <= F.col("sq_err_k1") * 1.01).alias("pq_le_k1"),
         "mean_rel_err_ok",
     )
+
+
+@query(
+    "qv14_ivf_nprobe_sweep",
+    oracle="""
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 20 = 0)
+         AS n_queries,
+       TRUE AS monotone_ok,
+       TRUE AS floor_ok
+FROM (SELECT unnest([1, 2, 3, 4]) AS nprobe)
+ORDER BY nprobe
+""",
+)
+def qv14(spark, sf_dir):
+    """IVF accuracy/cost curve: recall@3 vs brute force for nprobe
+    1..4 against ONE shared KMeans(8) index — the tuning sweep an ANN
+    deployment runs to pick its operating point. Two oracle-pinned
+    booleans per row:
+
+    * ``monotone_ok`` — recall is NON-DECREASING in nprobe. This is a
+      THEOREM, not a tendency: growing nprobe grows the candidate
+      set, and a global-top-3 neighbor present in a candidate set can
+      only be displaced from that set's top-3 by items ranking above
+      it — which are themselves global-top-3 (at most 2 exist). So
+      hits never decrease. Any violation is an implementation bug
+      (e.g. probe routing returning non-nested candidate sets).
+    * ``floor_ok`` — recall at nprobe=4 (half the cells) ≥ 0.5
+      (measured ≈0.75 here; qv12 pins the nprobe=2 floor).
+
+    The exact side is computed once and joined against each sweep
+    point; the sweep is 4 probe-phase jobs over the SAME index
+    (index build amortized, as in production)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    assigned, centroids = ivf_index(emb, n_clusters=8, seed=42)
+    exact = brute_force_topk(emb, queries_df, k=3).select(
+        "query_id", F.col("neighbor_id").alias("n_exact_id")
+    )
+    exact.cache()
+    try:
+        n_pairs = exact.count()  # 3 * n_queries (tie-broken, exact)
+        recalls = []
+        for nprobe in (1, 2, 3, 4):
+            ivf = ivf_search(
+                assigned, centroids, queries_df, k=3, nprobe=nprobe
+            ).select("query_id", F.col("neighbor_id").alias("n_ivf"))
+            hits = exact.join(
+                ivf,
+                (exact["query_id"] == ivf["query_id"])
+                & (exact["n_exact_id"] == ivf["n_ivf"]),
+            ).count()
+            recalls.append(hits / max(n_pairs, 1))
+    finally:
+        exact.unpersist()
+    n_queries = n_pairs // 3
+    monotone = all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:]))
+    rows = [
+        (nprobe, n_queries, monotone, recalls[3] >= 0.5)
+        for nprobe in (1, 2, 3, 4)
+    ]
+    return spark.createDataFrame(
+        rows, schema="nprobe bigint, n_queries bigint, monotone_ok boolean, floor_ok boolean"
+    )

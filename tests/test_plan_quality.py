@@ -111,8 +111,8 @@ def test_jaccard_plan_parallel_and_no_nested_loop(spark, sf_dir, q):
 # window audit on the final plan is vacuous; each family has its own
 # dedicated audit above/below instead.
 _EAGER_CONSTRUCT = frozenset(
-    [f"qs{i:02d}" for i in range(1, 8)]
-    + ["qm03", "qm04", "qm07", "qv05", "qv06", "qd03", "qd07", "qd09"]
+    [f"qs{i:02d}" for i in range(1, 9)]
+    + ["qm03", "qm04", "qm07", "qv05", "qv06", "qv12", "qv14", "qd03", "qd07", "qd09"]
 )
 
 
