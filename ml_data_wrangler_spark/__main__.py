@@ -146,6 +146,46 @@ def cmd_corpus_build(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print a registered query's physical plan plus a compact audit
+    of the scale-relevant facts the plan-quality tests assert in CI:
+    shuffle count, broadcast joins, Python evals, and unpartitioned
+    windows. The at-a-glance check for 'would this survive 100×'."""
+    from ml_data_wrangler_spark.plans import registry
+
+    spark = _spark(args.cpus)
+    fn = registry.queries().get(args.name)
+    if fn is None:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    df = fn(spark, args.sf_dir)
+    df.explain("formatted")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    n_range = plan.count("Exchange rangepartitioning")
+    n_single = plan.count("Exchange SinglePartition")
+    n_bcast = plan.count("BroadcastHashJoin")
+    n_nested = plan.count("BroadcastNestedLoopJoin")
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    unpart_windows = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line
+        and "windowspecdefinition" in line
+        and "SinglePartition" in line
+    )
+    print("-- audit --")
+    print(f"hash shuffles:        {n_shuffle}")
+    print(f"range shuffles:       {n_range}")
+    print(f"single-part exchanges:{n_single}")
+    print(f"broadcast hash joins: {n_bcast}")
+    print(f"nested-loop joins:    {n_nested}")
+    print(f"python evals:         {n_py}")
+    print(f"unpartitioned windows:{unpart_windows}")
+    return 0
+
+
 def cmd_list(args) -> int:
     from ml_data_wrangler_spark.plans import registry
 
@@ -208,6 +248,13 @@ def main(argv: list[str] | None = None) -> int:
         "(default: exact dedup only)",
     )
     cb.set_defaults(fn=cmd_corpus_build)
+
+    ex = sub.add_parser(
+        "explain", help="print a query's physical plan + scale audit"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(fn=cmd_explain)
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=cmd_list)

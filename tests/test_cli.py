@@ -113,3 +113,15 @@ def test_cli_corpus_build_near_dup_tier(spark, sf_dir, tmp_path, capsys):
     n_near = spark.read.json(out_near).count()
     # the near-dup tier can only remove additional documents
     assert 0 < n_near <= n_exact
+
+
+def test_cli_explain_audit(spark, sf_dir, capsys):
+    """`explain` prints the formatted plan plus the scale audit; q01
+    must show exactly one hash shuffle and nothing on the ban lists."""
+    assert main(["explain", "q01_pricing_summary", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "-- audit --" in out
+    assert "hash shuffles:        1" in out
+    assert "python evals:         0" in out
+    assert "unpartitioned windows:0" in out
+    assert main(["explain", "no_such_query", "--sf-dir", sf_dir]) == 2
