@@ -71,7 +71,10 @@ _GATED_PASS = frozenset(
 # correctness file folds into _GATED_PASS next round, these become
 # the front of the line automatically.
 _GATE_LATE = frozenset(
-    ["qe21", "qs08", "qv13", "qd12", "qe22", "qd13", "qc15", "qg07", "qv14"]
+    [
+        "qe21", "qs08", "qv13", "qd12", "qe22", "qd13", "qc15", "qg07",
+        "qv14", "qt16",
+    ]
 )
 
 

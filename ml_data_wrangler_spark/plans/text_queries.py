@@ -743,3 +743,62 @@ def qt15(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qt16_readability",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                       s -> trim(s) <> '')), 1) AS BIGINT) AS n_sents,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_sents, n_words, n_syll,
+       CASE WHEN n_words > 0
+            THEN ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                       - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
+       END AS flesch
+FROM counts
+""",
+)
+def qt16(spark, sf_dir):
+    """Flesch reading-ease per document with fully deterministic
+    proxies — sentences = non-empty [.!?]-delimited segments (floored
+    at 1), words = the engine-wide tokenizer, syllables = vowel-group
+    runs ([aeiouy]+, the standard dictionary-free heuristic) — the
+    readability feature corpus-quality filters bucket on (very low
+    scores flag run-on machine text; very high flag fragment spam).
+    Pure JVM regexp arithmetic, shuffle-free map; every count is
+    integer-exact cross-engine and the score is ONE expression with
+    identical association on both sides, so it hash-matches without
+    tolerance games."""
+    n_sents = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    ).cast("long")
+    n_words = F.size(tokenize(F.col("text"))).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    counts = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = F.when(
+        F.col("n_words") > 0,
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+            4,
+        ),
+    )
+    return counts.select(
+        "doc_id", "n_sents", "n_words", "n_syll", flesch.alias("flesch")
+    )
