@@ -149,3 +149,76 @@ def interval_overlap_pairs(
         F.col(f"b.{start_col}").alias(f"b_{start_col}"),
         F.col(f"b.{end_col}").alias(f"b_{end_col}"),
     ).distinct()
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: dict[str, str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward`: for each left row, attach
+    the EARLIEST right row with ``right.ts >= left.ts`` for the same
+    key (left outer) — next-event attribution ("the first click AFTER
+    the impression", "the next reading at-or-after t").
+
+    Same one-shuffle union+window shape, time-reversed: the window
+    looks FORWARD (currentRow→unboundedFollowing) and carries the
+    nearest following right payload with ``first(..., ignorenulls)``.
+    Tie rule mirrors backward: a right row at exactly t matches a left
+    row at t (right sorts after left at equal timestamps via the side
+    tag). ``tolerance_seconds`` bounds look-ahead: matches later than
+    ``left.ts + tolerance`` are nulled out.
+    """
+    right_payload = right_payload or {}
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),  # left sorts before right at equal ts
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[rc].dataType).alias(f"_r_{rc}")
+            for rc in right_payload
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+        *[F.col(rc).alias(f"_r_{rc}") for rc in right_payload],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.first(f"_r_{rc}", ignorenulls=True).over(w).alias(f"_c_{rc}")
+            for rc in right_payload
+        ],
+        F.first("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    )
+    if tolerance_seconds is None:
+        fresh = F.lit(True)
+    else:
+        fresh = F.unix_micros(F.col("_c_ts")) <= F.unix_micros(F.col("_t")) + int(
+            tolerance_seconds * 1_000_000
+        )
+    return carried.where(F.col("_side") == 0).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[
+            F.when(fresh, F.col(f"_c_{rc}")).alias(alias)
+            for rc, alias in right_payload.items()
+        ],
+        F.when(fresh, F.col("_c_ts")).alias("matched_ts"),
+    )

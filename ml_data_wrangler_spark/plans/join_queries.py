@@ -248,3 +248,60 @@ def qj04(spark, sf_dir):
         right_payload={"click_id": "click_id"},
         tolerance_seconds=3600,
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "matched_ts")
+
+
+@query(
+    "qj05_asof_forward_view_click",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, ts AS click_ts, CAST(MAX(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT v.view_id, v.user_id, v.view_ts,
+       c.click_id, c.click_ts AS matched_ts,
+       CAST(date_diff('microsecond', v.view_ts, c.click_ts) AS BIGINT) AS gap_us
+FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.view_ts <= c.click_ts
+""",
+)
+def qj05(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.asof_join_forward): each
+    view matched to the user's FIRST click at-or-after it — next-event
+    attribution, the time-mirror of qj01. Same one-shuffle
+    union+window shape with the window looking forward; the DuckDB
+    oracle uses its native ASOF LEFT JOIN with the `<=` comparator,
+    so real forward point-in-time semantics are cross-checked. Right
+    side deduped on (user, ts) with max event_id for determinism."""
+    from ml_data_wrangler_spark.operators.asof import asof_join_forward
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join_forward(
+        views,
+        clicks,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="ts",
+        right_payload={"click_id": "click_id"},
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        "click_id",
+        "matched_ts",
+        (
+            F.unix_micros("matched_ts") - F.unix_micros("view_ts")
+        ).cast("long").alias("gap_us"),
+    )

@@ -86,3 +86,40 @@ def test_interval_overlap_pairs_edges(spark):
     assert (1, 3) in got  # endpoint-inclusive touch at minute 50
     assert (1, 2) not in got  # 50 < 55: disjoint
     assert not any(4 in p for p in got)
+
+
+def test_asof_forward_matches_naive(spark):
+    """Forward as-of on a crafted fixture: first right at-or-after each
+    left ts, exact-ts ties match, later-than-tolerance matches null."""
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.operators.asof import asof_join_forward
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [Row(id=1, k=1, ts=ts(10)), Row(id=2, k=1, ts=ts(25)), Row(id=3, k=2, ts=ts(5))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=ts(10), v="a"), Row(k=1, ts=ts(30), v="b"), Row(k=2, ts=ts(50), v="c")]
+    )
+    out = {
+        r["id"]: (r["val"], r["matched_ts"])
+        for r in asof_join_forward(
+            left, right, key="k", right_payload={"v": "val"}
+        ).collect()
+    }
+    assert out[1] == ("a", ts(10))   # exact-ts tie matches
+    assert out[2] == ("b", ts(30))   # next following
+    assert out[3] == ("c", ts(50))
+    bounded = {
+        r["id"]: r["val"]
+        for r in asof_join_forward(
+            left, right, key="k", right_payload={"v": "val"}, tolerance_seconds=10
+        ).collect()
+    }
+    assert bounded[1] == "a" and bounded[2] == "b"
+    assert bounded[3] is None        # 45s ahead > 10s tolerance
