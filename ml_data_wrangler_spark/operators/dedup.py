@@ -683,3 +683,95 @@ def containment_pairs(
         pairs.where(cont >= F.lit(threshold) - F.lit(1e-9))
         .select("src", "dst", F.round(cont, 6).alias("containment"))
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated SPAN extraction: the contiguous token
+    ranges of each document whose every k-gram also occurs in at least
+    ``min_docs - 1`` OTHER documents — the scalable relational analog
+    of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Whole-document dedup
+    (qd01) and chunk-grain boilerplate (qd11) both miss a duplicated
+    passage that starts mid-document at an arbitrary offset; this
+    operator localizes it to the token range, which is what a
+    span-REMOVAL cleaning stage needs (cut the span, keep the rest of
+    the document).
+
+    Algorithm (all relational — no suffix array, no pairwise work):
+      1. positional k-gram index: (doc_id, pos, gram) for every token
+         position — map-only, NO array_distinct (positions matter);
+      2. gram document frequency: one hash aggregation; grams reaching
+         ``min_docs`` distinct docs are the duplicated vocabulary;
+      3. left-semi join positions against the duplicated vocabulary
+         (equi join on the gram — linear in the posting stream; a hot
+         gram fans into many positions but never into pairs);
+      4. gaps-and-islands merge per document: consecutive duplicated
+         positions whose distance ≤ k have overlapping-or-adjacent
+         k-token coverage → one span. The window is partitioned by
+         doc_id (bounded by document length — never global).
+
+    The join key is the raw gram text, keeping the operator EXACT
+    (hash-collision-free). At 100 TB, substituting xxhash64(gram) as
+    the join key halves shuffle width at the cost of a ~2⁻³² spurious
+    df inflation per gram pair — a documented trade the caller makes
+    by pre-hashing, not a default.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_dup_grams)
+    with 1-based inclusive token positions; span_end covers the last
+    token of the last duplicated k-gram.
+    """
+    from pyspark.sql import Window as W
+
+    spark = documents.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    toks = tokenize(F.col("text"))
+    # Positional shingles (guard-not-filter + explode_outer: the same
+    # Catalyst traps as ngram_jaccard_pairs — see that docstring).
+    grams = F.when(
+        F.size("toks") >= k, _shingles_from_tokens(F.col("toks"), k)
+    ).otherwise(F.array().cast("array<string>"))
+    raw = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).repartition(parallelism)
+    pos = (
+        raw.select("doc_id", toks.alias("toks"))
+        .select("doc_id", grams.alias("g"))
+        .select("doc_id", F.posexplode_outer("g").alias("pos0", "gram"))
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    dup_vocab = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("gram")
+    )
+    # Left-semi on the gram; AQE may broadcast dup_vocab when the
+    # duplicated vocabulary is small (the common case) — leave the
+    # strategy to runtime stats rather than pinning a shuffle.
+    dpos = pos.join(dup_vocab, "gram", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    return (
+        dpos.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )

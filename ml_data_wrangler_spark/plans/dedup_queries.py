@@ -593,3 +593,51 @@ def qd13(spark, sf_dir):
             ).alias("char_sim"),
         )
     )
+
+
+@query(
+    "qd14_duplicate_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(l[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(l) - 4)) AS t(i)
+  WHERE len(l) >= 5
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)
+), brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brks
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM isl
+GROUP BY doc_id, island
+""",
+)
+def qd14(spark, sf_dir):
+    """Duplicated-span localization: for every document, the merged
+    contiguous token ranges whose 5-grams recur in ≥2 distinct
+    documents — the ExactSubstr-dedup analog (arbitrary-offset
+    duplicated passages that whole-doc qd01 and fixed-chunk qd11 both
+    miss), expressed as positional-index → df-aggregation → semi join
+    → per-doc gaps-and-islands merge. No pairwise stage anywhere: a
+    hot gram inflates its df count (aggregate) and its posting rows
+    (linear), never a quadratic pair set. The islands window is
+    doc_id-partitioned (bounded by document length)."""
+    from ml_data_wrangler_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"), k=5, min_docs=2)

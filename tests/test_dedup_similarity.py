@@ -343,3 +343,34 @@ def test_pq_exactly_representable_corpus_has_zero_error(spark):
     # ~1e-30, not literal 0
     assert all(r["sq_err"] < 1e-20 for r in rep)
     assert all(r["sq_err_k1"] > 1e-3 for r in rep)
+
+
+def test_duplicate_spans_islands_and_boundaries(spark):
+    """Hand-built corpus with known duplicated 3-gram spans: shared
+    prefix/suffix passages merge into single spans; two separated
+    duplicated grams in one doc stay two islands."""
+    from ml_data_wrangler_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i j"),
+            Row(doc_id=2, text="x y a b c d e z w q"),
+            Row(doc_id=3, text="p q r"),
+            Row(doc_id=4, text="a b c u v w x y c d e"),
+        ]
+    )
+    rows = {
+        (r.doc_id, r.span_start): r
+        for r in duplicate_spans(docs, k=3).collect()
+    }
+    # doc 1: grams at pos 1..3 shared with docs 2/4 -> one span [1,5]
+    assert (1, 1) in rows and rows[(1, 1)].span_end == 5
+    assert rows[(1, 1)].span_tokens == 5 and rows[(1, 1)].n_dup_grams == 3
+    # doc 2: the same passage at offset 3 -> span [3,7]
+    assert (2, 3) in rows and rows[(2, 3)].span_end == 7
+    # doc 3: nothing duplicated
+    assert not any(d == 3 for d, _ in rows)
+    # doc 4: two duplicated grams 8 apart (> k) -> TWO islands
+    assert (4, 1) in rows and rows[(4, 1)].span_end == 3
+    assert (4, 9) in rows and rows[(4, 9)].span_end == 11
+    assert len([1 for d, _ in rows if d == 4]) == 2
