@@ -292,3 +292,98 @@ def qs08(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     out = debounce_stream(stream, gap_seconds=600)
     return run_to_memory(out, "qs08_sink", output_mode="append")
+
+
+@query(
+    "qs09_stream_late_data",
+    oracle="""
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+), c AS (
+  SELECT MAX(ts) - INTERVAL 6 HOUR AS cut FROM e
+), wa AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM e, c
+  WHERE ts <= c.cut AND event_id % 10 <> 0
+), w2 AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM e
+)
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM e, wa, w2
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > wa.wm
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= w2.wm
+GROUP BY 1, 2
+""",
+)
+def qs09(spark, sf_dir):
+    """Out-of-order arrival + append-mode watermark semantics, gated
+    on the band where Structured Streaming is DETERMINISTIC. The
+    events fixture is staged as a three-batch stream — bulk history
+    (ts <= max−6h, 90% of ids), then the freshest 6-hour slice, then
+    the historical stragglers; three batches because the late-event
+    filter runs one watermark behind eviction (SPARK-42376), so a
+    two-batch run can never drop anything, and the fresh slice lands
+    second so the final watermark sits 6 hours above the first-batch
+    one. The aggregation runs in append mode with a 30-minute
+    watermark, and the gate compares the windows ending AFTER the
+    first-batch watermark Wa and at-or-before the final watermark W2:
+
+      * end <= Wa   — the straggler-droppable band. Measured bimodal
+        (see tumbling_counts_append): eviction/filter lag is a timing
+        artifact of watermark propagation, so these windows are
+        excluded from the hash;
+      * Wa < end <= W2 — deterministic: every straggler survives any
+        feasible filter watermark, the no-data final batches provably
+        flush the band, and counts equal the batch answer — which the
+        oracle states directly;
+      * end > W2    — never emitted (append-mode suppression of
+        unfinalized windows; their absence IS part of the hash).
+
+    qs01 proved streaming == batch on in-order input; this pins the
+    emission contract under REORDERED input — which windows a
+    downstream consumer may rely on, and that unfinalized windows
+    never leak — the property that makes append-mode sinks safe to
+    feed incremental consumers at 100 TB/day.
+
+    Stage-once discipline: the split files are content-addressed by
+    (sf_dir, source mtime) and reused across runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ml_data_wrangler_spark.plans._util import t
+    from ml_data_wrangler_spark.streaming.windows import (
+        stage_ordered_batches,
+        tumbling_counts_append,
+    )
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src_file)}:split-v2".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"mdw_qs09_{tag}")
+    src = stage_ordered_batches(events, stage)
+    sink = tumbling_counts_append(spark, src)
+    m = F.col("event_id") % 10
+    agg_in = events.crossJoin(
+        F.broadcast(
+            events.agg((F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cut"))
+        )
+    )
+    marks = agg_in.agg(
+        (
+            F.max(F.when((F.col("ts") <= F.col("cut")) & (m != 0), F.col("ts")))
+            - F.expr("INTERVAL 30 MINUTES")
+        ).alias("wa"),
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w2"),
+    )
+    win_end = F.col("win_start") + F.expr("INTERVAL 1 HOUR")
+    return (
+        sink.crossJoin(F.broadcast(marks))
+        .where((win_end > F.col("wa")) & (win_end <= F.col("w2")))
+        .drop("wa", "w2")
+    )

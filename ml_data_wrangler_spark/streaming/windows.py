@@ -236,3 +236,114 @@ def stream_stream_interval_join(
         & (F.col("l_ts") < F.col("r_ts")),
         "inner",
     ).select("left_id", "right_id", "user_id")
+
+
+def stage_ordered_batches(
+    events: DataFrame,
+    stage_dir: str,
+    straggler_mod: int = 10,
+    fresh_hours: int = 6,
+) -> str:
+    """Stage a bounded events DataFrame as a THREE-file streaming
+    source with controlled arrival order. With C = max(ts) − fresh_hours:
+
+      file 0 — bulk on-time history   (ts <= C, event_id % mod != 0);
+      file 1 — the freshest slice     (ts >  C, all ids) — arriving
+               second, it advances the watermark past the history;
+      file 2 — the stragglers         (ts <= C, event_id % mod == 0),
+               spread over the whole historical range, so they arrive
+               far below the watermark file 0 established.
+
+    Three files, not two, because of watermark propagation
+    (SPARK-42376): the late-event filter of micro-batch N runs one
+    watermark value BEHIND eviction, so a two-batch run can never
+    observe lateness. The fresh slice also guarantees the final
+    watermark W2 = max(ts) − delay sits ``fresh_hours`` ABOVE the
+    first-batch watermark Wa = max(file-0 ts) − delay, making the
+    deterministic gate band (Wa, W2] non-empty (see
+    tumbling_counts_append's determinism caveat). FileStreamSource
+    picks files up in mtime order; maxFilesPerTrigger=1 makes each
+    file its own micro-batch.
+
+    Idempotent per stage_dir (a _READY marker skips re-staging), so a
+    repeated gate run reuses the files byte-for-byte."""
+    import glob
+    import os
+    import shutil
+
+    src = os.path.join(stage_dir, "src")
+    marker = os.path.join(stage_dir, "_READY")
+    if os.path.exists(marker):
+        return src
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(src)
+    cutoff = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {fresh_hours} HOURS")).alias("c")
+    ).first()["c"]
+    m = F.col("event_id") % straggler_mod
+    parts = (
+        events.where((F.col("ts") <= F.lit(cutoff)) & (m != 0)),
+        events.where(F.col("ts") > F.lit(cutoff)),
+        events.where((F.col("ts") <= F.lit(cutoff)) & (m == 0)),
+    )
+    for i, part in enumerate(parts):
+        tmp = os.path.join(stage_dir, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [f] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"e{i}.parquet")
+        shutil.copyfile(f, dst)
+        # mtime spacing pins the FileStreamSource pickup order
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    open(marker, "w").close()
+    return src
+
+
+def tumbling_counts_append(
+    spark: SparkSession,
+    src_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregation over the staged multi-batch source
+    in APPEND mode — the mode where watermarks have observable
+    semantics: earlier batches advance the watermark, a later batch's
+    too-late stragglers are dropped by the late-event filter, and only
+    windows the final watermark has passed are ever emitted.
+
+    DETERMINISM CAVEAT (measured, not theorized): Spark's watermark
+    propagation gives each micro-batch TWO watermark values — a lagged
+    one for the late-event filter and the current one for
+    eviction/emission — and the effective lag varies by a batch with
+    execution timing. The observed consequence is bimodal output for
+    windows whose end precedes the FIRST non-epoch watermark (they
+    either emit with on-time-only counts or are dropped from state
+    unemitted), while every window ending AFTER that watermark is
+    stable: its stragglers survive any of the possible filter values
+    and the availableNow no-data batches flush it before termination.
+    Gate queries must therefore restrict comparison to windows ending
+    after the first-batch watermark — see qs09."""
+    import glob
+
+    schema = spark.read.parquet(*glob.glob(f"{src_dir}/*.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "qs09_sink", output_mode="append")

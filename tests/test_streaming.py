@@ -150,3 +150,53 @@ def test_stream_dedup_removes_duplicates(spark, tmp_path):
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     out = {r["event_type"]: r["n_unique"] for r in run_to_memory(agg, "t_dedup", "complete").collect()}
     assert out == {"click": 2, "view": 1}
+
+
+def test_late_data_band_contract(spark, tmp_path):
+    """qs09's deterministic-band contract on a crafted three-batch
+    fixture with known watermarks: Wa = 11:30 (bulk-history max 12:00
+    − 30 min), W2 = 19:30 (global max 20:00 − 30 min). Windows ending
+    inside (Wa, W2] must carry FULL counts (stragglers included);
+    windows outside the band must be absent from the gated output —
+    the sub-Wa band because its emission is timing-bimodal, the
+    above-W2 band because append mode never finalized it."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ml_data_wrangler_spark.streaming.windows import (
+        stage_ordered_batches,
+        tumbling_counts_append,
+    )
+
+    D = dt.datetime
+    rows = [
+        # bulk history (ts <= C=14:00, id%10 != 0); max 12:00 -> Wa 11:30
+        Row(event_id=1, ts=D(2024, 1, 1, 10, 0), event_type="a", value=1.0),
+        Row(event_id=2, ts=D(2024, 1, 1, 10, 20), event_type="a", value=1.0),
+        Row(event_id=3, ts=D(2024, 1, 1, 11, 0), event_type="a", value=1.0),
+        Row(event_id=4, ts=D(2024, 1, 1, 11, 40), event_type="a", value=1.0),
+        Row(event_id=6, ts=D(2024, 1, 1, 12, 0), event_type="a", value=1.0),
+        # fresh slice (ts > 14:00): global max 20:00 -> W2 19:30
+        Row(event_id=5, ts=D(2024, 1, 1, 20, 0), event_type="a", value=1.0),
+        # stragglers (ts <= 14:00, id%10 == 0)
+        Row(event_id=10, ts=D(2024, 1, 1, 10, 5), event_type="a", value=1.0),
+        Row(event_id=20, ts=D(2024, 1, 1, 12, 30), event_type="a", value=1.0),
+        Row(event_id=30, ts=D(2024, 1, 1, 13, 55), event_type="a", value=1.0),
+    ]
+    events = spark.createDataFrame(rows)
+    src = stage_ordered_batches(events, str(tmp_path / "qs09_stage"))
+    sink = tumbling_counts_append(spark, src)
+    wa, w2 = D(2024, 1, 1, 11, 30), D(2024, 1, 1, 19, 30)
+    band = {
+        (r.win_start, r.n_events)
+        for r in sink.collect()
+        if wa < r.win_start + dt.timedelta(hours=1) <= w2
+    }
+    assert band == {
+        (D(2024, 1, 1, 11, 0), 2),  # events 3, 4
+        (D(2024, 1, 1, 12, 0), 2),  # event 6 + straggler 20 SURVIVES
+        (D(2024, 1, 1, 13, 0), 1),  # straggler 30 SURVIVES
+    }
+    # above-W2 suppression: the 20:00 window must never appear at all
+    assert all(r.win_start != D(2024, 1, 1, 20, 0) for r in sink.collect())
