@@ -673,3 +673,117 @@ def qm12(spark, sf_dir):
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query(
+    "qm13_ppmi_cooccurrence",
+    oracle=f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM (SELECT unnest(l) AS tok FROM toks)
+  GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_tokens FROM uni),
+pr AS (
+  SELECT least(l[i], l[i + 1]) AS w1, greatest(l[i], l[i + 1]) AS w2
+  FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
+  WHERE len(l) >= 2
+  UNION ALL
+  SELECT least(l[i], l[i + 2]) AS w1, greatest(l[i], l[i + 2]) AS w2
+  FROM toks, unnest(generate_series(1, len(l) - 2)) AS g(i)
+  WHERE len(l) >= 3
+),
+pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS np FROM pr GROUP BY w1, w2
+),
+ptot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pairs FROM pc)
+SELECT w1, w2, np,
+       greatest(0.0,
+         ROUND(ln(CAST(np AS DOUBLE) * n_tokens * n_tokens
+                  / (CAST(n_pairs AS DOUBLE) * a.n1 * b.n1)), 6)) AS ppmi
+FROM pc, tot, ptot
+JOIN uni a ON w1 = a.tok
+JOIN uni b ON w2 = b.tok
+WHERE np >= 5
+ORDER BY ppmi DESC, w1, w2
+LIMIT 20
+""",
+)
+def qm13(spark, sf_dir):
+    """Top-20 positive-PMI co-occurrence pairs within a ±2 skip-gram
+    window — the distributional-semantics counting step (the
+    word-word PPMI matrix of Levy & Goldberg 2014, whose SVD is the
+    classic pre-word2vec embedding). Differs from qt09's ADJACENT
+    bigram PMI: here association is windowed and unordered
+    (least/greatest canonicalization merges both orders), which is
+    what captures topical affinity rather than phrase structure.
+
+    Shape at scale: the pair stream is built map-only from two array
+    expressions (distance-1 and distance-2 pairs, concatenated before
+    ONE explode — no position self-join, no shuffle on the token
+    stream), then one hash aggregation; the post-floor pair table
+    joins the unigram counts and broadcast scalar totals. Float
+    discipline: one double expression with identical association
+    order both engines, rounded before ranking, (w1, w2) tiebreak."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.size("l")
+    el = lambda arr, i: F.element_at(F.col(arr), i)  # noqa: E731
+
+    def _pairs_at(dist: int):
+        def mk(i):
+            return F.struct(
+                F.least(el("l", i), el("l", i + dist)).alias("w1"),
+                F.greatest(el("l", i), el("l", i + dist)).alias("w2"),
+            )
+
+        return F.when(
+            n >= dist + 1,
+            F.transform(F.sequence(F.lit(1), n - dist), mk),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    toks = docs.select(tokenize(F.col("text")).alias("l")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = (
+        toks.select(
+            F.concat(_pairs_at(1), _pairs_at(2)).alias("ps")
+        )
+        .select(F.explode_outer("ps").alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("np"))
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    tot = uni.agg(F.sum("n1").alias("n_tokens"))
+    ptot = pc.agg(F.sum("np").alias("n_pairs"))
+    ppmi = F.greatest(
+        F.lit(0.0),
+        F.round(
+            F.log(
+                F.col("np").cast("double")
+                * F.col("n_tokens")
+                * F.col("n_tokens")
+                / (
+                    F.col("n_pairs").cast("double")
+                    * F.col("na")
+                    * F.col("nb")
+                )
+            ),
+            6,
+        ),
+    )
+    return (
+        pc.where(F.col("np") >= 5)
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("n1", "na"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("n1", "nb"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select("w1", "w2", "np", ppmi.alias("ppmi"))
+        .orderBy(F.desc("ppmi"), "w1", "w2")
+        .limit(20)
+    )
