@@ -787,3 +787,162 @@ def qm13(spark, sf_dir):
         .orderBy(F.desc("ppmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "qm14_nb_language_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {SQL_TOKS} AS l FROM documents
+),
+dt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+langs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize FROM dt),
+cc AS (
+  SELECT t.lang, d.tok, CAST(SUM(d.occ) AS BIGINT) AS c
+  FROM dt d JOIN toks t USING (doc_id)
+  GROUP BY t.lang, d.tok
+),
+ct AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_lang FROM cc GROUP BY lang),
+tok_scores AS (
+  SELECT d.doc_id, langs.lang,
+         CAST(SUM(d.occ * CAST(ROUND(ln((COALESCE(cc.c, 0) + 1.0)
+                                        / (ct.t_lang + v.vsize)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS ts
+  FROM dt d
+  CROSS JOIN langs
+  CROSS JOIN v
+  JOIN ct ON ct.lang = langs.lang
+  LEFT JOIN cc ON cc.lang = langs.lang AND cc.tok = d.tok
+  GROUP BY d.doc_id, langs.lang
+),
+scored AS (
+  SELECT doc.doc_id, doc.lang AS actual_lang, langs.lang AS cand,
+         CAST(ROUND(ln(CAST(langs.n_docs AS DOUBLE) / n.n_total) * 1e6)
+              AS BIGINT) + COALESCE(ts.ts, 0) AS score
+  FROM documents doc
+  CROSS JOIN langs CROSS JOIN n
+  LEFT JOIN tok_scores ts ON ts.doc_id = doc.doc_id AND ts.lang = langs.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang, cand AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY actual_lang, pred_lang
+""",
+)
+def qm14(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and
+    scored fully relationally — the supervised analog of qt14's
+    heuristic langid, and the shape of the fastText/CCNet-style
+    quality-classifier stage of corpus pipelines (class-conditional
+    token counts + priors + add-1 smoothing, resubstitution
+    confusion matrix as output).
+
+    Cross-engine exactness trick: per-token log-likelihoods are
+    quantized to integer MICRONATS (round(ln(p)·1e6) as BIGINT)
+    before summation, so the per-document score is an exact integer
+    sum — order-independent across partitions and engines, no float
+    summation discipline needed at all. The argmax is then an integer
+    comparison with a lexicographic tiebreak.
+
+    Shape at scale: training is two hash aggregations over the token
+    stream; scoring joins doc-token counts against the (|V|·|langs|)
+    model relation — the model side is the SMALL side and broadcasts;
+    the per-doc argmax window is 5 rows per doc. Chinese documents
+    tokenize to zero Latin tokens and fall back to the prior argmax —
+    deterministic, and visible in the confusion matrix."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("l"))
+    dt = (
+        toks.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("occ"))
+    )
+    langs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    vsize = dt.agg(F.count_distinct("tok").alias("vsize"))
+    cc = (
+        dt.join(toks.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.sum("occ").alias("c"))
+    )
+    ct = cc.groupBy("lang").agg(F.sum("c").alias("t_lang"))
+    micronats = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
+    model = (
+        cc.join(ct, "lang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            "tok",
+            micronats(
+                F.log(
+                    (F.col("c") + 1.0) / (F.col("t_lang") + F.col("vsize"))
+                )
+            ).alias("lp"),
+            micronats(
+                F.log(F.lit(1.0) / (F.col("t_lang") + F.col("vsize")))
+            ).alias("lp_unseen"),
+        )
+    )
+    # unseen-token fallback per lang (c = 0 -> ln(1/(T+V)))
+    unseen = model.groupBy("lang").agg(F.first("lp_unseen").alias("lp0"))
+    tok_scores = (
+        dt.crossJoin(F.broadcast(langs.select("lang")))
+        .join(
+            F.broadcast(model.select("lang", "tok", "lp")), ["lang", "tok"], "left"
+        )
+        .join(F.broadcast(unseen), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("occ") * F.coalesce(F.col("lp"), F.col("lp0"))
+            ).alias("ts")
+        )
+    )
+    prior = (
+        langs.crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            micronats(
+                F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+            ).alias("pr"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .crossJoin(F.broadcast(prior.select(F.col("lang").alias("cand"), "pr")))
+        .join(
+            tok_scores.select(
+                "doc_id", F.col("lang").alias("cand"), "ts"
+            ),
+            ["doc_id", "cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand",
+            (F.col("pr") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("actual_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
