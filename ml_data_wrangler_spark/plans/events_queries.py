@@ -1162,3 +1162,118 @@ def qe22(spark, sf_dir):
         lead_to.alias("valid_to"),
         lead_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "qe23_funnel_stages",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1r
+  FROM events
+),
+e2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'view' AND ts >= s1r THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2r
+  FROM e
+),
+e3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts >= s2r THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3r
+  FROM e2
+),
+per_user AS (
+  SELECT user_id,
+         MIN(s1r) AS t1, MIN(s2r) AS t2, MIN(s3r) AS t3,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= s3r THEN ts END) AS t4
+  FROM e3 GROUP BY user_id
+)
+SELECT stage, stage_name, CAST(n_users AS BIGINT) AS n_users FROM (
+  SELECT 1 AS stage, 'signup' AS stage_name, COUNT(t1) AS n_users FROM per_user
+  UNION ALL
+  SELECT 2, 'view', COUNT(t2) FROM per_user
+  UNION ALL
+  SELECT 3, 'click', COUNT(t3) FROM per_user
+  UNION ALL
+  SELECT 4, 'purchase', COUNT(t4) FROM per_user
+) ORDER BY stage
+""",
+)
+def qe23(spark, sf_dir):
+    """Ordered conversion funnel (signup → view → click → purchase):
+    a user completes stage k only with an event at or after their
+    stage-(k-1) completion time — the product-analytics funnel
+    operator (Amplitude/Mixpanel-style), which no plain per-type
+    MIN(ts) can express because ordering between stages matters.
+
+    Shape at scale: ONE shuffle (hash-partition by user_id); the
+    chained running-min windows all share that partitioning and sort,
+    so Catalyst plans a single Exchange + Sort feeding three stacked
+    WindowExecs (plan-audited: no unpartitioned window, no join). The
+    per-user funnel state then folds in the same aggregation pass.
+    Stage times use >= (same-timestamp events count in event-id
+    order on ties only for window ordering; stage comparison is on
+    ts alone) — mirrored exactly in the oracle."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    def running_min_when(cond):
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("s1r", running_min_when(F.col("event_type") == "signup"))
+        .withColumn(
+            "s2r",
+            running_min_when(
+                (F.col("event_type") == "view") & (F.col("ts") >= F.col("s1r"))
+            ),
+        )
+        .withColumn(
+            "s3r",
+            running_min_when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("s2r"))
+            ),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("s1r").alias("t1"),
+        F.min("s2r").alias("t2"),
+        F.min("s3r").alias("t3"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("s3r")),
+                F.col("ts"),
+            )
+        ).alias("t4"),
+    )
+    stages = [(1, "signup", "t1"), (2, "view", "t2"), (3, "click", "t3"), (4, "purchase", "t4")]
+    counts = per_user.agg(
+        *[F.count(c).alias(f"n{i}") for i, _, c in stages]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, nm, _ in stages
+        ]
+    )
+    return (
+        counts.select(F.explode(stage_rows).alias("s"))
+        .select("s.stage", "s.stage_name", "s.n_users")
+        .orderBy("stage")
+    )
