@@ -770,3 +770,99 @@ def qv15(spark, sf_dir):
             F.round(F.abs(cos_orig - cos_proj), 6).alias("abs_err"),
         )
     )
+
+
+@query(
+    "qv16_nearest_centroid_confusion",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT label, unnest(v) AS x, unnest(generate_series(1, 64)) AS i FROM c
+),
+dims AS (SELECT label, i, AVG(x) AS dv FROM e GROUP BY label, i),
+cent AS (SELECT label AS cand, list(dv ORDER BY i) AS cv FROM dims GROUP BY label),
+scored AS (
+  SELECT c.vec_id, c.label, cent.cand,
+         CAST(ROUND((ROUND({_SQL_COS.format(a="c.v", b="cent.cv")}, 6) + 0) * 1e6)
+              AS BIGINT) AS sim_micro
+  FROM c CROSS JOIN cent
+),
+pred AS (
+  SELECT vec_id, label, cand,
+         sim_micro,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim_micro DESC, cand) AS rn
+  FROM scored
+)
+SELECT label, cand AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(CAST(SUM(sim_micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6, 3)
+         + 0 AS mean_sim
+FROM pred WHERE rn = 1
+GROUP BY label, cand
+ORDER BY label, pred_label
+""",
+)
+def qv16(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification over the embedding
+    table, reported as a label × predicted-label confusion matrix —
+    the cheapest useful embedding-space classifier and the standard
+    sanity check on whether labels are separable at all (the
+    diagonal mass IS the signal). Complements qv03 (centroid
+    geometry) and qm14 (token-space NB) with vector-space supervised
+    assignment.
+
+    Cross-engine exactness: cosine is rounded to 6 places then
+    quantized to integer micro-units BEFORE the argmax, so ranking
+    and the per-cell mean similarity are integer comparisons/sums —
+    no float summation order anywhere past the (already qv03-proven)
+    per-dim centroid means.
+
+    Shape at scale: centroids are a |labels|-row relation (built by
+    posexplode + per-dim mean — one shuffle on (label, dim)) and
+    BROADCAST; scoring is a map-only |labels|-way fan-out with no
+    shuffle of the corpus; the argmax window partitions by vec_id
+    over exactly |labels| rows per vector."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("dv"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "dv"))), lambda s: s["dv"]
+        ).alias("cv")
+    ).select(F.col("label").alias("cand"), "cv")
+    sim_micro = (
+        F.round(
+            (F.round(cosine_similarity(F.col("v"), F.col("cv")), 6) + F.lit(0.0))
+            * 1e6
+        )
+        .cast("long")
+        .alias("sim_micro")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cand", sim_micro
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim_micro"), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("cand").alias("pred_label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.round(
+                    F.sum("sim_micro").cast("double") / F.count("*") / 1e6, 3
+                )
+                + F.lit(0.0)
+            ).alias("mean_sim"),
+        )
+        .orderBy("label", "pred_label")
+    )
