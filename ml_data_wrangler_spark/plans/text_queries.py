@@ -802,3 +802,77 @@ def qt16(spark, sf_dir):
     return counts.select(
         "doc_id", "n_sents", "n_words", "n_syll", flesch.alias("flesch")
     )
+
+
+@query(
+    "qt17_shingle_novelty",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i + 4], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(l) - 4)) AS g(i)
+  WHERE len(l) >= 5
+),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) + 0 AS shared_frac
+FROM sh JOIN dfreq USING (s)
+GROUP BY sh.doc_id
+ORDER BY shared_frac DESC, doc_id
+""",
+)
+def qt17(spark, sf_dir):
+    """Per-document 5-gram novelty: the fraction of a document's
+    DISTINCT word 5-grams that also occur in at least one other
+    document — the memorization/boilerplate profile used to find
+    template-heavy or heavily-quoted documents that per-doc quality
+    scores (qt04) and whole-doc dedup (qd01-qd10) both miss. A
+    shared_frac near 1 with no near-dup partner means the document
+    is stitched from common spans (the ExactSubstr-lite signal;
+    qd14 extracts the spans themselves, this ranks the documents).
+
+    Shape at scale: shingling is a map-only array expression
+    (operators/dedup._shingles_from_tokens); the only shuffles are
+    the distinct doc-shingle projection, the shingle-frequency
+    aggregation, and the join back — all keyed on the shingle, so the
+    exchange is shared. No pairwise work anywhere: cost is linear in
+    total shingle volume, the same posting-list shape qd02 bounds."""
+    from ml_data_wrangler_spark.operators.dedup import _shingles_from_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("l"))
+        .where(F.size("l") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_shingles_from_tokens(F.col("l"), 5))
+            ).alias("s"),
+        )
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (
+                F.round(
+                    F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+                )
+                + F.lit(0.0)
+            ).alias("shared_frac"),
+        )
+        .orderBy(F.desc("shared_frac"), "doc_id")
+    )
