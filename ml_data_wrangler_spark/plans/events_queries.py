@@ -1277,3 +1277,80 @@ def qe23(spark, sf_dir):
         .select("s.stage", "s.stage_name", "s.n_users")
         .orderBy("stage")
     )
+
+
+@query(
+    "qe24_daily_anomaly_flags",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt,
+         CAST(SUM(n_events) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(n_events * n_events) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       ROUND(CAST(st.cnt * d.n_events - st.s AS DOUBLE)
+             / sqrt(CAST(st.cnt * st.q - st.s * st.s AS DOUBLE)), 3) + 0
+         AS z_score,
+       (st.cnt * d.n_events - st.s) * (st.cnt * d.n_events - st.s)
+         > 4 * (st.cnt * st.q - st.s * st.s) AS is_anomaly
+FROM daily d JOIN stats st USING (event_type)
+ORDER BY d.event_type, d.day
+""",
+)
+def qe24(spark, sf_dir):
+    """Daily event-volume anomaly detection per event type: flag days
+    whose count sits more than 2 population standard deviations from
+    that type's mean — the data-quality monitor every ingestion
+    pipeline runs over its arrival counts.
+
+    Cross-engine exactness: the threshold test is a PURE INTEGER
+    comparison — |z| > 2 rewrites to (n·x − S)² > 4(nQ − S²) with
+    S = Σx, Q = Σx² — carried in DECIMAL(38,0) on both engines (day
+    counts at 100 TB square past int64), so the boolean can never
+    flip on float summation order. The displayed z itself is derived
+    from the same exact decimals through one identical double
+    expression, rounded for display only.
+
+    Shape at scale: one hash aggregation onto the (type, day) grid,
+    then per-type moment aggregation over a days-bounded relation
+    that BROADCASTS back onto the grid. Nothing scales with raw event
+    volume past the first aggregation."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.groupBy("event_type").agg(
+        dec(F.count("*")).alias("cnt"),
+        dec(F.sum("n_events")).alias("s"),
+        dec(F.sum(F.col("n_events") * F.col("n_events"))).alias("q"),
+    )
+    dev = F.col("cnt") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("cnt") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (
+                F.round(
+                    dev.cast("double") / F.sqrt(var_n2.cast("double")), 3
+                )
+                + F.lit(0.0)
+            ).alias("z_score"),
+            (dev * dev > 4 * var_n2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

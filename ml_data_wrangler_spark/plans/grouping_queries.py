@@ -204,3 +204,48 @@ def qg07(spark, sf_dir):
         ORDER BY grouping_level, l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "qg08_cube_returns_by_year",
+    oracle="""
+SELECT l_returnflag, ship_year,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(ship_year) AS BIGINT)
+         AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM (SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             l_extendedprice, l_discount
+      FROM lineitem)
+GROUP BY CUBE (l_returnflag, ship_year)
+ORDER BY grouping_level, l_returnflag, ship_year
+""",
+)
+def qg08(spark, sf_dir):
+    """CUBE — the remaining multi-level grouping operator (qg06 has
+    ROLLUP, qg07 explicit GROUPING SETS): all four aggregation levels
+    of (returnflag, ship-year) including the (ship_year)-only slice a
+    rollup never emits, with GROUPING_ID dispatch so subtotal rows
+    are machine-distinguishable from NULL keys.
+
+    Physical shape: like qg07's Expand — each input row fans out to
+    4 narrow replicas (grouped columns + exact decimal revenue only)
+    through ONE hash aggregation / one shuffle; never 4 passes over
+    the table. Revenue stays DECIMAL until the final cast, per the
+    _util money discipline."""
+    from ml_data_wrangler_spark.plans._util import dbl, disc_price
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("ship_year", F.year("l_shipdate").cast("bigint"))
+        .cube("l_returnflag", "ship_year")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.count("*").alias("n"),
+            dbl(F.sum(disc_price())).alias("revenue"),
+        )
+        .select("l_returnflag", "ship_year", "grouping_level", "n", "revenue")
+        .orderBy("grouping_level", "l_returnflag", "ship_year")
+    )
