@@ -1354,3 +1354,131 @@ def qe24(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "qe25_time_weighted_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, ts, event_id,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+iv AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         epoch_us(next_ts) - epoch_us(ts) AS dur_us
+  FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 4)
+         + 0 AS twav
+FROM iv GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def qe25(spark, sf_dir):
+    """Time-weighted average value per user (the TWAP operator of
+    financial/sensor pipelines): each event's value holds until the
+    user's next event, so the mean weights values by how LONG they
+    were in force, not how often they were sampled — the correct
+    summary for irregularly-sampled series, where a plain AVG
+    overweights bursts.
+
+    Cross-engine exactness: durations are exact integer microseconds
+    and values exact DECIMAL(12,2), so both weighted-sum aggregates
+    are exact (decimal×int products, associative); the final ratio is
+    one identical double expression on both engines. Shape at scale:
+    one shuffle on user_id serves the lead() window AND the final
+    aggregation (same key — exchange reused)."""
+    seq = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            "ts",
+            "event_id",
+            F.lead("ts")
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("next_ts"),
+        )
+        .where(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            money("value").alias("v"),
+            (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("dur_us"),
+        )
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            (
+                F.round(
+                    dbl(F.sum(F.col("v") * F.col("dur_us")))
+                    / dbl(F.sum("dur_us")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("twav"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "qe26_event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM tr GROUP BY prev_type)
+SELECT tr.prev_type, tr.next_type, tr.n,
+       ROUND(CAST(tr.n AS DOUBLE) / tot.row_n, 6) + 0 AS p
+FROM tr JOIN tot USING (prev_type)
+ORDER BY prev_type, next_type
+""",
+)
+def qe26(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences — P(next event type | current), the sequence-structure
+    summary behind session modeling and next-action prediction
+    features (and the categorical dual of qm15's token bigram LM).
+
+    Shape at scale: one shuffle on user_id for the lag() window; the
+    transition counts then re-key onto the |types|² grid, which is
+    tiny, and the row-normalizing totals broadcast back. Each
+    probability is one IEEE division of two exact counts."""
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        tr.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.round(F.col("n").cast("double") / F.col("row_n"), 6) + F.lit(0.0)).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
