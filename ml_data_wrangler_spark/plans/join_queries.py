@@ -305,3 +305,55 @@ def qj05(spark, sf_dir):
             F.unix_micros("matched_ts") - F.unix_micros("view_ts")
         ).cast("long").alias("gap_us"),
     )
+
+
+@query(
+    "qj06_value_tier_band_join",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('bronze', 0.0, 50.0),
+         ('silver', 50.0, 200.0),
+         ('gold', 200.0, 1e18)
+)
+SELECT e.event_type, t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY e.event_type, t.tier
+ORDER BY e.event_type, t.tier
+""",
+)
+def qj06(spark, sf_dir):
+    """Band (range-predicate) join against a dimension of half-open
+    numeric intervals — the lookup-table shape (rate cards, tax
+    brackets, SLA tiers) where the join condition is containment, not
+    equality, so no equi-key exists for a hash join.
+
+    Shape at scale: the tier table is explicitly BROADCAST, so
+    Catalyst plans BroadcastNestedLoopJoin — each event row tests
+    |tiers| intervals map-side with ZERO shuffle of the fact table
+    (the one aggregation shuffle is onto the bounded type×tier grid).
+    The degenerate alternative — a shuffled cartesian — is exactly
+    what the broadcast prevents; with non-overlapping tiers each row
+    matches once, so output is |events| rows pre-aggregation.
+    Value sums stay DECIMAL until the final cast (_util money
+    discipline)."""
+    from ml_data_wrangler_spark.plans._util import dbl, money
+
+    tiers = spark.createDataFrame(
+        [("bronze", 0.0, 50.0), ("silver", 50.0, 200.0), ("gold", 200.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    e = t(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(tiers),
+            (e["value"] >= tiers["lo"]) & (e["value"] < tiers["hi"]),
+        )
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .orderBy("event_type", "tier")
+    )
