@@ -1025,3 +1025,97 @@ def q33(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q33_SQL)
+
+
+@query(
+    "q34_merge_upsert",
+    oracle="""
+WITH delta AS (
+  -- update branch: spend per existing customer; insert branch: a
+  -- deterministic synthetic cohort keyed past the base id space
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+           AS spend
+  FROM orders WHERE o_orderdate >= DATE '2001-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT c_custkey + 10000000, CAST(100.00 AS DECIMAL(12,2))
+  FROM customer WHERE c_custkey % 100 = 0
+),
+merged AS (
+  SELECT COALESCE(b.c_custkey, d.c_custkey) AS c_custkey,
+         CAST(
+           CASE WHEN b.c_custkey IS NULL THEN d.spend
+                WHEN d.c_custkey IS NULL
+                  THEN CAST(b.c_acctbal AS DECIMAL(12,2))
+                ELSE CAST(b.c_acctbal AS DECIMAL(12,2)) + d.spend
+           END AS DOUBLE) AS balance,
+         CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+              WHEN d.c_custkey IS NULL THEN 'unchanged'
+              ELSE 'updated' END AS action
+  FROM customer b FULL JOIN delta d USING (c_custkey)
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM merged GROUP BY action ORDER BY action
+""",
+)
+def q34(spark, sf_dir):
+    """MERGE / SCD1 upsert semantics without a table format: base
+    (customer) FULL OUTER JOIN delta, with WHEN MATCHED → update,
+    WHEN NOT MATCHED → insert, and not-matched-by-source rows carried
+    through unchanged — the maintenance operation warehouses spell
+    MERGE INTO, expressed as the pure relational dual so the merged
+    state is oracle-checkable (the write itself would go through the
+    parquet sinks in sources/sinks.py). The delta exercises all three
+    branches: spend from the incremental order window (update), a
+    synthetic cohort keyed past the base id space (insert), and
+    customers with no orders in the window (unchanged) — the shape of
+    a daily MERGE batch.
+
+    Shape at scale: ONE full-outer hash join on the merge key — both
+    sides pre-aggregated/pre-keyed on it, so co-partitioning is free;
+    balances stay DECIMAL through the merge arithmetic (exact,
+    order-independent) and only the report casts to double."""
+    from ml_data_wrangler_spark.plans._util import dbl, money
+
+    base = t(spark, sf_dir, "customer")
+    delta = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(12,2)").alias("spend"))
+        .unionByName(
+            base.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit(100.00).cast("decimal(12,2)").alias("spend"),
+            )
+        )
+    )
+    b = base.select("c_custkey", money("c_acctbal").alias("bal")).alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, "c_custkey", "full_outer").select(
+        F.col("c_custkey"),
+        dbl(
+            F.when(F.col("b.bal").isNull(), F.col("d.spend"))
+            .when(F.col("d.spend").isNull(), F.col("b.bal"))
+            .otherwise(F.col("b.bal") + F.col("d.spend"))
+        ).alias("balance"),
+        F.when(F.col("b.bal").isNull(), "inserted")
+        .when(F.col("d.spend").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dbl(F.sum(F.col("balance").cast("decimal(18,2)"))).alias(
+                "total_balance"
+            ),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("action")
+    )
