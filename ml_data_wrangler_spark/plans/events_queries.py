@@ -1482,3 +1482,72 @@ def qe26(spark, sf_dir):
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "qe27_growth_accounting",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+seq AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM ud
+)
+SELECT day,
+       CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                      AND date_diff('day', prev_day, day) <= 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                      AND date_diff('day', prev_day, day) > 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM seq GROUP BY day ORDER BY day
+""",
+)
+def qe27(spark, sf_dir):
+    """Daily growth accounting: every active user-day is classified
+    NEW (first activity ever), RETAINED (active within the last 3
+    days), or RESURRECTED (returning after a >3-day gap) — the
+    standard DAU decomposition that qw10's cohort matrix aggregates
+    away, and the batch dual of churn alerting.
+
+    Shape at scale: one distinct projection onto (user, day) —
+    collapsing raw event volume immediately — then one lag() window
+    on the user partitioning and a re-key onto the days-bounded
+    grid. All classification is integer date arithmetic; no floats
+    anywhere."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(W.partitionBy("user_id").orderBy("day")).alias(
+            "prev_day"
+        ),
+    )
+    gap = F.datediff("day", "prev_day")
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(
+                F.when(F.col("prev_day").isNotNull() & (gap <= 3), 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(F.col("prev_day").isNotNull() & (gap > 3), 1).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+        .orderBy("day")
+    )

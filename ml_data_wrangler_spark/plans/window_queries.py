@@ -396,3 +396,61 @@ def qw10(spark, sf_dir):
         )
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+@query(
+    "qw11_order_decile_profile",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(floor((rn - 1) * 10 / n) + 1 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM ranked
+GROUP BY decile ORDER BY decile
+""",
+)
+def qw11(spark, sf_dir):
+    """Global decile profile of order value — rank every order
+    globally, split into 10 rank-equal buckets, report each bucket's
+    count/min/max/sum (the revenue-concentration curve: compare
+    decile 10's total to decile 1's).
+
+    Shape at scale: the global rank comes from
+    plans/_util.global_row_number — range-partition, local
+    row_number, triangular broadcast offsets — so NO unpartitioned
+    WindowExec exists anywhere in the plan (the registry-wide sweep
+    enforces this); the oracle is free to use the single-node global
+    window. The bucket formula floor((rn−1)·10/n)+1 is pure integer
+    arithmetic on both engines (NTILE's remainder-spreading is
+    deliberately avoided — this formula is scale-stable and
+    engine-identical)."""
+    from ml_data_wrangler_spark.plans._util import global_row_number, money
+
+    ranked = global_row_number(
+        t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey"),
+        F.col("o_totalprice").asc(),
+        F.col("o_orderkey").asc(),
+        out="rn",
+        n_out="n",
+    )
+    return (
+        ranked.select(
+            (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1).alias("decile"),
+            money("o_totalprice").alias("p"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.min("p")).alias("min_price"),
+            dbl(F.max("p")).alias("max_price"),
+            dbl(F.sum("p")).alias("total_price"),
+        )
+        .orderBy("decile")
+    )
