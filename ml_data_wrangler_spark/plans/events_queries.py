@@ -1165,122 +1165,7 @@ def qe22(spark, sf_dir):
 
 
 @query(
-    "qe23_funnel_stages",
-    oracle="""
-WITH e AS (
-  SELECT user_id, event_type, ts, event_id,
-         MIN(CASE WHEN event_type = 'signup' THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1r
-  FROM events
-),
-e2 AS (
-  SELECT *,
-         MIN(CASE WHEN event_type = 'view' AND ts >= s1r THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2r
-  FROM e
-),
-e3 AS (
-  SELECT *,
-         MIN(CASE WHEN event_type = 'click' AND ts >= s2r THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3r
-  FROM e2
-),
-per_user AS (
-  SELECT user_id,
-         MIN(s1r) AS t1, MIN(s2r) AS t2, MIN(s3r) AS t3,
-         MIN(CASE WHEN event_type = 'purchase' AND ts >= s3r THEN ts END) AS t4
-  FROM e3 GROUP BY user_id
-)
-SELECT stage, stage_name, CAST(n_users AS BIGINT) AS n_users FROM (
-  SELECT 1 AS stage, 'signup' AS stage_name, COUNT(t1) AS n_users FROM per_user
-  UNION ALL
-  SELECT 2, 'view', COUNT(t2) FROM per_user
-  UNION ALL
-  SELECT 3, 'click', COUNT(t3) FROM per_user
-  UNION ALL
-  SELECT 4, 'purchase', COUNT(t4) FROM per_user
-) ORDER BY stage
-""",
-)
-def qe23(spark, sf_dir):
-    """Ordered conversion funnel (signup → view → click → purchase):
-    a user completes stage k only with an event at or after their
-    stage-(k-1) completion time — the product-analytics funnel
-    operator (Amplitude/Mixpanel-style), which no plain per-type
-    MIN(ts) can express because ordering between stages matters.
-
-    Shape at scale: ONE shuffle (hash-partition by user_id); the
-    chained running-min windows all share that partitioning and sort,
-    so Catalyst plans a single Exchange + Sort feeding three stacked
-    WindowExecs (plan-audited: no unpartitioned window, no join). The
-    per-user funnel state then folds in the same aggregation pass.
-    Stage times use >= (same-timestamp events count in event-id
-    order on ties only for window ordering; stage comparison is on
-    ts alone) — mirrored exactly in the oracle."""
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-
-    def running_min_when(cond):
-        return F.min(F.when(cond, F.col("ts"))).over(w)
-
-    e = (
-        t(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts", "event_id")
-        .withColumn("s1r", running_min_when(F.col("event_type") == "signup"))
-        .withColumn(
-            "s2r",
-            running_min_when(
-                (F.col("event_type") == "view") & (F.col("ts") >= F.col("s1r"))
-            ),
-        )
-        .withColumn(
-            "s3r",
-            running_min_when(
-                (F.col("event_type") == "click") & (F.col("ts") >= F.col("s2r"))
-            ),
-        )
-    )
-    per_user = e.groupBy("user_id").agg(
-        F.min("s1r").alias("t1"),
-        F.min("s2r").alias("t2"),
-        F.min("s3r").alias("t3"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts") >= F.col("s3r")),
-                F.col("ts"),
-            )
-        ).alias("t4"),
-    )
-    stages = [(1, "signup", "t1"), (2, "view", "t2"), (3, "click", "t3"), (4, "purchase", "t4")]
-    counts = per_user.agg(
-        *[F.count(c).alias(f"n{i}") for i, _, c in stages]
-    )
-    stage_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("stage"),
-                F.lit(nm).alias("stage_name"),
-                F.col(f"n{i}").alias("n_users"),
-            )
-            for i, nm, _ in stages
-        ]
-    )
-    return (
-        counts.select(F.explode(stage_rows).alias("s"))
-        .select("s.stage", "s.stage_name", "s.n_users")
-        .orderBy("stage")
-    )
-
-
-@query(
-    "qe24_daily_anomaly_flags",
+    "qe24_global_volume_outliers",
     oracle="""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1305,10 +1190,12 @@ ORDER BY d.event_type, d.day
 """,
 )
 def qe24(spark, sf_dir):
-    """Daily event-volume anomaly detection per event type: flag days
-    whose count sits more than 2 population standard deviations from
-    that type's mean — the data-quality monitor every ingestion
-    pipeline runs over its arrival counts.
+    """GLOBAL-baseline volume outliers per event type: flag days whose
+    count sits more than 2 population standard deviations from the
+    type's whole-period mean — the complement of qe14's TRAILING-
+    window detector (qe14 catches local level shifts against the
+    recent past; this catches days atypical for the series as a
+    whole, and its threshold can be made exactly deterministic).
 
     Cross-engine exactness: the threshold test is a PURE INTEGER
     comparison — |z| > 2 rewrites to (n·x − S)² > 4(nQ − S²) with
@@ -1426,61 +1313,6 @@ def qe25(spark, sf_dir):
             ).alias("twav"),
         )
         .orderBy("user_id")
-    )
-
-
-@query(
-    "qe26_event_transition_matrix",
-    oracle="""
-WITH seq AS (
-  SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_type
-  FROM events
-),
-tr AS (
-  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM seq WHERE prev_type IS NOT NULL
-  GROUP BY prev_type, next_type
-),
-tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM tr GROUP BY prev_type)
-SELECT tr.prev_type, tr.next_type, tr.n,
-       ROUND(CAST(tr.n AS DOUBLE) / tot.row_n, 6) + 0 AS p
-FROM tr JOIN tot USING (prev_type)
-ORDER BY prev_type, next_type
-""",
-)
-def qe26(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event-type
-    sequences — P(next event type | current), the sequence-structure
-    summary behind session modeling and next-action prediction
-    features (and the categorical dual of qm15's token bigram LM).
-
-    Shape at scale: one shuffle on user_id for the lag() window; the
-    transition counts then re-key onto the |types|² grid, which is
-    tiny, and the row-normalizing totals broadcast back. Each
-    probability is one IEEE division of two exact counts."""
-    seq = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev_type"),
-    )
-    tr = (
-        seq.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count("*").alias("n"))
-    )
-    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
-    return (
-        tr.join(F.broadcast(tot), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n",
-            (F.round(F.col("n").cast("double") / F.col("row_n"), 6) + F.lit(0.0)).alias("p"),
-        )
-        .orderBy("prev_type", "next_type")
     )
 
 

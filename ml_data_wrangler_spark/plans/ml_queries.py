@@ -946,131 +946,3 @@ def qm14(spark, sf_dir):
         .groupBy("actual_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
-
-
-@query(
-    "qm15_bigram_lm_surprise",
-    oracle=f"""
-WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
-bg AS (
-  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
-  FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
-  WHERE len(l) >= 2
-),
-dbg AS (
-  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS occ
-  FROM bg GROUP BY doc_id, w1, w2
-),
-pc AS (
-  SELECT w1, w2, CAST(SUM(occ) AS BIGINT) AS c FROM dbg GROUP BY w1, w2
-),
-ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cstart FROM pc GROUP BY w1),
-v AS (
-  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize
-  FROM (SELECT unnest(l) AS tok FROM toks)
-),
-model AS (
-  SELECT pc.w1, pc.w2,
-         CAST(ROUND(ln((pc.c + 1.0) / (ctx.cstart + v.vsize)) * 1e6)
-              AS BIGINT) AS lp
-  FROM pc JOIN ctx USING (w1) CROSS JOIN v
-),
-doc_scores AS (
-  SELECT d.doc_id,
-         CAST(SUM(d.occ * (-m.lp)) AS BIGINT) AS nll_micronats,
-         CAST(SUM(d.occ) AS BIGINT) AS n_bigrams
-  FROM dbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
-  GROUP BY d.doc_id
-)
-SELECT doc_id, nll_micronats, n_bigrams,
-       ROUND(CAST(nll_micronats AS DOUBLE) / n_bigrams, 3) + 0
-         AS mean_nll_micronats
-FROM doc_scores
-ORDER BY mean_nll_micronats DESC, doc_id
-LIMIT 20
-""",
-)
-def qm15(spark, sf_dir):
-    """Add-1-smoothed bigram language model trained on the corpus and
-    used to score each document's mean negative log-likelihood — the
-    KenLM-perplexity quality-filter stage of corpus pipelines (CCNet
-    et al.): high mean surprise flags boilerplate-free but
-    incoherent/noisy text. Resubstitution scoring means every scored
-    bigram exists in the model, so the score join is a plain inner
-    equi-join with no unseen-event fallback.
-
-    Cross-engine exactness: per-bigram log-probs are quantized to
-    integer MICRONATS before weighting (qm14's trick), so each
-    document's NLL is an exact integer sum; the mean is ONE IEEE
-    division of two exact integers — identical in both engines —
-    rounded only for display.
-
-    Shape at scale: bigrams are built map-only from the token array
-    (no position self-join); doc-level and global counts are two
-    hash aggregations sharing the (w1, w2) key, so the model join
-    back onto doc-pair counts co-partitions on the reused key. The
-    context-count and vocab relations are token-type-bounded; vocab
-    broadcasts as a scalar."""
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("l"))
-    n = F.size("l")
-    el = lambda i: F.element_at(F.col("l"), i)  # noqa: E731
-
-    def mk(i):
-        return F.struct(el(i).alias("w1"), el(i + 1).alias("w2"))
-
-    bg = (
-        toks.select(
-            "doc_id",
-            F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), mk))
-            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-            .alias("ps"),
-        )
-        .select("doc_id", F.explode("ps").alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
-    )
-    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("occ"))
-    pc = dbg.groupBy("w1", "w2").agg(F.sum("occ").alias("c"))
-    ctx = pc.groupBy("w1").agg(F.sum("c").alias("cstart"))
-    vsize = (
-        toks.select(F.explode("l").alias("tok"))
-        .agg(F.count_distinct("tok").alias("vsize"))
-    )
-    model = (
-        pc.join(ctx, "w1")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "w1",
-            "w2",
-            F.round(
-                F.log((F.col("c") + 1.0) / (F.col("cstart") + F.col("vsize")))
-                * 1e6
-            )
-            .cast("long")
-            .alias("lp"),
-        )
-    )
-    doc_scores = (
-        dbg.join(model, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("occ") * (-F.col("lp"))).alias("nll_micronats"),
-            F.sum("occ").alias("n_bigrams"),
-        )
-    )
-    return (
-        doc_scores.select(
-            "doc_id",
-            "nll_micronats",
-            "n_bigrams",
-            (
-                F.round(
-                    F.col("nll_micronats").cast("double") / F.col("n_bigrams"),
-                    3,
-                )
-                + F.lit(0.0)
-            ).alias("mean_nll_micronats"),
-        )
-        .orderBy(F.desc("mean_nll_micronats"), "doc_id")
-        .limit(20)
-    )

@@ -315,90 +315,6 @@ def qw09(spark, sf_dir):
 
 
 @query(
-    "qw10_cohort_retention",
-    oracle="""
-WITH first_seen AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-  FROM events GROUP BY user_id
-),
-activity AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
-),
-cohort_size AS (
-  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first_seen
-  GROUP BY cohort_week
-)
-SELECT f.cohort_week,
-       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
-         AS offset_weeks,
-       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
-       s.n_cohort,
-       ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.n_cohort, 6) + 0
-         AS retention
-FROM activity a
-JOIN first_seen f USING (user_id)
-JOIN cohort_size s ON s.cohort_week = f.cohort_week
-GROUP BY f.cohort_week, offset_weeks, s.n_cohort
-ORDER BY f.cohort_week, offset_weeks
-""",
-)
-def qw10(spark, sf_dir):
-    """Weekly cohort retention matrix — the standard growth-analytics
-    triangle: users bucketed by first-activity week, retention =
-    share of the cohort active k weeks later. Complements qe23's
-    funnel (ordered milestones) with longitudinal repeat behavior.
-
-    Shape at scale: first-seen and distinct-activity are both
-    aggregations keyed on user_id (same hash partitioning, exchange
-    reused for the equi-join), then one re-key onto the bounded
-    (cohort_week, offset) grid; cohort sizes are a tiny relation and
-    broadcast. Week truncation is Monday-based on both engines, so
-    offset day-counts are exact multiples of 7 and the integer
-    division is lossless. Retention is one IEEE division of two exact
-    integers (bit-identical across engines), rounded + signed-zero
-    normalized per the _util float discipline."""
-    events = t(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    activity = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
-    ).distinct()
-    cohort_size = first_seen.groupBy("cohort_week").agg(
-        F.count("*").alias("n_cohort")
-    )
-    return (
-        activity.join(first_seen, "user_id")
-        .withColumn(
-            "offset_weeks",
-            (
-                F.datediff(
-                    F.col("active_week").cast("date"),
-                    F.col("cohort_week").cast("date"),
-                )
-                / 7
-            ).cast("long"),
-        )
-        .groupBy("cohort_week", "offset_weeks")
-        .agg(F.count_distinct("user_id").alias("n_active"))
-        .join(F.broadcast(cohort_size), "cohort_week")
-        .select(
-            F.col("cohort_week").cast("date").alias("cohort_week"),
-            "offset_weeks",
-            "n_active",
-            "n_cohort",
-            (
-                F.round(
-                    F.col("n_active").cast("double") / F.col("n_cohort"), 6
-                )
-                + F.lit(0.0)
-            ).alias("retention"),
-        )
-        .orderBy("cohort_week", "offset_weeks")
-    )
-
-
-@query(
     "qw11_order_decile_profile",
     oracle="""
 WITH ranked AS (
