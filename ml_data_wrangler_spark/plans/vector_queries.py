@@ -866,3 +866,138 @@ def qv16(spark, sf_dir):
         )
         .orderBy("label", "pred_label")
     )
+
+
+def _kmeans_assign(emb, cent):
+    """One Lloyd assignment step: argmin over broadcast centroids by
+    squared L2, with distances quantized to integer micro-units before
+    the argmin (ties break to the smallest cluster id) so the
+    assignment is an integer decision on both engines."""
+    from pyspark.sql import Window as W
+
+    from ml_data_wrangler_spark.functions.vectors import dot
+
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cand",
+        F.round(d2 * 1e6).cast("long").alias("d_micro"),
+    )
+    w = W.partitionBy("vec_id").orderBy("d_micro", "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cand").alias("cluster"), "d_micro")
+    )
+
+
+def _kmeans_update(assigned):
+    """One Lloyd update step: per-dimension means, each rounded to 6
+    places and signed-zero-normalized so the NEXT iteration's
+    distances read identical centroid inputs on both engines."""
+    dims = (
+        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("dv"))
+    )
+    return (
+        dims.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "dv"))),
+                lambda s: s["dv"],
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cand"), "cv")
+    )
+
+
+_SQL_D2 = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+_SQL_KM_ASSIGN = """
+{name} AS (
+  SELECT vec_id, v, cand AS cluster, d_micro FROM (
+    SELECT e.vec_id, e.v, c.cand,
+           CAST(ROUND({d2} * 1e6) AS BIGINT) AS d_micro,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(ROUND({d2} * 1e6) AS BIGINT), c.cand) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+_SQL_KM_UPDATE = """
+{name} AS (
+  SELECT cluster AS cand, list(dv ORDER BY i) AS cv FROM (
+    SELECT cluster, i, ROUND(AVG(x), 6) + 0 AS dv
+    FROM (SELECT cluster, unnest(v) AS x,
+                 unnest(generate_series(1, 64)) AS i
+          FROM {assigned})
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+
+
+@query(
+    "qv17_lloyd_kmeans",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cand, v AS cv FROM emb WHERE vec_id < 8
+),
+{_SQL_KM_ASSIGN.format(name="a1", cent="cent0", d2=_SQL_D2.format(a="e.v", b="c.cv"))},
+{_SQL_KM_UPDATE.format(name="cent1", assigned="a1")},
+{_SQL_KM_ASSIGN.format(name="a2", cent="cent1", d2=_SQL_D2.format(a="e.v", b="c.cv"))}
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d_micro) AS BIGINT) AS sse_micro
+FROM a2 GROUP BY cluster ORDER BY cluster
+""",
+)
+def qv17(spark, sf_dir):
+    """Lloyd's k-means (k=8, 2 unrolled iterations, deterministic
+    first-k init) implemented ENTIRELY as DataFrame operations and
+    hash-checked against a DuckDB oracle that unrolls the same two
+    iterations in SQL — the iterative-algorithm-on-Spark pattern
+    (score → argmin → re-aggregate per round) that qv05's MLlib IVF
+    index uses internally but can only gate rows-only. Output is each
+    cluster's size and EXACT integer micro-unit SSE.
+
+    Cross-engine exactness: both Lloyd decisions are integerized —
+    assignment argmins over micro-quantized squared-L2 (smallest-id
+    tiebreak) and updated centroids are rounded/sign-normalized
+    before the next pass reads them — so the trajectory, not just the
+    final state, is engine-identical; SSE sums exact bigints.
+
+    Shape at scale: per iteration ONE broadcast of k centroid rows,
+    one map-side k-way fan-out, a k-row-per-vector argmin window, and
+    one (cluster, dim)-keyed mean — all linear passes, no pairwise
+    anything; iterations compose by lineage (localCheckpoint between
+    rounds would bound plan growth at higher iteration counts —
+    operators/dedup.py's connected-components does exactly that)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cand"), F.col("v").alias("cv")
+    )
+    for _ in range(1):
+        cent = _kmeans_update(_kmeans_assign(emb, cent))
+    final = _kmeans_assign(emb, cent)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("d_micro").alias("sse_micro"),
+        )
+        .orderBy("cluster")
+    )
