@@ -387,3 +387,78 @@ def qs09(spark, sf_dir):
         .where((win_end > F.col("wa")) & (win_end <= F.col("w2")))
         .drop("wa", "w2")
     )
+
+
+@query(
+    "qs10_stream_outer_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+),
+c AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+w AS (
+  SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+         - INTERVAL 2 HOUR AS wm
+),
+j AS (
+  SELECT c.event_id AS left_id, p.event_id AS right_id,
+         c.user_id, c.ts AS l_ts
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+)
+SELECT left_id, right_id, user_id FROM j, w
+WHERE right_id IS NOT NULL
+   OR l_ts + INTERVAL 1 HOUR < w.wm - INTERVAL 1 MINUTE
+""",
+)
+def qs10(spark, sf_dir):
+    """Stream–stream LEFT OUTER interval join — qs06's attribution
+    pairs plus the rows qs06 cannot express: clicks that never
+    converted, null-padded. In streaming, an outer row is emittable
+    only once the watermark proves no future match exists, so these
+    rows surface in the terminal no-data batches of the availableNow
+    run — the semantics a funnel-leak consumer relies on (a click
+    missing from the output is still PENDING; a null row is a
+    verdict).
+
+    Determinism gate (qs09's band discipline): whether Spark emits a
+    null row for a click whose match horizon ends exactly AT the
+    final watermark W = max(ts) − 2h depends on boundary timing, so
+    BOTH engines restrict unmatched rows to l_ts + horizon < W − 1
+    minute — strictly inside the evicted region, where emission is
+    guaranteed (matched rows emit immediately and are all kept).
+    W is the JOIN watermark: the MINIMUM of the two sides' per-side
+    watermarks (each side tracks its own max event time — the global
+    watermark advances only as fast as the SLOWEST side, which is
+    what makes multi-input watermarking safe), so both engines derive
+    it as least(max click ts, max purchase ts) − delay.
+    The oracle is the batch LEFT JOIN under the same band."""
+    from ml_data_wrangler_spark.plans._util import t
+    from ml_data_wrangler_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_left_outer_join(stream)
+    sink = run_to_memory(joined, "qs10_sink", output_mode="append")
+    ev = t(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 2 HOURS")
+        ).alias("wm")
+    )
+    keep = F.col("right_id").isNotNull() | (
+        F.col("l_ts") + F.expr("INTERVAL 1 HOUR")
+        < F.col("wm") - F.expr("INTERVAL 1 MINUTE")
+    )
+    return (
+        sink.crossJoin(F.broadcast(wm))
+        .where(keep)
+        .select("left_id", "right_id", "user_id")
+    )

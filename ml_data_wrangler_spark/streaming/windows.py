@@ -347,3 +347,48 @@ def tumbling_counts_append(
         )
     )
     return run_to_memory(agg, "qs09_sink", output_mode="append")
+
+
+def stream_stream_left_outer_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream LEFT OUTER interval join: like
+    stream_stream_interval_join but unmatched left rows ARE part of
+    the result — emitted null-padded only once the watermark passes
+    l_ts + horizon and no future right row can possibly match. That
+    deferred emission is the semantics that makes outer results
+    correct under unbounded input (emit too early and a late match
+    contradicts the null row), and it is why outer rows appear only
+    in the terminal no-data batches of an availableNow run.
+
+    State bound is identical to the inner case: both sides
+    watermarked, join condition bounds event time on both columns."""
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("left_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("right_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("l_ts") < F.col("r_ts")),
+        "leftOuter",
+    ).select("left_id", "right_id", F.col("l_user").alias("user_id"), "l_ts")
