@@ -775,3 +775,32 @@ def duplicate_spans(
             "n_dup_grams",
         )
     )
+
+
+def minhash_raw_signatures(documents: DataFrame, k: int = 3, n_hashes: int = 128) -> DataFrame:
+    """(doc_id, sig: array<bigint>[n_hashes]) — raw MinHash signatures
+    as pure JVM array expressions: per seed s in 0..n−1, component =
+    min over the doc's distinct k-shingles of xxhash64(shingle, s).
+    Fully deterministic on any partitioning/engine run, which is what
+    lets qd10 pin the agreement estimator and qd15 pin banding
+    refinement as HARD oracle booleans. The shingle array is projected
+    once per row before the seed loop (Catalyst would otherwise
+    re-derive it per seed — the qd10 measurement)."""
+    from ml_data_wrangler_spark.functions.text import tokenize
+
+    return (
+        documents.select("doc_id", tokenize(F.col("text")).alias("l"))
+        .where(F.size("l") >= k)
+        .select(
+            "doc_id", F.array_distinct(_shingles_from_tokens(F.col("l"), k)).alias("shingles")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda seed: F.array_min(
+                    F.transform("shingles", lambda s: F.xxhash64(s, seed))
+                ),
+            ).alias("sig"),
+        )
+    )

@@ -641,3 +641,150 @@ def qd14(spark, sf_dir):
     from ml_data_wrangler_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+@query(
+    "qd15_lsh_band_sweep",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM exact)
+SELECT bands, rows_per_band, n.n_exact_pairs,
+       TRUE AS refinement_ok, TRUE AS recall_ok
+FROM (VALUES (CAST(32 AS BIGINT), CAST(4 AS BIGINT)),
+             (CAST(16 AS BIGINT), CAST(8 AS BIGINT)),
+             (CAST(8 AS BIGINT), CAST(16 AS BIGINT))) AS c(bands, rows_per_band), n
+ORDER BY bands DESC
+""",
+)
+def qd15(spark, sf_dir):
+    """MinHash-LSH banding parameter sweep over ONE shared 128-hash
+    signature — the (b, r) tuning surface behind every LSH dedup
+    deployment, gate-pinned through two invariants:
+
+      * REFINEMENT (pointwise, provable): a (16, 8) band is the
+        concatenation of two (32, 4) bands, so an 8-row collision
+        forces both constituent 4-row collisions — any pair caught at
+        (16, 8) is caught at (32, 4), and likewise (8, 16) → (16, 8).
+        `refinement_ok` asserts zero violations; unlike a sampled
+        recall this can NEVER flip on regenerated data (it is the
+        same pointwise-domination trick as qv14's nprobe gate).
+      * RECALL floor (measured): at the dedup operating point the
+        finest banding (32, 4) must catch ≥ 70% of the exact
+        Jaccard≥0.6 pairs (collision probability at s = 0.6 is
+        1−(1−0.6⁴)³² ≈ 0.99); coarser configs assert no floor (their
+        S-curves are intentionally far right of the threshold —
+        that's what the sweep demonstrates).
+
+    Shape at scale: signatures once (map-only array expressions,
+    operators/dedup.minhash_raw_signatures), flags evaluated on the
+    exact-pair relation only — the sweep adds zero candidate
+    generation; slice comparisons are JVM array equality."""
+    from ml_data_wrangler_spark.operators.dedup import (
+        minhash_raw_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.6, strategy="count").select(
+        "doc_a", "doc_b"
+    )
+    # signatures are 128 hashes x |shingles| per doc — compute them
+    # ONLY for docs that participate in an exact pair (a broadcastable
+    # semi join), not the whole corpus: O(|pair docs|), which is what
+    # a verify stage costs at 100 TB too
+    pair_docs = (
+        exact.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(exact.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = minhash_raw_signatures(
+        docs.join(F.broadcast(pair_docs), "doc_id", "left_semi"), k=3, n_hashes=128
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+
+    def caught(bands: int, r: int):
+        return F.exists(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.slice("sig_a", i * r + 1, r)
+            == F.slice("sig_b", i * r + 1, r),
+        )
+
+    flags = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            caught(32, 4).alias("c32"),
+            caught(16, 8).alias("c16"),
+            caught(8, 16).alias("c8"),
+        )
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    agg = flags.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.sum(F.when(F.col("c32"), one).otherwise(zero)).alias("n32"),
+        F.sum(F.when(F.col("c16") & ~F.col("c32"), one).otherwise(zero)).alias(
+            "v_16_32"
+        ),
+        F.sum(F.when(F.col("c8") & ~F.col("c16"), one).otherwise(zero)).alias(
+            "v_8_16"
+        ),
+    )
+    configs = F.array(
+        F.struct(
+            F.lit(32).cast("long").alias("bands"),
+            F.lit(4).cast("long").alias("rows_per_band"),
+            ((F.col("v_16_32") == 0) & (F.col("v_8_16") == 0)).alias(
+                "refinement_ok"
+            ),
+            (
+                F.col("n32")
+                >= 0.7 * F.col("n_exact_pairs")
+            ).alias("recall_ok"),
+        ),
+        F.struct(
+            F.lit(16).cast("long").alias("bands"),
+            F.lit(8).cast("long").alias("rows_per_band"),
+            ((F.col("v_16_32") == 0) & (F.col("v_8_16") == 0)).alias(
+                "refinement_ok"
+            ),
+            F.lit(True).alias("recall_ok"),
+        ),
+        F.struct(
+            F.lit(8).cast("long").alias("bands"),
+            F.lit(16).cast("long").alias("rows_per_band"),
+            ((F.col("v_16_32") == 0) & (F.col("v_8_16") == 0)).alias(
+                "refinement_ok"
+            ),
+            F.lit(True).alias("recall_ok"),
+        ),
+    )
+    return (
+        agg.select("n_exact_pairs", F.explode(configs).alias("c"))
+        .select(
+            "c.bands",
+            "c.rows_per_band",
+            "n_exact_pairs",
+            "c.refinement_ok",
+            "c.recall_ok",
+        )
+        .orderBy(F.desc("bands"))
+    )
