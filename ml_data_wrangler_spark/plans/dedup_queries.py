@@ -388,39 +388,21 @@ def qd10(spark, sf_dir):
     Signatures are pure JVM array expressions (transform/array_min
     over xxhash64), one row per doc — no UDF, no shuffle until the
     pair join."""
-    from ml_data_wrangler_spark.functions.text import tokenize
-    from ml_data_wrangler_spark.operators.dedup import ngram_jaccard_pairs
+    from ml_data_wrangler_spark.operators.dedup import (
+        minhash_raw_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6, strategy="count")
-
-    lcol = tokenize(F.col("text"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("l") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("l", i),
-                F.element_at("l", i + 1),
-                F.element_at("l", i + 2),
-            ),
-        )
+    # qd15's pruning: signatures only for pair-participating docs
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sigs = (
-        docs.select("doc_id", lcol.alias("l"))
-        .where(F.size("l") >= 3)
-        # project the shingle array ONCE per row before the 128-seed
-        # loop — inside the lambda Catalyst would re-derive it per seed
-        .select("doc_id", sh.alias("shingles"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(127)),
-                lambda seed: F.array_min(
-                    F.transform("shingles", lambda s: F.xxhash64(s, seed))
-                ),
-            ).alias("sig"),
-        )
+    sigs = minhash_raw_signatures(
+        docs.join(F.broadcast(pair_docs), "doc_id", "left_semi"), k=3, n_hashes=128
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
