@@ -946,3 +946,134 @@ def qm14(spark, sf_dir):
         .groupBy("actual_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_QM16_FEATS_SQL = f"""
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         ROUND(n_chars / 1000.0, 6) + 0 AS x1,
+         ROUND(len({SQL_TOKS}) / 100.0, 6) + 0 AS x2,
+         ROUND(n_chars / (len({SQL_TOKS}) + 1) / 10.0, 6) + 0 AS x3
+  FROM documents
+"""
+
+# one GD step in SQL: given weight CTE {w}, emit updated weights {out}
+_QM16_STEP_SQL = """
+{out} AS (
+  SELECT
+    ROUND(w0 - 0.1 * CAST(CAST(SUM(CAST(ROUND((p - y) * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / n / 1e6, 6) + 0 AS w0,
+    ROUND(w1 - 0.1 * CAST(CAST(SUM(CAST(ROUND((p - y) * x1 * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / n / 1e6, 6) + 0 AS w1,
+    ROUND(w2 - 0.1 * CAST(CAST(SUM(CAST(ROUND((p - y) * x2 * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / n / 1e6, 6) + 0 AS w2,
+    ROUND(w3 - 0.1 * CAST(CAST(SUM(CAST(ROUND((p - y) * x3 * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / n / 1e6, 6) + 0 AS w3
+  FROM (
+    SELECT f.*, w.*, cnt.n,
+           1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))) AS p
+    FROM feats f CROSS JOIN {w} w CROSS JOIN cnt
+  )
+  GROUP BY w0, w1, w2, w3, n
+)"""
+
+
+@query(
+    "qm16_logreg_gd",
+    oracle=f"""
+WITH feats AS ({_QM16_FEATS_SQL}),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
+winit AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+{_QM16_STEP_SQL.format(w="winit", out="w_1")},
+{_QM16_STEP_SQL.format(w="w_1", out="w_2")},
+{_QM16_STEP_SQL.format(w="w_2", out="w_3")}
+SELECT cnt.n AS n_docs, w0, w1, w2, w3,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN y = 1.0 THEN -ln(p) ELSE -ln(1.0 - p) END) * 1e6)
+         AS BIGINT)) AS BIGINT) AS loss_micronats
+FROM (
+  SELECT f.y, w.*,
+         1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))) AS p
+  FROM feats f CROSS JOIN w_3 w
+), cnt
+GROUP BY cnt.n, w0, w1, w2, w3
+""",
+)
+def qm16(spark, sf_dir):
+    """Batch gradient descent for logistic regression (is-English from
+    three text-shape features; 3 steps, η = 0.1, zero init), written
+    ENTIRELY as DataFrame lineage — per step the 4-scalar weight
+    relation broadcasts onto the feature table, per-row gradient
+    contributions quantize to integer micronats, and ONE aggregation
+    produces the next weights; nothing is ever collect()ed. The
+    DuckDB oracle unrolls the same three steps in SQL and the final
+    weights + exact integer log-loss hash-match — the supervised
+    companion to qv17's k-means (together they pin the
+    train-loop-on-Spark pattern: score → reduce → re-broadcast).
+
+    Cross-engine exactness: features and updated weights are rounded
+    (+0.0 sign-normalized) at every boundary; gradient/loss sums are
+    exact bigint micronat sums (order-free); the per-step arithmetic
+    w − 0.1·Σ/n/1e6 uses identical association order in both
+    engines. The trajectory, not just the fit, is engine-identical.
+
+    Shape at scale: each step is one map pass + one 4-column
+    aggregation (partial-aggregated map-side) and a 1-row broadcast —
+    the minimum possible for batch GD; steps compose by lineage the
+    way qv17's iterations do."""
+    docs = t(spark, sf_dir, "documents")
+    toks_n = F.size(tokenize(F.col("text")))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        r6(F.col("n_chars") / 1000.0).alias("x1"),
+        r6(toks_n / 100.0).alias("x2"),
+        r6(F.col("n_chars") / (toks_n + 1) / 10.0).alias("x3"),
+    )
+    cnt = feats.agg(F.count("*").alias("n"))
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{d}") for d in range(4)]
+    )
+    micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+
+    def step(w_df):
+        j = feats.crossJoin(F.broadcast(w_df)).crossJoin(F.broadcast(cnt))
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+        return j.groupBy("w0", "w1", "w2", "w3", "n").agg(
+            *[
+                F.sum(micro((p - F.col("y")) * xs[d])).alias(f"g{d}")
+                for d in range(4)
+            ]
+        ).select(
+            *[
+                (
+                    F.round(
+                        F.col(f"w{d}")
+                        - F.lit(0.1)
+                        * F.col(f"g{d}").cast("double")
+                        / F.col("n")
+                        / 1e6,
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias(f"w{d}")
+                for d in range(4)
+            ]
+        )
+
+    for _ in range(3):
+        w = step(w)
+    j = feats.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(cnt))
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    loss = F.when(F.col("y") == 1.0, -F.log(p)).otherwise(-F.log(1.0 - p))
+    return j.groupBy(
+        F.col("n").alias("n_docs"), "w0", "w1", "w2", "w3"
+    ).agg(F.sum(micro(loss)).alias("loss_micronats"))
