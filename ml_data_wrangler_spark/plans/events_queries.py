@@ -1383,3 +1383,178 @@ def qe27(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qe28_psi_value_drift",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00' AS recent,
+         least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM e GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_new) AS BIGINT) AS n_new
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type,
+         CAST(ROUND(
+           ((c_ref + 1.0) / (n_ref + 10.0) - (c_new + 1.0) / (n_new + 10.0))
+           * ln(((c_ref + 1.0) / (n_ref + 10.0))
+                / ((c_new + 1.0) / (n_new + 10.0))) * 1e9) AS BIGINT) AS t
+  FROM counts c JOIN tot USING (event_type)
+)
+SELECT event_type, CAST(SUM(t) AS BIGINT) AS psi_nano,
+       CAST(SUM(t) AS BIGINT) > 100000000 AS drifted
+FROM terms GROUP BY event_type ORDER BY event_type
+""",
+)
+def qe28(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the month, per event type — the standard distribution-drift
+    monitor (PSI > 0.1 = investigate) that complements qe24/qe14:
+    those flag VOLUME shifts, this flags shape shifts in the value
+    distribution even at constant volume. Values bin into 10
+    fixed-width buckets; both histograms are add-1 smoothed so empty
+    bins are well-defined.
+
+    Cross-engine exactness: bin counts are exact integers; each
+    bin's PSI term (one identical double expression over those
+    integers) quantizes to integer NANO-units before the per-type
+    sum, so the aggregate and the 0.1 threshold comparison are exact
+    integer operations (the qm14 micronat pattern at 1e9 because PSI
+    terms are small).
+
+    Shape at scale: one pass bins and splits both windows with
+    conditional aggregation (no self-join of the two periods), onto
+    a |types|×10 grid; everything after is bounded."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "recent"
+        ),
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    counts = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("c_new"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_new").alias("n_new")
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10.0)
+    q = (F.col("c_new") + 1.0) / (F.col("n_new") + 10.0)
+    term = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select("event_type", term.alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum("t").alias("psi_nano"))
+        .select(
+            "event_type",
+            "psi_nano",
+            (F.col("psi_nano") > 100_000_000).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "qe29_session_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+               OR LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM seq
+),
+paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+HAVING COUNT(*) >= 5
+ORDER BY n_sessions DESC, path
+LIMIT 25
+""",
+)
+def qe29(spark, sf_dir):
+    """Session path analysis: the top event-type SEQUENCES users
+    follow within a 30-minute-gap session — what qe04 (sessionize)
+    and qe15 (one-step transitions) can't show: full ordered journeys
+    and their frequencies, the input to any funnel-discovery or
+    bot-pattern tool.
+
+    Shape at scale: sessionization reuses qe04's boundary-flag +
+    running-sum idiom (two stacked windows on ONE user_id
+    partitioning); the path string is built by an ordered in-group
+    concat (sort key mirrored exactly in the oracle's string_agg
+    ORDER BY), and only the bounded path-frequency table shuffles
+    again. Rare paths are floored at 5 sessions so the output is the
+    head of the distribution, not a long tail of singletons."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    boundary = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("boundary", boundary)
+        .withColumn("session_no", F.sum("boundary").over(run))
+    )
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
