@@ -262,3 +262,43 @@ def test_qw11_deciles_are_rank_equal(spark, sf_dir):
     # value ranges must be non-overlapping and increasing
     for a, b in zip(rows, rows[1:]):
         assert a["max_price"] <= b["min_price"]
+
+
+def test_qv17_lloyd_sse_nonincreasing(spark, sf_dir):
+    """Lloyd's algorithm provably never increases SSE: total
+    micro-quantized SSE after the update+reassign step must be <= the
+    SSE of the initial assignment (up to quantization slack of one
+    micro-unit per vector)."""
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.plans._util import t as _t
+    from ml_data_wrangler_spark.plans.vector_queries import (
+        _kmeans_assign,
+        _kmeans_update,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent0 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cand"), F.col("v").alias("cv")
+    )
+    a0 = _kmeans_assign(emb, cent0)
+    sse0 = a0.agg(F.sum("d_micro")).collect()[0][0]
+    a1 = _kmeans_assign(emb, _kmeans_update(a0))
+    sse1 = a1.agg(F.sum("d_micro")).collect()[0][0]
+    n = emb.count()
+    assert sse1 <= sse0 + n  # one micro-unit rounding slack per vector
+
+
+def test_qm16_gd_loss_decreases(spark, sf_dir):
+    """Three GD steps from zero init must beat the zero-weight loss
+    (which is exactly n·ln 2 in micronats up to rounding)."""
+    import math
+
+    from ml_data_wrangler_spark.plans.registry import queries
+
+    row = queries()["qm16_logreg_gd"](spark, sf_dir).collect()[0]
+    zero_loss = row["n_docs"] * round(math.log(2) * 1e6)
+    assert row["loss_micronats"] < zero_loss
+    assert row["n_docs"] > 0
