@@ -789,6 +789,103 @@ def qm13(spark, sf_dir):
     )
 
 
+def _nb_language_confusion(model_docs, eval_docs):
+    """Multinomial NB language classifier: train on ``model_docs``,
+    score ``eval_docs``, return the actual × predicted confusion
+    matrix. All log-likelihoods quantize to integer micronats (see
+    qm14) so scores are exact integer sums on any engine/partitioning.
+    qm14 passes the same frame twice (resubstitution); qm17 passes
+    disjoint content-addressed splits (held-out generalization)."""
+    from pyspark.sql import Window as W
+
+    toks_m = model_docs.select("doc_id", "lang", tokenize(F.col("text")).alias("l"))
+    dt_m = (
+        toks_m.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("occ"))
+    )
+    langs = model_docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_total = model_docs.agg(F.count("*").alias("n_total"))
+    vsize = dt_m.agg(F.count_distinct("tok").alias("vsize"))
+    cc = (
+        dt_m.join(toks_m.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.sum("occ").alias("c"))
+    )
+    ct = cc.groupBy("lang").agg(F.sum("c").alias("t_lang"))
+    micronats = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
+    model = (
+        cc.join(ct, "lang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            "tok",
+            micronats(
+                F.log(
+                    (F.col("c") + 1.0) / (F.col("t_lang") + F.col("vsize"))
+                )
+            ).alias("lp"),
+            micronats(
+                F.log(F.lit(1.0) / (F.col("t_lang") + F.col("vsize")))
+            ).alias("lp_unseen"),
+        )
+    )
+    # unseen-token fallback per lang (c = 0 -> ln(1/(T+V)))
+    unseen = model.groupBy("lang").agg(F.first("lp_unseen").alias("lp0"))
+    dt_e = (
+        eval_docs.select("doc_id", tokenize(F.col("text")).alias("l"))
+        .select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("occ"))
+    )
+    tok_scores = (
+        dt_e.crossJoin(F.broadcast(langs.select("lang")))
+        .join(
+            F.broadcast(model.select("lang", "tok", "lp")), ["lang", "tok"], "left"
+        )
+        .join(F.broadcast(unseen), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("occ") * F.coalesce(F.col("lp"), F.col("lp0"))
+            ).alias("ts")
+        )
+    )
+    prior = (
+        langs.crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            micronats(
+                F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+            ).alias("pr"),
+        )
+    )
+    scored = (
+        eval_docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .crossJoin(F.broadcast(prior.select(F.col("lang").alias("cand"), "pr")))
+        .join(
+            tok_scores.select(
+                "doc_id", F.col("lang").alias("cand"), "ts"
+            ),
+            ["doc_id", "cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand",
+            (F.col("pr") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("actual_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @query(
     "qm14_nb_language_classifier",
     oracle=f"""
@@ -864,88 +961,7 @@ def qm14(spark, sf_dir):
     tokenize to zero Latin tokens and fall back to the prior argmax —
     deterministic, and visible in the confusion matrix."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("l"))
-    dt = (
-        toks.select("doc_id", F.explode("l").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("occ"))
-    )
-    langs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_total = docs.agg(F.count("*").alias("n_total"))
-    vsize = dt.agg(F.count_distinct("tok").alias("vsize"))
-    cc = (
-        dt.join(toks.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang", "tok")
-        .agg(F.sum("occ").alias("c"))
-    )
-    ct = cc.groupBy("lang").agg(F.sum("c").alias("t_lang"))
-    micronats = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
-    model = (
-        cc.join(ct, "lang")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "lang",
-            "tok",
-            micronats(
-                F.log(
-                    (F.col("c") + 1.0) / (F.col("t_lang") + F.col("vsize"))
-                )
-            ).alias("lp"),
-            micronats(
-                F.log(F.lit(1.0) / (F.col("t_lang") + F.col("vsize")))
-            ).alias("lp_unseen"),
-        )
-    )
-    # unseen-token fallback per lang (c = 0 -> ln(1/(T+V)))
-    unseen = model.groupBy("lang").agg(F.first("lp_unseen").alias("lp0"))
-    tok_scores = (
-        dt.crossJoin(F.broadcast(langs.select("lang")))
-        .join(
-            F.broadcast(model.select("lang", "tok", "lp")), ["lang", "tok"], "left"
-        )
-        .join(F.broadcast(unseen), "lang")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(
-                F.col("occ") * F.coalesce(F.col("lp"), F.col("lp0"))
-            ).alias("ts")
-        )
-    )
-    prior = (
-        langs.crossJoin(F.broadcast(n_total))
-        .select(
-            "lang",
-            micronats(
-                F.log(F.col("n_docs").cast("double") / F.col("n_total"))
-            ).alias("pr"),
-        )
-    )
-    from pyspark.sql import Window as W
-
-    scored = (
-        docs.select("doc_id", F.col("lang").alias("actual_lang"))
-        .crossJoin(F.broadcast(prior.select(F.col("lang").alias("cand"), "pr")))
-        .join(
-            tok_scores.select(
-                "doc_id", F.col("lang").alias("cand"), "ts"
-            ),
-            ["doc_id", "cand"],
-            "left",
-        )
-        .select(
-            "doc_id",
-            "actual_lang",
-            "cand",
-            (F.col("pr") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("actual_lang", F.col("cand").alias("pred_lang"))
-        .agg(F.count("*").alias("n_docs"))
-    )
+    return _nb_language_confusion(docs, docs)
 
 
 _QM16_FEATS_SQL = f"""
@@ -1077,3 +1093,100 @@ def qm16(spark, sf_dir):
     return j.groupBy(
         F.col("n").alias("n_docs"), "w0", "w1", "w2", "w3"
     ).agg(F.sum(micro(loss)).alias("loss_micronats"))
+
+
+_SQL_NB_HOLDOUT_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@query(
+    "qm17_nb_holdout_eval",
+    oracle=f"""
+WITH tr AS (
+  SELECT * FROM documents WHERE {_SQL_NB_HOLDOUT_BUCKET} < 205
+),
+ev AS (
+  SELECT * FROM documents
+  WHERE {_SQL_NB_HOLDOUT_BUCKET} >= 205 AND {_SQL_NB_HOLDOUT_BUCKET} < 230
+),
+toks AS (
+  SELECT doc_id, lang, {SQL_TOKS} AS l FROM tr
+),
+dt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+langs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tr GROUP BY lang
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tr),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize FROM dt),
+cc AS (
+  SELECT t.lang, d.tok, CAST(SUM(d.occ) AS BIGINT) AS c
+  FROM dt d JOIN toks t USING (doc_id)
+  GROUP BY t.lang, d.tok
+),
+ct AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_lang FROM cc GROUP BY lang),
+dte AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM ev)
+  GROUP BY doc_id, tok
+),
+tok_scores AS (
+  SELECT d.doc_id, langs.lang,
+         CAST(SUM(d.occ * CAST(ROUND(ln((COALESCE(cc.c, 0) + 1.0)
+                                        / (ct.t_lang + v.vsize)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS ts
+  FROM dte d
+  CROSS JOIN langs
+  CROSS JOIN v
+  JOIN ct ON ct.lang = langs.lang
+  LEFT JOIN cc ON cc.lang = langs.lang AND cc.tok = d.tok
+  GROUP BY d.doc_id, langs.lang
+),
+scored AS (
+  SELECT doc.doc_id, doc.lang AS actual_lang, langs.lang AS cand,
+         CAST(ROUND(ln(CAST(langs.n_docs AS DOUBLE) / n.n_total) * 1e6)
+              AS BIGINT) + COALESCE(ts.ts, 0) AS score
+  FROM ev doc
+  CROSS JOIN langs CROSS JOIN n
+  LEFT JOIN tok_scores ts ON ts.doc_id = doc.doc_id AND ts.lang = langs.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang, cand AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY actual_lang, pred_lang
+""",
+)
+def qm17(spark, sf_dir):
+    """HELD-OUT evaluation of the qm14 Naive Bayes classifier: train
+    on the content-addressed 80% 'train' split, report the confusion
+    matrix on the disjoint 10% 'val' split — generalization
+    measurement, where every other model query in the registry scores
+    resubstitution. Evaluation tokens never seen in training fall to
+    the per-language unseen mass ln(1/(T+V)) — the honest handling
+    that resubstitution never exercises.
+
+    Composition: the same md5-bucket split qc01 gates (stable under
+    any partitioning/engine) feeds _nb_language_confusion with
+    DISJOINT model/eval frames; the micronat quantization makes the
+    held-out scores exact integer sums, so the confusion matrix —
+    including which documents the model gets WRONG — hash-matches
+    the oracle's unrolled SQL."""
+    from ml_data_wrangler_spark.operators.curation import hash_split
+
+    d = hash_split(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    train = d.where(F.col("split") == "train").drop("split")
+    val = d.where(F.col("split") == "val").drop("split")
+    return _nb_language_confusion(train, val)
