@@ -800,3 +800,91 @@ def qc15(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("source", "doc_id", F.col("w").alias("weight"), "rank")
     )
+
+
+@query(
+    "qc16_split_leakage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), neardups AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+), assigned AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_BUCKET} < 205 THEN 'train'
+              WHEN {_SQL_BUCKET} < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
+FROM neardups
+JOIN assigned sa ON doc_a = sa.doc_id
+JOIN assigned sb ON doc_b = sb.doc_id
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+""",
+)
+def qc16(spark, sf_dir):
+    """Train/eval LEAKAGE audit: near-duplicate pairs (exact 3-gram
+    Jaccard ≥ 0.6, qd02's semantics) whose two documents landed in
+    DIFFERENT content-addressed splits — the failure mode that
+    silently inflates held-out metrics (a val doc with a train
+    near-twin is not held out in any meaningful sense). Same-split
+    pairs are reported too, so the output is the full split×split
+    near-dup incidence and `is_leak` marks the cross-split cells;
+    qm17's held-out evaluation is only as honest as this table is
+    empty off-diagonal.
+
+    Shape at scale: the near-dup pair stream is qd02's inverted-index
+    formulation (posting-list cost, no all-pairs); split assignment
+    is a map-side md5 bucket (qc01), joined twice onto the pair
+    relation by doc id. Output is the tiny split-pair grid."""
+    from ml_data_wrangler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6, strategy="count").select(
+        "doc_a", "doc_b"
+    )
+    assigned = hash_split(
+        docs, id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
