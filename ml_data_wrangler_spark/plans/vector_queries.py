@@ -1001,3 +1001,175 @@ def qv17(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+_SQL_PI_STEP = """
+{out} AS (
+  SELECT i, w, ROUND(w / sqrt((SELECT CAST(SUM(CAST(ROUND(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 FROM {mid})), 6) + 0 AS val
+  FROM {mid}
+),
+"""
+
+_SQL_PI_MATVEC = """
+{mid} AS (
+  SELECT c.i, CAST(SUM(CAST(ROUND(c.cij * v.val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+  FROM cov c JOIN {v} v ON c.j = v.i
+  GROUP BY c.i
+),
+"""
+
+
+@query(
+    "qv18_pca_power_iteration",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, 64)) AS i FROM c
+),
+mu AS (SELECT i, ROUND(AVG(x), 6) + 0 AS m FROM e GROUP BY i),
+cent AS (
+  SELECT e.vec_id, e.i, e.x - mu.m AS xc FROM e JOIN mu USING (i)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM c),
+cov AS (
+  SELECT a.i, b.i AS j,
+         ROUND(CAST(SUM(CAST(ROUND(a.xc * b.xc * 1e6) AS BIGINT)) AS DOUBLE)
+               / n.n_vecs / 1e6, 6) + 0 AS cij
+  FROM cent a JOIN cent b USING (vec_id), n
+  GROUP BY a.i, b.i, n.n_vecs
+),
+v0 AS (
+  SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS val
+  FROM (SELECT unnest(generate_series(1, 64)) AS i)
+),
+{_SQL_PI_MATVEC.format(mid="w1", v="v0")}
+{_SQL_PI_STEP.format(out="v1", mid="w1")}
+{_SQL_PI_MATVEC.format(mid="w2", v="v1")}
+{_SQL_PI_STEP.format(out="v2", mid="w2")}
+{_SQL_PI_MATVEC.format(mid="w3", v="v2")}
+v3 AS (
+  SELECT i, w, ROUND(w / sqrt((SELECT CAST(SUM(CAST(ROUND(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 FROM w3)), 6) + 0 AS val
+  FROM w3
+),
+lam AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(v3.val * w3.w * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9, 6) + 0 AS eigenvalue
+  FROM v3 JOIN w3 USING (i)
+)
+SELECT v3.i AS dim, v3.val AS eig_v, lam.eigenvalue
+FROM v3, lam ORDER BY dim
+""",
+)
+def qv18(spark, sf_dir):
+    """Top principal component of the embedding covariance by THREE
+    power iterations, fully relational and oracle-exact — the
+    decorrelation/whitening primitive of embedding pipelines (the
+    dominant direction is what you subtract for anisotropy removal à
+    la all-but-the-top). Completes the iterative-algorithm trio:
+    qv17 clusters (argmin loop), qm16 trains (gradient loop), qv18
+    decomposes (matvec loop).
+
+    Cross-engine exactness: the covariance is built from per-row
+    centered products quantized to integer micro-units (exact sums on
+    any partitioning), each matvec accumulates nano-quantized terms,
+    and the normalized vector re-rounds every iteration — so both
+    engines walk the identical trajectory from the deterministic e₁
+    start; the Rayleigh-quotient eigenvalue hash-matches too.
+
+    Shape at scale: covariance = ONE self-join on vec_id exploding to
+    (dim × dim) terms per vector then a 64×64-bounded aggregation —
+    the relational outer-product accumulation (the GEMM dual would be
+    a qv07-style mapInPandas partial-gram per partition; same
+    communication shape: only 64×64 partials move). Each iteration is
+    a 4096-row × 64-row broadcast join: driver-free, all lineage."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = emb.select("vec_id", F.posexplode("v").alias("i", "x")).withColumn(
+        "i", F.col("i") + 1
+    )
+    mu = e.groupBy("i").agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("m"))
+    cent = e.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
+    )
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    a = cent.alias("a")
+    b = cent.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            F.round(F.col("a.xc") * F.col("b.xc") * 1e6)
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("st"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("st").cast("double") / F.col("n_vecs") / 1e6, 6
+                )
+                + F.lit(0.0)
+            ).alias("cij"),
+        )
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("i"),
+        F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("val"),
+    )
+
+    def matvec(v_df):
+        return (
+            cov.join(
+                F.broadcast(v_df.select(F.col("i").alias("j"), "val")), "j"
+            )
+            .select(
+                "i",
+                F.round(F.col("cij") * F.col("val") * 1e9)
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg((F.sum("t").cast("double") / 1e9).alias("w"))
+        )
+
+    def normalize(w_df):
+        ssq = w_df.agg(
+            F.sum(F.round(F.col("w") * F.col("w") * 1e9).cast("long")).alias(
+                "ssq"
+            )
+        )
+        return w_df.crossJoin(F.broadcast(ssq)).select(
+            "i",
+            "w",
+            (
+                F.round(
+                    F.col("w")
+                    / F.sqrt(F.col("ssq").cast("double") / 1e9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("val"),
+        )
+
+    for _ in range(3):
+        v = normalize(matvec(v))
+    lam = v.select(
+        F.round(F.col("val") * F.col("w") * 1e9).cast("long").alias("t")
+    ).agg(
+        (
+            F.round(F.sum("t").cast("double") / 1e9, 6) + F.lit(0.0)
+        ).alias("eigenvalue")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(F.col("i").cast("long").alias("dim"), F.col("val").alias("eig_v"), "eigenvalue")
+        .orderBy("dim")
+    )
