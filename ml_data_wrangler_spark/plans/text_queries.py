@@ -876,3 +876,81 @@ def qt17(spark, sf_dir):
         )
         .orderBy(F.desc("shared_frac"), "doc_id")
     )
+
+
+@query(
+    "qt18_source_diversity",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKS}) AS token FROM documents
+),
+st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY source, token
+),
+tdf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_sources FROM st GROUP BY token
+),
+per_source AS (
+  SELECT st.source,
+         CAST(SUM(st.n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN st.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(SUM(CASE WHEN tdf.n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_types
+  FROM st JOIN tdf USING (token)
+  GROUP BY st.source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0 AS ttr,
+       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) + 0 AS hapax_frac,
+       ROUND(CAST(n_shared_types AS DOUBLE) / n_types, 6) + 0 AS shared_frac
+FROM per_source ORDER BY source
+""",
+)
+def qt18(spark, sf_dir):
+    """Per-source lexical diversity profile: type-token ratio, hapax
+    fraction (types occurring once in the source — the productive-
+    vocabulary signal), and the fraction of the source's vocabulary
+    shared with at least one OTHER source — the corpus-composition
+    audit that tells a mixture designer which sources add vocabulary
+    versus which re-sample the common core (complements qm10's
+    chi-squared keywords, which rank WHAT distinguishes a source;
+    this measures HOW MUCH is distinct).
+
+    Shape at scale: one (source, token) aggregation, a token-keyed
+    join against the vocabulary-bounded source-frequency table, and
+    a per-source rollup — the same posting-list shape as qt17, never
+    pairwise in the number of sources. All ratios are single IEEE
+    divisions of exact counts."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    tdf = st.groupBy("token").agg(F.count("*").alias("n_sources"))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        st.join(tdf, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0)).alias(
+                "n_shared_types"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            r6(F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+            r6(F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_frac"
+            ),
+            r6(
+                F.col("n_shared_types").cast("double") / F.col("n_types")
+            ).alias("shared_frac"),
+        )
+        .orderBy("source")
+    )
