@@ -302,3 +302,139 @@ def test_qm16_gd_loss_decreases(spark, sf_dir):
     zero_loss = row["n_docs"] * round(math.log(2) * 1e6)
     assert row["loss_micronats"] < zero_loss
     assert row["n_docs"] > 0
+
+
+def test_qe28_psi_zero_on_identical_distributions(spark):
+    """Two periods with identical binned value histograms → every PSI
+    term is ln(1) · 0 = 0 exactly, so psi_nano = 0 and no drift."""
+    import datetime as dt
+
+    ref = dt.datetime(2024, 1, 5)
+    new = dt.datetime(2024, 1, 20)
+    rows = []
+    for i, v in enumerate([10.0, 60.0, 110.0, 260.0] * 5):
+        rows.append((2 * i, ref, 1, "click", v, "{}"))
+        rows.append((2 * i + 1, new, 1, "click", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    e = ev.select(
+        "event_type",
+        (F.col("ts") >= cut).alias("recent"),
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias("bin"),
+    )
+    counts = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("c_new"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_new").alias("n_new")
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10.0)
+    q = (F.col("c_new") + 1.0) / (F.col("n_new") + 10.0)
+    term = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+    psi = (
+        counts.join(tot, "event_type")
+        .select(term.alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert psi == 0
+
+
+def test_qe29_path_construction(spark):
+    """Events 40 min apart split sessions; within-session order is by
+    (ts, event_id)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "view"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "click"),
+        (3, 1, t0 + dt.timedelta(minutes=50), "purchase"),  # new session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    boundary = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    paths = (
+        ev.withColumn("boundary", boundary)
+        .withColumn("session_no", F.sum("boundary").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .collect()
+    )
+    assert sorted(r["path"] for r in paths) == ["purchase", "view>click"]
+
+
+def test_qm17_splits_are_disjoint_and_exhaustive(spark, sf_dir):
+    from ml_data_wrangler_spark.operators.curation import hash_split
+    from ml_data_wrangler_spark.plans._util import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    d = hash_split(
+        docs, id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)  # 80/10/10 shape
+
+
+def test_qd15_refinement_on_crafted_signatures(spark):
+    """Two docs agreeing on exactly hashes 0..7 (one full (16,8) band)
+    must collide at (16,8) AND therefore at (32,4); agreeing only on
+    hashes 0..3 collides at (32,4) but NOT (16,8)."""
+    sig_base = list(range(1000, 1128))
+
+    def variant(agree_n):
+        out = list(sig_base)
+        for i in range(agree_n, 128):
+            out[i] = -out[i]
+        return out
+
+    rows = [
+        (1, sig_base),
+        (2, variant(8)),   # agrees on first 8 components
+        (3, variant(4)),   # agrees on first 4 components
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+
+    def caught(bands, r):
+        return F.exists(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.slice("sig_a", i * r + 1, r) == F.slice("sig_b", i * r + 1, r),
+        )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["c32"], r["c16"])
+        for r in pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", caught(32, 4).alias("c32"), caught(16, 8).alias("c16"))
+        .collect()
+    }
+    assert got[(1, 2)] == (True, True)
+    assert got[(1, 3)] == (True, False)  # refinement: c16 ⟹ c32, not vice versa
