@@ -462,3 +462,75 @@ def qs10(spark, sf_dir):
         .where(keep)
         .select("left_id", "right_id", "user_id")
     )
+
+
+@query(
+    "qs11_stream_incremental_merge",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+  FROM events
+),
+last_e AS (
+  SELECT user_id, event_type AS last_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MAX(l.last_type) AS last_type
+FROM e JOIN last_e l ON e.user_id = l.user_id AND l.rn = 1
+GROUP BY e.user_id
+ORDER BY e.user_id
+""",
+)
+def qs11(spark, sf_dir):
+    """Incremental materialized view via foreachBatch: the events
+    stream arrives as three mtime-ordered micro-batches (qs09's
+    staged source) and each batch MERGEs its per-user aggregate into
+    a new parquet state GENERATION — the streaming-upsert-into-a-
+    table idiom for sinks with no native streaming writer, and the
+    one structured-streaming surface (foreachBatch + idempotent
+    generational writes) qs01-qs10 don't exercise. Differs from qs02
+    (applyInPandasWithState keeps state INSIDE the engine's state
+    store) in that here the state is an external, replayable TABLE a
+    downstream batch consumer can read mid-stream.
+
+    The gate works because every merged quantity is a commutative
+    monoid — count, exact decimal sum, max of the (ts, event_id,
+    type) struct — so the final generation equals the all-data batch
+    aggregate EXACTLY however the stream was batched; the oracle
+    states that batch answer directly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ml_data_wrangler_spark.plans._util import t
+    from ml_data_wrangler_spark.streaming.windows import (
+        foreach_batch_merge_state,
+        stage_ordered_batches,
+    )
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src_file)}:split-v2".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"mdw_qs11_{tag}")
+    src = stage_ordered_batches(events, stage)
+    state = foreach_batch_merge_state(
+        spark, src, os.path.join(stage, "state")
+    )
+    return (
+        state.select(
+            "user_id",
+            "n_events",
+            F.col("sum_value").cast("double").alias("total_value"),
+            F.col("last").getField("event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )

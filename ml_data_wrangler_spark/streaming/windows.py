@@ -392,3 +392,92 @@ def stream_stream_left_outer_join(
         & (F.col("l_ts") < F.col("r_ts")),
         "leftOuter",
     ).select("left_id", "right_id", F.col("l_user").alias("user_id"), "l_ts")
+
+
+def foreach_batch_merge_state(
+    spark: SparkSession, src_dir: str, state_root: str
+) -> DataFrame:
+    """Incremental materialized view via ``foreachBatch`` — the
+    production idiom for maintaining an upsert table from a stream
+    when the sink has no native streaming writer: each micro-batch is
+    pre-aggregated per user, MERGEd (full-outer + coalesce) into the
+    previous state GENERATION, and written as a NEW parquet
+    generation — never overwriting the input of the read that
+    produced it, so a failed batch leaves the previous generation
+    intact and a replayed batch just rewrites its own generation
+    (idempotent by batch_id: the write path depends only on
+    (prev_state, batch), which availableNow replays identically).
+
+    The merged quantities are COMMUTATIVE MONOIDS — count, exact
+    decimal sum, max of a (ts, event_id, payload) struct — so the
+    final generation equals the all-data batch aggregate exactly,
+    regardless of how the stream was micro-batched. That algebraic
+    fact is what qs11's oracle pins.
+
+    Returns the final-generation state DataFrame.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    schema = spark.read.parquet(*_glob.glob(f"{src_dir}/*.parquet")).schema
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root)
+
+    def batch_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+
+    def merge(state: DataFrame, batch: DataFrame) -> DataFrame:
+        s, b = state.alias("s"), batch.alias("b")
+        pick_last = (
+            F.when(F.col("s.last").isNull(), F.col("b.last"))
+            .when(F.col("b.last").isNull(), F.col("s.last"))
+            .when(F.col("b.last") > F.col("s.last"), F.col("b.last"))
+            .otherwise(F.col("s.last"))
+        )
+        return s.join(b, "user_id", "full_outer").select(
+            "user_id",
+            (
+                F.coalesce(F.col("s.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(
+                    F.col("s.sum_value"), F.lit(0).cast("decimal(12,2)")
+                )
+                + F.coalesce(
+                    F.col("b.sum_value"), F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("decimal(12,2)").alias("sum_value"),
+            pick_last.alias("last"),
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        gen = os.path.join(state_root, f"gen_{batch_id:05d}")
+        prev_gens = sorted(_glob.glob(os.path.join(state_root, "gen_*")))
+        agg = batch_agg(batch_df)
+        if prev_gens:
+            prev = spark.read.parquet(prev_gens[-1])
+            agg = merge(prev, agg)
+        agg.write.mode("overwrite").parquet(gen)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sorted(_glob.glob(os.path.join(state_root, "gen_*")))[-1]
+    return spark.read.parquet(final)

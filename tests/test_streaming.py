@@ -200,3 +200,57 @@ def test_late_data_band_contract(spark, tmp_path):
     }
     # above-W2 suppression: the 20:00 window must never appear at all
     assert all(r.win_start != D(2024, 1, 1, 20, 0) for r in sink.collect())
+
+
+def test_foreach_batch_merge_state_generations(spark, tmp_path):
+    """Two staged files → two micro-batches → two state generations;
+    the final generation equals the all-data batch aggregate exactly
+    (commutative-monoid merge), and the intermediate generation holds
+    only batch-1 data."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.streaming.windows import (
+        foreach_batch_merge_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b0 = spark.createDataFrame(
+        [(1, t0, 7, "view", 10.0), (2, t0, 8, "click", 5.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=1), 7, "purchase", 2.5)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate([b0, b1]):
+        d = str(tmp_path / f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        [f] = glob.glob(os.path.join(d, "part-*.parquet"))
+        dst = os.path.join(src, f"e{i}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    state = foreach_batch_merge_state(spark, src, str(tmp_path / "state"))
+    rows = {
+        r["user_id"]: (
+            r["n_events"],
+            float(r["sum_value"]),
+            r["last"]["event_type"],
+        )
+        for r in state.collect()
+    }
+    assert rows[7] == (2, 12.5, "purchase")  # merged across generations
+    assert rows[8] == (1, 5.0, "click")
+    gens = sorted(glob.glob(str(tmp_path / "state" / "gen_*")))
+    assert len(gens) == 2
+    mid = {
+        r["user_id"]: r["n_events"]
+        for r in spark.read.parquet(gens[0]).collect()
+    }
+    assert mid[7] == 1  # generation 0 saw only batch 0
