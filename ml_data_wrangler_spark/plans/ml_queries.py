@@ -964,6 +964,67 @@ def qm14(spark, sf_dir):
     return _nb_language_confusion(docs, docs)
 
 
+def _logreg_feats(docs):
+    """(y, x1, x2, x3) — the qm16/qm18 feature projection, rounded and
+    sign-normalized so both engines read identical inputs."""
+    toks_n = F.size(tokenize(F.col("text")))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        r6(F.col("n_chars") / 1000.0).alias("x1"),
+        r6(toks_n / 100.0).alias("x2"),
+        r6(F.col("n_chars") / (toks_n + 1) / 10.0).alias("x3"),
+    )
+
+
+def _logreg_z():
+    return (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+
+
+def _logreg_weights(spark, feats, steps=3):
+    """Run ``steps`` batch-GD iterations (eta=0.1, zero init) and
+    return the 1-row weight frame — pure lineage, micronat-quantized
+    gradients (see qm16)."""
+    cnt = feats.agg(F.count("*").alias("n"))
+    w = spark.range(1).select(*[F.lit(0.0).alias(f"w{d}") for d in range(4)])
+    micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+
+    def step(w_df):
+        j = feats.crossJoin(F.broadcast(w_df)).crossJoin(F.broadcast(cnt))
+        p = 1.0 / (1.0 + F.exp(-_logreg_z()))
+        xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+        return j.groupBy("w0", "w1", "w2", "w3", "n").agg(
+            *[
+                F.sum(micro((p - F.col("y")) * xs[d])).alias(f"g{d}")
+                for d in range(4)
+            ]
+        ).select(
+            *[
+                (
+                    F.round(
+                        F.col(f"w{d}")
+                        - F.lit(0.1)
+                        * F.col(f"g{d}").cast("double")
+                        / F.col("n")
+                        / 1e6,
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias(f"w{d}")
+                for d in range(4)
+            ]
+        )
+
+    for _ in range(steps):
+        w = step(w)
+    return w, cnt
+
+
 _QM16_FEATS_SQL = f"""
   SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
          ROUND(n_chars / 1000.0, 6) + 0 AS x1,
@@ -1033,62 +1094,11 @@ def qm16(spark, sf_dir):
     the minimum possible for batch GD; steps compose by lineage the
     way qv17's iterations do."""
     docs = t(spark, sf_dir, "documents")
-    toks_n = F.size(tokenize(F.col("text")))
-    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
-    feats = docs.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        r6(F.col("n_chars") / 1000.0).alias("x1"),
-        r6(toks_n / 100.0).alias("x2"),
-        r6(F.col("n_chars") / (toks_n + 1) / 10.0).alias("x3"),
-    )
-    cnt = feats.agg(F.count("*").alias("n"))
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{d}") for d in range(4)]
-    )
+    feats = _logreg_feats(docs)
+    w, cnt = _logreg_weights(spark, feats)
     micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
-
-    def step(w_df):
-        j = feats.crossJoin(F.broadcast(w_df)).crossJoin(F.broadcast(cnt))
-        z = (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-        )
-        p = 1.0 / (1.0 + F.exp(-z))
-        xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
-        return j.groupBy("w0", "w1", "w2", "w3", "n").agg(
-            *[
-                F.sum(micro((p - F.col("y")) * xs[d])).alias(f"g{d}")
-                for d in range(4)
-            ]
-        ).select(
-            *[
-                (
-                    F.round(
-                        F.col(f"w{d}")
-                        - F.lit(0.1)
-                        * F.col(f"g{d}").cast("double")
-                        / F.col("n")
-                        / 1e6,
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias(f"w{d}")
-                for d in range(4)
-            ]
-        )
-
-    for _ in range(3):
-        w = step(w)
     j = feats.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(cnt))
-    z = (
-        F.col("w0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-        + F.col("w3") * F.col("x3")
-    )
-    p = 1.0 / (1.0 + F.exp(-z))
+    p = 1.0 / (1.0 + F.exp(-_logreg_z()))
     loss = F.when(F.col("y") == 1.0, -F.log(p)).otherwise(-F.log(1.0 - p))
     return j.groupBy(
         F.col("n").alias("n_docs"), "w0", "w1", "w2", "w3"
@@ -1190,3 +1200,90 @@ def qm17(spark, sf_dir):
     train = d.where(F.col("split") == "train").drop("split")
     val = d.where(F.col("split") == "val").drop("split")
     return _nb_language_confusion(train, val)
+
+
+@query(
+    "qm18_logreg_calibration",
+    oracle=f"""
+WITH feats AS ({_QM16_FEATS_SQL}),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats),
+winit AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+{_QM16_STEP_SQL.format(w="winit", out="w_1")},
+{_QM16_STEP_SQL.format(w="w_1", out="w_2")},
+{_QM16_STEP_SQL.format(w="w_2", out="w_3")},
+scored AS (
+  SELECT f.y,
+         ROUND(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))), 6) + 0
+           AS p
+  FROM feats f CROSS JOIN w_3 w
+)
+SELECT least(CAST(floor(p * 5) AS BIGINT), 4) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(p * 1e6) AS BIGINT)) AS BIGINT) AS sum_p_micro,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) + 0 AS frac_positive
+FROM scored GROUP BY bin ORDER BY bin
+""",
+)
+def qm18(spark, sf_dir):
+    """Calibration (reliability diagram) of the qm16 classifier:
+    predicted probabilities bucketed into five fixed-width bins, each
+    bin reporting its doc count, exact integer sum of micro-quantized
+    predictions, and observed positive rate — the model-quality view
+    accuracy hides (a classifier can rank perfectly yet emit
+    probabilities a downstream sampler can't trust). Comparing
+    sum_p_micro/n against frac_positive per bin IS the calibration
+    error.
+
+    Shares the GD trajectory with qm16 through _logreg_weights (same
+    CTE blocks on the oracle side), so weights are identical by
+    construction; the predicted p is rounded before binning so the
+    bucket decision is engine-identical. One extra map + bounded
+    5-row aggregation on top of training.
+
+    Fixture note (honest): the synthetic documents carry NO language
+    signal in these shape features (per-lang feature means are
+    identical), so the trained model predicts ≈ the base rate for
+    every document and exactly ONE bin populates — with sum_p_micro/n
+    ≈ frac_positive, i.e. the optimal-under-no-signal classifier is
+    measurably CALIBRATED, which is precisely what the diagram is
+    for. tests/test_new_round4_queries.py shows the multi-bin spread
+    on a separable fixture."""
+    docs = t(spark, sf_dir, "documents")
+    feats = _logreg_feats(docs)
+    w, _cnt = _logreg_weights(spark, feats)
+    p = (
+        F.round(1.0 / (1.0 + F.exp(-_logreg_z())), 6) + F.lit(0.0)
+    ).alias("p")
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p)
+    return (
+        scored.select(
+            F.least(F.floor(F.col("p") * 5).cast("long"), F.lit(4)).alias(
+                "bin"
+            ),
+            "p",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.round(F.col("p") * 1e6).cast("long")).alias("sum_p_micro"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias(
+                "n_positive"
+            ),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "sum_p_micro",
+            "n_positive",
+            (
+                F.round(
+                    F.col("n_positive").cast("double") / F.col("n_docs"), 6
+                )
+                + F.lit(0.0)
+            ).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )

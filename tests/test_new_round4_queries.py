@@ -438,3 +438,34 @@ def test_qd15_refinement_on_crafted_signatures(spark):
     }
     assert got[(1, 2)] == (True, True)
     assert got[(1, 3)] == (True, False)  # refinement: c16 ⟹ c32, not vice versa
+
+
+def test_qm18_calibration_spreads_on_separable_fixture(spark):
+    """With a feature that separates the classes, a longer GD run
+    (25 steps — eta 0.1 needs ~12 to push sigma past the 0.4/0.6 bin
+    edges) produces predictions in more than one calibration bin,
+    and each populated bin's observed rate tracks its predicted
+    mass."""
+    rows = [(1.0, 1.0, 0.0, 0.0)] * 30 + [(0.0, -1.0, 0.0, 0.0)] * 30
+    feats = spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, x3 double"
+    )
+    from ml_data_wrangler_spark.plans.ml_queries import (
+        _logreg_weights,
+        _logreg_z,
+    )
+
+    w, _ = _logreg_weights(spark, feats, steps=25)
+    p = F.round(1.0 / (1.0 + F.exp(-_logreg_z())), 6) + F.lit(0.0)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "y", F.least(F.floor(p * 5).cast("long"), F.lit(4)).alias("bin")
+    )
+    bins = {
+        r["bin"]: (r["n"], r["pos"])
+        for r in scored.groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .collect()
+    }
+    assert len(bins) >= 2  # separable signal → spread
+    hi, lo = max(bins), min(bins)
+    assert bins[hi][1] / bins[hi][0] > bins[lo][1] / bins[lo][0]
