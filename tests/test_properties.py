@@ -455,3 +455,43 @@ def test_global_row_number_matches_single_partition_window(spark, vals):
     }
     assert {k: v[0] for k, v in got.items()} == ref
     assert {v[1] for v in got.values()} == {len(vals)}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_psi_quantized_sum_is_nonnegative(hist):
+    """PSI = Σ(p−q)·ln(p/q) is a sum of terms where (p−q) and
+    ln(p/q) always share sign, so the nano-quantized total (qe28's
+    gate quantity) must be ≥ a tiny negative rounding slack for ANY
+    pair of smoothed histograms; with more than one bin of slack it
+    would indicate a sign error in the term construction."""
+    import math
+
+    n_ref = sum(c for _, c, _ in hist) + 10.0
+    n_new = sum(c for _, _, c in hist) + 10.0
+    total = 0
+    for _, c_ref, c_new in hist:
+        p = (c_ref + 1.0) / n_ref
+        q = (c_new + 1.0) / n_new
+        total += round((p - q) * math.log(p / q) * 1e9)
+    assert total >= -len(hist)  # each term ≥ -0.5 ulp of quantization
+
+
+@given(
+    st.lists(st.tuples(st.floats(0, 500), st.integers(1, 3600)), min_size=1, max_size=30)
+)
+@settings(max_examples=50, deadline=None)
+def test_twap_bounded_by_value_range(samples):
+    """qe25's time-weighted mean must lie within [min, max] of the
+    interval values for any durations (convex combination)."""
+    num = sum(round(v, 2) * d for v, d in samples)
+    den = sum(d for _, d in samples)
+    tw = num / den
+    vals = [round(v, 2) for v, _ in samples]
+    assert min(vals) - 1e-9 <= tw <= max(vals) + 1e-9
