@@ -770,3 +770,126 @@ def qd15(spark, sf_dir):
         )
         .orderBy(F.desc("bands"))
     )
+
+
+@query(
+    "qd16_remove_duplicate_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(l[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(l) - 4)) AS t(i)
+  WHERE len(l) >= 5
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)
+), brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brks
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+  FROM isl GROUP BY doc_id, island
+), pos AS (
+  SELECT doc_id, i AS p, l[i] AS tok
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) >= 1
+), kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = pos.doc_id AND pos.p BETWEEN s.s AND s.e
+  )
+), span_counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.l) AS BIGINT) AS n_tokens_before,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_tokens_after,
+       COALESCE(sc.n_spans, 0) AS n_spans_removed,
+       COALESCE(k.fp, md5('')) AS cleaned_fp
+FROM toks t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+LEFT JOIN span_counts sc USING (doc_id)
+WHERE len(t.l) >= 1
+ORDER BY t.doc_id
+""",
+)
+def qd16(spark, sf_dir):
+    """Surgical span REMOVAL — the cleaning half of the ExactSubstr
+    pipeline whose detection half is qd14: every token covered by a
+    cross-document duplicated span is cut, the remainder re-joined in
+    order, and each document reports before/after token counts, spans
+    removed, and an md5 fingerprint of the cleaned text (so the gate
+    checks the exact SURVIVING CONTENT, not just counts). Documents
+    with no duplicated spans pass through with an empty-removal row —
+    the cleaning stage must be identity-safe.
+
+    Shape at scale: spans come from qd14's linear posting-list
+    pipeline; coverage marking is a doc_id equi-join (spans per doc
+    are few and bounded by doc length) with the range test as a
+    post-join filter — never a θ-join across documents; the ordered
+    re-join is a per-doc sort of kept positions (doc-length bounded).
+    """
+    from ml_data_wrangler_spark.functions.text import tokenize
+    from ml_data_wrangler_spark.operators.dedup import duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=5, min_docs=2).select(
+        "doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e")
+    )
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("l")).where(
+        F.size("l") >= 1
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("l").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    covered = (
+        pos.join(spans, "doc_id")
+        .where(F.col("p").between(F.col("s"), F.col("e")))
+        .select("doc_id", "p")
+        .distinct()
+    )
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    k = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda st: st["tok"],
+                ),
+            )
+        ).alias("fp"),
+    )
+    span_counts = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        toks.select("doc_id", F.size("l").cast("long").alias("n_tokens_before"))
+        .join(k, "doc_id", "left")
+        .join(span_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias(
+                "n_tokens_after"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans_removed"),
+            F.coalesce(F.col("fp"), empty_md5).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
