@@ -888,3 +888,92 @@ def qc16(spark, sf_dir):
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@query(
+    "qc17_quality_threshold_sweep",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS tok_cnt,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS a_ratio,
+         CASE WHEN len({SQL_TOKS}) > 0
+              THEN CAST(len(list_filter({SQL_TOKS}, x -> list_contains({_SQL_EN_SET}, x))) AS DOUBLE)
+                     / len({SQL_TOKS})
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, tok_cnt,
+         ROUND(0.4 * least(tok_cnt / 50.0, 1.0) + 0.4 * a_ratio + 0.2 * s_ratio, 6)
+           AS quality
+  FROM feat
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(tok_cnt) AS BIGINT) AS tok_total
+  FROM scored
+)
+SELECT CAST(th AS BIGINT) AS threshold_pct,
+       CAST(SUM(CASE WHEN quality >= th / 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(CASE WHEN quality >= th / 100.0 THEN tok_cnt ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       ROUND(CAST(SUM(CASE WHEN quality >= th / 100.0 THEN tok_cnt ELSE 0 END)
+                  AS DOUBLE) / tot.tok_total, 6) + 0 AS token_frac
+FROM scored, tot, unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS u(th)
+GROUP BY th, tot.tok_total
+ORDER BY threshold_pct
+""",
+)
+def qc17(spark, sf_dir):
+    """Quality-floor threshold SWEEP: for each candidate floor
+    (0.10 … 0.90) the documents and tokens that would survive — the
+    retention curve a curator reads before committing to a cutoff
+    (qt11 gates at ONE fixed floor; this shows the whole trade-off,
+    the qv14/qd15 sweep pattern applied to the quality dimension).
+    Token retention matters more than doc retention at 100 TB — a
+    floor that drops 20% of docs can drop 5% or 50% of tokens
+    depending on length-quality correlation, and this surfaces which.
+
+    Shape at scale: ONE scan computes the score, the 9 thresholds
+    fan out map-side (explode of a constant array — 9 narrow rows
+    per doc pre-aggregation), and a 9-row grid aggregates with
+    map-side partials. Exact integer counts; the single fraction is
+    one IEEE division."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("tok_cnt"),
+    )
+    tot = scored.agg(
+        F.count("*").alias("n_total"), F.sum("tok_cnt").alias("tok_total")
+    )
+    th = F.explode(F.array(*[F.lit(x) for x in range(10, 100, 10)])).alias(
+        "threshold_pct"
+    )
+    keep = F.col("quality") >= F.col("threshold_pct") / 100.0
+    return (
+        scored.select("quality", "tok_cnt", th)
+        .groupBy("threshold_pct")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(keep, F.col("tok_cnt")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            "n_docs_kept",
+            "n_tokens_kept",
+            (
+                F.round(
+                    F.col("n_tokens_kept").cast("double") / F.col("tok_total"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("token_frac"),
+        )
+        .orderBy("threshold_pct")
+    )
