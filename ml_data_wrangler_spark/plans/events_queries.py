@@ -1558,3 +1558,107 @@ def qe29(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@query(
+    "qe30_daily_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         st.n * d.x - st.s AS e,
+         st.n
+  FROM daily d JOIN stats st USING (event_type)
+),
+den AS (
+  SELECT event_type, SUM(e * e) AS ss FROM dev GROUP BY event_type
+),
+num AS (
+  SELECT a.event_type, k.lag, SUM(a.e * b.e) AS cp
+  FROM dev a
+  JOIN (SELECT unnest([1, 2, 3, 7]) AS lag) k ON TRUE
+  JOIN dev b ON b.event_type = a.event_type
+            AND b.day = a.day + CAST(k.lag AS INTEGER)
+  GROUP BY a.event_type, k.lag
+)
+SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+       ROUND(CAST(n.cp AS DOUBLE) / CAST(d.ss AS DOUBLE), 6) + 0 AS acf
+FROM num n JOIN den d USING (event_type)
+ORDER BY n.event_type, lag
+""",
+)
+def qe30(spark, sf_dir):
+    """Sample autocorrelation of the daily volume series at lags
+    1/2/3/7 per event type — the serial-dependence diagnostic behind
+    seasonality detection (a strong lag-7 spike = weekly cycle, which
+    qe19's hour-of-week profile shows as a shape; this measures its
+    strength as one number) and behind whether qe14's trailing
+    z-scores can assume independence at all.
+
+    Cross-engine exactness: deviations are carried n-scaled as exact
+    DECIMAL(38,0) integers (e_t = n·x_t − S, so no division until
+    the end); numerator and denominator are exact integer sums and
+    the ACF is ONE final IEEE division. Shape at scale: everything
+    after the (type, day) aggregation operates on the days-bounded
+    grid; the lag join is an equi-join on (type, day+k)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.groupBy("event_type").agg(
+        dec(F.count("*")).alias("n"), dec(F.sum("x")).alias("s")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("x") - F.col("s")).alias("e"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("e") * F.col("e")).alias("ss")
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 7)])).alias("lag")
+    a = dev.select("event_type", "day", "e", lags)
+    b = dev.select(
+        F.col("event_type").alias("event_type"),
+        F.col("day").alias("b_day"),
+        F.col("e").alias("b_e"),
+    )
+    num = (
+        a.join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (b["b_day"] == F.date_add(a["day"], a["lag"])),
+        )
+        .select(a["event_type"], "lag", (F.col("e") * F.col("b_e")).alias("cp"))
+        .groupBy("event_type", "lag")
+        .agg(F.sum("cp").alias("cp"))
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            (
+                F.round(
+                    F.col("cp").cast("double") / F.col("ss").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
