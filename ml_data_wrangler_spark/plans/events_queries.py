@@ -1662,3 +1662,84 @@ def qe30(spark, sf_dir):
         )
         .orderBy("event_type", "lag")
     )
+
+
+@query(
+    "qe31_robust_value_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - med.m), 0.5) AS mad_raw,
+         MAX(med.m) AS m
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ROUND(mad.m, 4) + 0 AS median_value,
+       ROUND(mad.mad_raw * 1.4826, 4) + 0 AS mad_sigma,
+       CAST(SUM(CASE WHEN abs(e.value - mad.m)
+                          > 3.0 * mad.mad_raw * 1.4826
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type, mad.m, mad.mad_raw
+ORDER BY e.event_type
+""",
+)
+def qe31(spark, sf_dir):
+    """Robust outlier detection on event values: per-type median and
+    MAD (scaled by 1.4826 to be σ-consistent under normality), then
+    the count of events beyond 3 robust sigmas — the
+    breakdown-point-0.5 complement of qe14/qe24's moment-based
+    z-scores, which a single huge outlier can silently inflate until
+    it masks itself (MAD can't be dragged by what it's measuring).
+
+    Exactness: both quantile passes use the exact interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    qm06-proven pairing); the outlier test compares each value
+    against the UNROUNDED median/MAD derived identically on both
+    engines, so the boolean never depends on display rounding.
+    Shape at scale: two grouped percomputations over the type key
+    (at 100 TB you'd swap in percentile_approx's mergeable sketch —
+    qe08 gates that path), one broadcast join back, one count."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias(
+                "mad_raw"
+            ),
+            F.max("m").alias("m"),
+        )
+    )
+    out = (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m", "mad_raw")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m"))
+                    > 3.0 * F.col("mad_raw") * 1.4826,
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return out.select(
+        "event_type",
+        (F.round(F.col("m"), 4) + F.lit(0.0)).alias("median_value"),
+        (F.round(F.col("mad_raw") * 1.4826, 4) + F.lit(0.0)).alias(
+            "mad_sigma"
+        ),
+        "n_outliers",
+        "n_events",
+    ).orderBy("event_type")
