@@ -1,0 +1,92 @@
+"""Empty-input robustness: a representative query per mechanism class
+must run WITHOUT exceptions against a dataset where every table is
+empty (schema-correct, zero rows) — the empty-partition / empty-batch
+case every production pipeline eventually feeds (ADVICE r3 found
+constraint_report's empty-batch NULL bug this way; this sweeps the
+rest of the surface).
+
+Excluded by design:
+  * MLlib fit queries (qm03/qm04/qm07, qv05/qv12/qv14) — fitting a
+    model on zero rows is a caller error and MLlib throws;
+  * streaming queries — the staged-source builders require at least
+    one row to derive watermark cut points (deployment-config error
+    otherwise); stateful empty-batch behavior is covered in
+    tests/test_stateful_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SAMPLE = [
+    "q01_pricing_summary",
+    "q34_merge_upsert",
+    "qw01_top3_orders_per_customer",
+    "qw07_order_percentile",
+    "qw11_order_decile_profile",
+    "qg01_rollup_returns",
+    "qg08_cube_returns_by_year",
+    "qe01_hourly_by_type",
+    "qe04_sessionize",
+    "qe24_global_volume_outliers",
+    "qe27_growth_accounting",
+    "qe28_psi_value_drift",
+    "qe30_daily_autocorrelation",
+    "qe31_robust_value_outliers",
+    "qj01_asof_purchase_click",
+    "qj06_value_tier_band_join",
+    "qt01_top_tokens",
+    "qt04_quality_scores",
+    "qt17_shingle_novelty",
+    "qt18_source_diversity",
+    "qd01_exact_dedup",
+    "qd02_ngram_jaccard_pairs",
+    "qd14_duplicate_spans",
+    "qd16_remove_duplicate_spans",
+    "qv01_knn_bruteforce",
+    "qv16_nearest_centroid_confusion",
+    "qv17_lloyd_kmeans",
+    "qv18_pca_power_iteration",
+    "qm01_vocabulary",
+    "qm14_nb_language_classifier",
+    "qm16_logreg_gd",
+    "qc01_dataset_splits",
+    "qc16_split_leakage",
+    "qc17_quality_threshold_sweep",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for name in TABLES:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        spark.read.parquet(src).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("qname", SAMPLE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, qname):
+    from ml_data_wrangler_spark.plans.registry import queries
+
+    df = queries()[qname](spark, empty_sf_dir)
+    rows = df.collect()
+    assert isinstance(rows, list)  # no exception, bounded output
+    assert len(rows) <= 16  # empty input can yield at most grid rows
