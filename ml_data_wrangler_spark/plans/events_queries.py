@@ -1180,9 +1180,10 @@ stats AS (
   FROM daily GROUP BY event_type
 )
 SELECT d.event_type, d.day, d.n_events,
-       ROUND(CAST(st.cnt * d.n_events - st.s AS DOUBLE)
-             / sqrt(CAST(st.cnt * st.q - st.s * st.s AS DOUBLE)), 3) + 0
-         AS z_score,
+       CASE WHEN st.cnt * st.q - st.s * st.s = 0 THEN 0.0
+            ELSE ROUND(CAST(st.cnt * d.n_events - st.s AS DOUBLE)
+                 / sqrt(CAST(st.cnt * st.q - st.s * st.s AS DOUBLE)), 3) + 0
+       END AS z_score,
        (st.cnt * d.n_events - st.s) * (st.cnt * d.n_events - st.s)
          > 4 * (st.cnt * st.q - st.s * st.s) AS is_anomaly
 FROM daily d JOIN stats st USING (event_type)
@@ -1231,12 +1232,14 @@ def qe24(spark, sf_dir):
             "event_type",
             "day",
             "n_events",
-            (
+            F.when(var_n2 == 0, F.lit(0.0))
+            .otherwise(
                 F.round(
                     dev.cast("double") / F.sqrt(var_n2.cast("double")), 3
                 )
                 + F.lit(0.0)
-            ).alias("z_score"),
+            )
+            .alias("z_score"),
             (dev * dev > 4 * var_n2).alias("is_anomaly"),
         )
         .orderBy("event_type", "day")
@@ -1592,7 +1595,9 @@ num AS (
   GROUP BY a.event_type, k.lag
 )
 SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
-       ROUND(CAST(n.cp AS DOUBLE) / CAST(d.ss AS DOUBLE), 6) + 0 AS acf
+       CASE WHEN d.ss = 0 THEN 0.0
+            ELSE ROUND(CAST(n.cp AS DOUBLE) / CAST(d.ss AS DOUBLE), 6) + 0
+       END AS acf
 FROM num n JOIN den d USING (event_type)
 ORDER BY n.event_type, lag
 """,
@@ -1653,12 +1658,14 @@ def qe30(spark, sf_dir):
         .select(
             "event_type",
             F.col("lag").cast("long").alias("lag"),
-            (
+            F.when(F.col("ss") == 0, F.lit(0.0))
+            .otherwise(
                 F.round(
                     F.col("cp").cast("double") / F.col("ss").cast("double"), 6
                 )
                 + F.lit(0.0)
-            ).alias("acf"),
+            )
+            .alias("acf"),
         )
         .orderBy("event_type", "lag")
     )

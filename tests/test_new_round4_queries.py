@@ -469,3 +469,35 @@ def test_qm18_calibration_spreads_on_separable_fixture(spark):
     assert len(bins) >= 2  # separable signal → spread
     hi, lo = max(bins), min(bins)
     assert bins[hi][1] / bins[hi][0] > bins[lo][1] / bins[lo][0]
+
+
+def test_qe24_qe30_constant_series_yield_zero_not_nan(spark, tmp_path):
+    """A constant daily series has zero variance — the z-score and
+    ACF guards must emit 0.0, never NaN/Infinity (the 100 TB
+    discrete-value reality the synthetic fixture can't produce)."""
+    import datetime as dt
+    import math
+    import os
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (d * 10 + i, base + dt.timedelta(days=d, minutes=i), 1, "ping", 1.0, "{}")
+        for d in range(5)
+        for i in range(3)  # exactly 3 events every day
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    from ml_data_wrangler_spark.plans.registry import queries
+
+    z = queries()["qe24_global_volume_outliers"](spark, sf).collect()
+    assert z and all(r["z_score"] == 0.0 and not r["is_anomaly"] for r in z)
+    acf = queries()["qe30_daily_autocorrelation"](spark, sf).collect()
+    assert acf and all(
+        r["acf"] == 0.0 and not math.isnan(r["acf"]) for r in acf
+    )
