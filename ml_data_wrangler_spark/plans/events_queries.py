@@ -1750,3 +1750,86 @@ def qe31(spark, sf_dir):
         "n_outliers",
         "n_events",
     ).orderBy("event_type")
+
+
+@query(
+    "qe32_activity_streaks",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, anchor,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MAX(day) AS streak_end
+  FROM grp GROUP BY user_id, anchor
+),
+corpus_max AS (SELECT MAX(day) AS last_day FROM ud)
+SELECT s.user_id,
+       CAST(MAX(s.len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(COALESCE(MAX(CASE WHEN s.streak_end = cm.last_day
+                              THEN s.len END), 0) AS BIGINT)
+         AS current_streak
+FROM streaks s CROSS JOIN corpus_max cm
+GROUP BY s.user_id
+ORDER BY s.user_id
+""",
+)
+def qe32(spark, sf_dir):
+    """Consecutive-day activity streaks per user — longest run, total
+    number of runs, and the streak still alive on the corpus's last
+    day (the engagement metric product teams call 'current streak').
+    Built on the date-minus-row-number idiom: consecutive days share
+    the constant anchor day − rn, so one GROUP BY collapses each run
+    — the classic gaps-and-islands formulation on the DATE axis
+    (qd14's islands are token positions; qe04's sessions are
+    event-time gaps — this is the calendar-grain member of the
+    family, and the rn-difference trick appears nowhere else in the
+    registry).
+
+    Shape at scale: distinct user-days first (collapses raw volume),
+    then ONE user-partitioned window and two bounded aggregations;
+    the corpus-max scalar broadcasts."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.max("day").alias("streak_end")
+    )
+    corpus_max = ud.agg(F.max("day").alias("last_day"))
+    return (
+        streaks.crossJoin(F.broadcast(corpus_max))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("streak_end") == F.col("last_day"), F.col("len")
+                    )
+                ),
+                F.lit(0),
+            ).alias("current_streak"),
+        )
+        .orderBy("user_id")
+    )
