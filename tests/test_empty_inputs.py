@@ -90,3 +90,46 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, qname):
     rows = df.collect()
     assert isinstance(rows, list)  # no exception, bounded output
     assert len(rows) <= 16  # empty input can yield at most grid rows
+
+
+def test_dirty_text_documents_survive_text_dedup_operators(spark, tmp_path):
+    """NULL text, empty text, whitespace-only, unicode soup, and a
+    single very long token must flow through the text/dedup operators
+    without exceptions; NULL/empty docs are excluded where the
+    operator's length guard applies, never crashed on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, None, "en", "src1", 0),
+        (2, "", "en", "src1", 0),
+        (3, "   \t\n  ", "en", "src1", 7),
+        (4, "héllo wörld ünïcode ünïcode ünïcode ünïcode", "de", "src2", 43),
+        (5, "x" * 5000, "en", "src2", 5000),
+        (6, "the quick brown fox jumps over the lazy dog again", "en", "src3", 49),
+        (7, "the quick brown fox jumps over the lazy dog again", "en", "src3", 49),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    from ml_data_wrangler_spark.plans.registry import queries
+
+    qs = queries()
+    for qname in (
+        "qt01_top_tokens",
+        "qt04_quality_scores",
+        "qt17_shingle_novelty",
+        "qt18_source_diversity",
+        "qd01_exact_dedup",
+        "qd14_duplicate_spans",
+        "qd16_remove_duplicate_spans",
+    ):
+        out = qs[qname](spark, sf).collect()
+        assert isinstance(out, list), qname
+    # the duplicated pair (docs 6/7) must still be found amid the dirt
+    spans = {r["doc_id"] for r in qs["qd14_duplicate_spans"](spark, sf).collect()}
+    assert {6, 7} <= spans
