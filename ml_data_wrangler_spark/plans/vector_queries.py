@@ -1173,3 +1173,120 @@ def qv18(spark, sf_dir):
         .select(F.col("i").cast("long").alias("dim"), F.col("val").alias("eig_v"), "eigenvalue")
         .orderBy("dim")
     )
+
+
+def _qv19_topk_sql(d: int) -> str:
+    cos = _SQL_COS.format(a=f"qv[1:{d}]", b=f"c.v[1:{d}]")
+    return f"""
+top{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({cos}, 6) DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN c ON c.vec_id <> q.query_id
+  ) WHERE rn <= 3
+)"""
+
+
+@query(
+    "qv19_prefix_dim_recall",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 20 = 0),
+{",".join(_qv19_topk_sql(d) for d in (8, 16, 32, 64))},
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+SELECT dims, nq.n_queries, ov.sum_overlap,
+       ROUND(CAST(ov.sum_overlap AS DOUBLE) / (3 * nq.n_queries), 6) + 0
+         AS mean_overlap
+FROM (
+  SELECT CAST(8 AS BIGINT) AS dims,
+         CAST(COUNT(*) AS BIGINT) AS sum_overlap
+  FROM top8 JOIN top64 USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 16, CAST(COUNT(*) AS BIGINT)
+  FROM top16 JOIN top64 USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 32, CAST(COUNT(*) AS BIGINT)
+  FROM top32 JOIN top64 USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 64, CAST(COUNT(*) AS BIGINT)
+  FROM top64 a JOIN top64 b USING (query_id, neighbor_id)
+) ov, nq
+ORDER BY dims
+""",
+)
+def qv19(spark, sf_dir):
+    """Matryoshka-style prefix-dimension sweep: exact cosine top-3
+    neighbors computed from only the FIRST d dimensions (d = 8, 16,
+    32, 64) and scored by overlap with the full-dimension neighbor
+    set — the evaluation behind truncatable-embedding deployment
+    (how much recall does a 4× cheaper index representation give
+    up?). Completes the sweep family on its third axis: qv14 sweeps
+    probe breadth, qd15 sweeps banding, this sweeps representation
+    width. The d = 64 row is the self-overlap identity (= 3·|q|) and
+    doubles as a harness sanity check.
+
+    All four neighbor sets are EXACT brute force over sliced arrays
+    (rounded-sim + id tiebreak, qv01's total order), so every number
+    hash-matches the oracle — no sampling, no probabilistic floor.
+    Shape at scale: the query side broadcasts once per d; slicing is
+    map-side; only (query, neighbor) pairs move after ranking."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window as W
+
+    def topk(d: int):
+        sim = F.round(
+            cosine_similarity(
+                F.slice("qv", 1, d), F.slice(F.col("v"), 1, d)
+            ),
+            6,
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+        return (
+            emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    base = topk(64)
+    nq = q.agg(F.count("*").alias("n_queries"))
+    parts = []
+    for d in (8, 16, 32, 64):
+        ov = (
+            topk(d)
+            .join(base, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("sum_overlap"))
+            .select(
+                F.lit(d).cast("long").alias("dims"), "sum_overlap"
+            )
+        )
+        parts.append(ov)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(nq))
+        .select(
+            "dims",
+            "n_queries",
+            "sum_overlap",
+            (
+                F.round(
+                    F.col("sum_overlap").cast("double")
+                    / (3 * F.col("n_queries")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_overlap"),
+        )
+        .orderBy("dims")
+    )
