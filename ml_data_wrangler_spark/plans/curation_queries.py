@@ -977,3 +977,173 @@ def qc17(spark, sf_dir):
         )
         .orderBy("threshold_pct")
     )
+
+
+@query(
+    "qc18_zorder_layout",
+    oracle="""
+WITH base AS (
+  SELECT CAST(FLOOR((l_quantity - 1) / 3.125) AS INTEGER) AS qx,
+         CAST(LEAST(FLOOR(l_extendedprice / 6600), 15) AS INTEGER) AS qy
+  FROM lineitem
+),
+stack AS (
+  SELECT 'linear' AS layout, qy AS file_id, qx, qy FROM base
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         (  ((qx >> 0) & 1) * 1   + ((qy >> 0) & 1) * 2
+          + ((qx >> 1) & 1) * 4   + ((qy >> 1) & 1) * 8
+          + ((qx >> 2) & 1) * 16  + ((qy >> 2) & 1) * 32
+          + ((qx >> 3) & 1) * 64  + ((qy >> 3) & 1) * 128) // 16 AS file_id,
+         qx, qy
+  FROM base
+),
+files AS (
+  SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(qx) AS min_qx, MAX(qx) AS max_qx,
+         MIN(qy) AS min_qy, MAX(qy) AS max_qy
+  FROM stack GROUP BY layout, file_id
+),
+vq AS (SELECT DISTINCT qx AS v FROM base),
+vp AS (SELECT DISTINCT qy AS v FROM base),
+hq AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM files JOIN vq ON vq.v BETWEEN files.min_qx AND files.max_qx
+  GROUP BY layout
+),
+hp AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM files JOIN vp ON vp.v BETWEEN files.min_qy AND files.max_qy
+  GROUP BY layout
+),
+nv AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vq) AS nq,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM vp) AS np
+),
+summ AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         ROUND(AVG(max_qx - min_qx + 1), 6) + 0 AS avg_qty_span,
+         ROUND(AVG(max_qy - min_qy + 1), 6) + 0 AS avg_price_span
+  FROM files GROUP BY layout
+)
+SELECT s.layout, s.n_files, s.n_rows, s.avg_qty_span, s.avg_price_span,
+       ROUND(CAST(hq.hits AS DOUBLE) / nv.nq, 6) + 0 AS files_per_qty_probe,
+       ROUND(CAST(hp.hits AS DOUBLE) / nv.np, 6) + 0 AS files_per_price_probe
+FROM summ s JOIN hq USING (layout) JOIN hp USING (layout), nv
+ORDER BY s.layout
+""",
+)
+def qc18(spark, sf_dir):
+    """Z-order (Morton) vs linear single-key data layout, measured by
+    the min/max file statistics parquet readers actually prune with.
+    Rows are bucketed on two dimensions (quantity, price), assigned
+    to 16 'files' either by price bucket alone (linear sort layout)
+    or by the interleaved-bit Morton code (Z-order), and each layout
+    is scored by the average number of files whose [min, max] range a
+    single-value probe on EITHER dimension must scan. This is the
+    layout decision itself for 100-TB parquet: a linear layout prunes
+    perfectly on its sort key and not at all on the other dimension;
+    Z-order bounds BOTH spans at ~sqrt(files), which is why
+    lakehouse engines expose Z-order clustering for multi-predicate
+    tables. The registry computes the statistics relationally — the
+    same numbers a writer would persist as footer min/max.
+
+    Everything is exact integer arithmetic (bit interleave via
+    shift/mask, identical on both engines); the only doubles are the
+    two bucketings (deterministic scalar IEEE) and the final
+    averaging of bounded integers. Shape at scale: one scan → two
+    16-file stat aggregations; the probe scoring joins the 32-row
+    stats relation against ≤16 distinct probe values — broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor((F.col("l_quantity") - 1) / 3.125)
+        .cast("int")
+        .alias("qx"),
+        F.least(F.floor(F.col("l_extendedprice") / 6600), F.lit(15))
+        .cast("int")
+        .alias("qy"),
+    )
+    zbits = None
+    for b in range(4):
+        xq = F.shiftright(F.col("qx"), b).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * b)
+        )
+        yq = F.shiftright(F.col("qy"), b).bitwiseAND(F.lit(1)) * F.lit(
+            2 << (2 * b)
+        )
+        zbits = xq + yq if zbits is None else zbits + xq + yq
+    stack = base.select(
+        F.lit("linear").alias("layout"),
+        F.col("qy").alias("file_id"),
+        "qx",
+        "qy",
+    ).unionByName(
+        base.select(
+            F.lit("zorder").alias("layout"),
+            F.floor(zbits / 16).cast("int").alias("file_id"),
+            "qx",
+            "qy",
+        )
+    )
+    files = stack.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("qx").alias("min_qx"),
+        F.max("qx").alias("max_qx"),
+        F.min("qy").alias("min_qy"),
+        F.max("qy").alias("max_qy"),
+    )
+    vq = base.select(F.col("qx").alias("v")).distinct()
+    vp = base.select(F.col("qy").alias("v")).distinct()
+    hq = (
+        files.join(
+            F.broadcast(vq),
+            (F.col("v") >= F.col("min_qx")) & (F.col("v") <= F.col("max_qx")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").alias("hits_q"))
+    )
+    hp = (
+        files.join(
+            F.broadcast(vp),
+            (F.col("v") >= F.col("min_qy")) & (F.col("v") <= F.col("max_qy")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").alias("hits_p"))
+    )
+    nv = vq.agg(F.count("*").alias("nq")).crossJoin(
+        vp.agg(F.count("*").alias("np"))
+    )
+    summ = files.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        (
+            F.round(F.avg(F.col("max_qx") - F.col("min_qx") + 1), 6)
+            + F.lit(0.0)
+        ).alias("avg_qty_span"),
+        (
+            F.round(F.avg(F.col("max_qy") - F.col("min_qy") + 1), 6)
+            + F.lit(0.0)
+        ).alias("avg_price_span"),
+    )
+    return (
+        summ.join(F.broadcast(hq), "layout")
+        .join(F.broadcast(hp), "layout")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "layout",
+            "n_files",
+            "n_rows",
+            "avg_qty_span",
+            "avg_price_span",
+            (
+                F.round(F.col("hits_q").cast("double") / F.col("nq"), 6)
+                + F.lit(0.0)
+            ).alias("files_per_qty_probe"),
+            (
+                F.round(F.col("hits_p").cast("double") / F.col("np"), 6)
+                + F.lit(0.0)
+            ).alias("files_per_price_probe"),
+        )
+        .orderBy("layout")
+    )

@@ -1833,3 +1833,252 @@ def qe32(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _qe33_sql_step(k: int) -> str:
+    """One unrolled PageRank iteration (dangling-aware), quantized to
+    pico-units so both engines sum exact integers."""
+    prev = f"r{k - 1}"
+    return f"""
+d{k} AS (
+  SELECT COALESCE(SUM(CAST(ROUND(r.r * 1e12) AS BIGINT)), 0) AS dm
+  FROM {prev} r WHERE r.node NOT IN (SELECT prev_type FROM tot)
+),
+s{k} AS (
+  SELECT p.dst AS node,
+         SUM(CAST(ROUND(r.r * p.pij * 1e12) AS BIGINT)) AS s
+  FROM p JOIN {prev} r ON r.node = p.src GROUP BY p.dst
+),
+r{k} AS (
+  SELECT nodes.node,
+         ROUND(0.15 / nn.n
+               + 0.85 * (COALESCE(s.s, 0) / 1e12
+                         + d.dm / 1e12 / nn.n), 9) + 0 AS r
+  FROM nodes LEFT JOIN s{k} s USING (node), d{k} d, nn
+)"""
+
+
+@query(
+    "qe33_event_type_pagerank",
+    oracle=f"""
+WITH nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tn FROM pairs GROUP BY prev_type
+),
+p AS (
+  SELECT pr.prev_type AS src, pr.event_type AS dst,
+         ROUND(CAST(pr.n AS DOUBLE) / tot.tn, 9) + 0 AS pij
+  FROM pairs pr JOIN tot USING (prev_type)
+),
+r0 AS (SELECT node, ROUND(1.0 / nn.n, 9) + 0 AS r FROM nodes, nn),
+{",".join(_qe33_sql_step(k) for k in (1, 2, 3))}
+SELECT node AS event_type, ROUND(r, 6) + 0 AS pagerank
+FROM r3 ORDER BY event_type
+""",
+)
+def qe33(spark, sf_dir):
+    """Damped PageRank (d = 0.85, dangling-aware, three iterations)
+    over the event-type transition graph — eigenvector centrality of
+    the behavioral Markov chain qe15 only tabulates. The stationary
+    mass answers "where does a random session actually spend its
+    time", which ranks hub states more honestly than raw counts
+    (a type reached FROM many distinct states outranks one reached
+    often from a single loop). Fourth member of the iterative trio:
+    qv17 argmin loop, qm16 gradient loop, qv18 matvec loop — this is
+    the Markov fixed-point loop, on a GRAPH rather than a matrix of
+    features.
+
+    Cross-engine exactness: edge probabilities round to 1e-9; each
+    iteration sums pico-quantized BIGINT terms (rank mass and
+    dangling mass), applies the damping arithmetic as one per-row
+    scalar IEEE expression, and re-rounds to 1e-9 — both engines walk
+    the identical trajectory from the uniform start.
+
+    Shape at scale: the 100-TB work is the ONE user-partitioned lag
+    window + pair count (same shuffle as qe15); the graph itself
+    collapses to |types|² edges, so each iteration is a
+    bounded-relation broadcast join — driver-free lineage, no
+    collect. With a billion-node graph (user-user edges) the
+    identical plan shape shuffles on dst instead of broadcasting;
+    the quantization trick is partitioning-proof either way."""
+    ev = t(spark, sf_dir, "events")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    p = pairs.join(F.broadcast(tot), "prev_type").select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        (
+            F.round(F.col("n").cast("double") / F.col("tn"), 9) + F.lit(0.0)
+        ).alias("pij"),
+    )
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.round(F.lit(1.0) / F.col("n"), 9) + F.lit(0.0)).alias("r")
+    )
+    srcs = tot.select(F.col("prev_type").alias("node"))
+    for _ in range(3):
+        dang = (
+            r.join(F.broadcast(srcs), "node", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r") * 1e12).cast("long")), F.lit(0)
+                ).alias("dm")
+            )
+        )
+        inflow = (
+            p.join(
+                F.broadcast(r.select(F.col("node").alias("src"), "r")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") * F.col("pij") * 1e12)
+                .cast("long")
+                .alias("tq"),
+            )
+            .groupBy("node")
+            .agg(F.sum("tq").alias("s"))
+        )
+        r = (
+            nodes.join(F.broadcast(inflow), "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.round(
+                        F.lit(0.15) / F.col("n")
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0)) / F.lit(1e12)
+                            + F.col("dm") / F.lit(1e12) / F.col("n")
+                        ),
+                        9,
+                    )
+                    + F.lit(0.0)
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        F.col("node").alias("event_type"),
+        (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"),
+    ).orderBy("event_type")
+
+
+@query(
+    "qe34_ewma_trending",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+decayed AS (
+  SELECT a.event_type, a.day, a.n_events,
+         SUM(CAST(ROUND(b.n_events * power(0.5, a.day - b.day) * 1e6)
+                  AS BIGINT)) AS num,
+         SUM(CAST(ROUND(power(0.5, a.day - b.day) * 1e6)
+                  AS BIGINT)) AS den
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type
+   AND a.day - b.day BETWEEN 0 AND 13
+  GROUP BY a.event_type, a.day, a.n_events
+)
+SELECT event_type, day, n_events,
+       ROUND(CAST(num AS DOUBLE) / den, 6) + 0 AS ewma,
+       ROUND(n_events * CAST(den AS DOUBLE) / num, 6) + 0 AS trend_ratio
+FROM decayed
+ORDER BY event_type, day
+""",
+)
+def qe34(spark, sf_dir):
+    """Exponentially-decayed daily volume (half-life = 1 day, 14-day
+    horizon, weights normalized over the days actually present) plus
+    the trending ratio today/EWMA — the decayed-count primitive
+    behind every "trending now" ranker and the recency weighting
+    feature stores apply to engagement counters. Distinct decay
+    semantics from the registry's other smoothers: qw05 weights a
+    trailing window uniformly, qe25 weights by interval duration —
+    this weights by 2^-age, the only memoryless decay (what a
+    streaming decayed counter maintains incrementally).
+
+    Cross-engine exactness: each term n_j * 2^-age is an exact
+    dyadic double (mantissa shift), micro-quantized to BIGINT before
+    the sum, so partition order can't move the total; numerator and
+    denominator divide once at the end. Shape at scale: the raw
+    volume collapses to the (type, day) grid FIRST; the decay join
+    is an equi-join on event_type over that days-bounded grid with a
+    14-day band predicate — at 100 TB the grid is |types|x|days|
+    rows, so this never touches raw events twice."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    age = F.datediff(F.col("a.day"), F.col("b.day"))
+    decayed = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & age.between(0, 13),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.n_events").alias("n_events"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("b.n_events") * F.pow(F.lit(0.5), age) * 1e6
+                ).cast("long")
+            ).alias("num"),
+            F.sum(
+                F.round(F.pow(F.lit(0.5), age) * 1e6).cast("long")
+            ).alias("den"),
+        )
+    )
+    return decayed.select(
+        "event_type",
+        "day",
+        "n_events",
+        (
+            F.round(F.col("num").cast("double") / F.col("den"), 6)
+            + F.lit(0.0)
+        ).alias("ewma"),
+        (
+            F.round(
+                F.col("n_events") * F.col("den").cast("double") / F.col("num"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("trend_ratio"),
+    ).orderBy("event_type", "day")

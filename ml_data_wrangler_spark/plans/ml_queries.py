@@ -1287,3 +1287,138 @@ def qm18(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "qm19_ols_daily_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, CAST(day - MIN(day) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS x, y
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY event_type
+),
+mom AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS varx_n,
+         n * syy - sy * sy AS vary_n,
+         sy * sxx - sx * sxy AS int_n
+  FROM stats
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN varx_n = 0 THEN 0.0
+            ELSE ROUND(CAST(cov_n AS DOUBLE) / varx_n, 6) + 0 END AS slope,
+       CASE WHEN varx_n = 0 THEN 0.0
+            ELSE ROUND(CAST(int_n AS DOUBLE) / varx_n, 6) + 0
+       END AS intercept,
+       CASE WHEN varx_n = 0 OR vary_n = 0 THEN 0.0
+            ELSE ROUND((CAST(cov_n AS DOUBLE) / varx_n)
+                       * (CAST(cov_n AS DOUBLE) / vary_n), 6) + 0
+       END AS r2
+FROM mom
+ORDER BY event_type
+""",
+)
+def qm19(spark, sf_dir):
+    """Closed-form ordinary least squares: daily event volume
+    regressed on the day index per event type, solved from the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    normal-equations dual of qm16's iterative gradient descent, and
+    the workhorse of at-scale trend fitting: ONE aggregation pass
+    with map-side combine, no iterations, no weight broadcast.
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²); intercept uses the exact
+    integer form (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²); R² = cov²/(varx·vary)
+    computed as a product of two divisions of exact integers.
+
+    Cross-engine exactness: x is re-based per type (day − min day),
+    so every sufficient statistic is an exact BIGINT sum — no
+    quantization needed at all; the only IEEE ops are the final two
+    divisions and one multiply, identical scalar expressions on both
+    engines. Degenerate guards: a single-day series (varx = 0) and a
+    constant series (vary = 0) both report 0.0 rather than NULL/NaN.
+    At true 100-TB scale the BIGINT moments would be carried as
+    DECIMAL(38,0) (qe30's trick) — day indexes and daily counts keep
+    them far from 2^63 here. Shape at scale: raw events collapse to
+    the (type, day) grid first; the min-day window runs over that
+    bounded grid, partitioned by type."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    idx = daily.select(
+        "event_type",
+        F.datediff(
+            F.col("day"),
+            F.min("day").over(W.partitionBy("event_type")),
+        )
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mom = stats.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "varx_n"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "vary_n"
+        ),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "int_n"
+        ),
+    )
+    zero = F.lit(0.0)
+    slope = F.round(F.col("cov_n").cast("double") / F.col("varx_n"), 6) + zero
+    intercept = (
+        F.round(F.col("int_n").cast("double") / F.col("varx_n"), 6) + zero
+    )
+    r2 = (
+        F.round(
+            (F.col("cov_n").cast("double") / F.col("varx_n"))
+            * (F.col("cov_n").cast("double") / F.col("vary_n")),
+            6,
+        )
+        + zero
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(F.col("varx_n") == 0, zero).otherwise(slope).alias("slope"),
+        F.when(F.col("varx_n") == 0, zero)
+        .otherwise(intercept)
+        .alias("intercept"),
+        F.when((F.col("varx_n") == 0) | (F.col("vary_n") == 0), zero)
+        .otherwise(r2)
+        .alias("r2"),
+    ).orderBy("event_type")

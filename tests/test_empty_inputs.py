@@ -68,6 +68,10 @@ SAMPLE = [
     "qc01_dataset_splits",
     "qc16_split_leakage",
     "qc17_quality_threshold_sweep",
+    "qe33_event_type_pagerank",
+    "qe34_ewma_trending",
+    "qm19_ols_daily_trend",
+    "qc18_zorder_layout",
 ]
 
 
