@@ -77,7 +77,7 @@ _GATE_LATE = frozenset(
         "qv16", "qt17", "qg08", "qe24", "qe25", "qj06", "q34", "qw11",
         "qe27", "qv17", "qs10", "qd15", "qm16", "qe28", "qe29", "qm17",
         "qc16", "qv18", "qt18", "qs11", "qm18", "qd16", "qc17", "qe30", "qe31", "qe32", "qv19",
-        "qe33", "qe34", "qm19", "qc18",
+        "qe33", "qe34", "qm19", "qc18", "qt19", "qv20", "qe35",
     ]
 )
 

@@ -2082,3 +2082,133 @@ def qe34(spark, sf_dir):
             + F.lit(0.0)
         ).alias("trend_ratio"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "qe35_cusum_changepoints",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt,
+         CAST(SUM(n_events) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(n_events * n_events) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events,
+         st.cnt * d.n_events - st.s AS e,
+         st.cnt * st.q - st.s * st.s AS var_n2
+  FROM daily d JOIN stats st USING (event_type)
+),
+pre1 AS (
+  SELECT event_type, day, n_events, var_n2,
+         SUM(e) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+),
+pre AS (
+  SELECT event_type, day, n_events, var_n2, p,
+         LEAST(CAST(0 AS DECIMAL(38,0)),
+               MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) AS m
+  FROM pre1
+)
+SELECT event_type, day, n_events,
+       CASE WHEN var_n2 = 0 THEN 0.0
+            ELSE ROUND(CAST(p - m AS DOUBLE)
+                       / sqrt(CAST(var_n2 AS DOUBLE)), 3) + 0
+       END AS cusum_sigma,
+       (p - m) * (p - m) > 16 * var_n2 AS shifted
+FROM pre
+ORDER BY event_type, day
+""",
+)
+def qe35(spark, sf_dir):
+    """One-sided CUSUM change-point detection on the daily volume
+    series per event type: accumulate deviations from the whole-
+    period mean and flag when the cumulative sum exceeds 4σ — the
+    control-chart statistic that catches SUSTAINED small level shifts
+    qe24's pointwise test is blind to (ten consecutive +1σ days never
+    trip a 2σ pointwise flag but accumulate to +10σ here; the
+    complement of qe24 global outliers and qe14 trailing z-scores).
+
+    Mechanism (new to the registry): the CUSUM recursion
+    C_t = max(0, C_{t-1} + e_t) is NON-associative and so not
+    directly window-expressible — it is eliminated via the prefix-sum
+    identity C_t = P_t − min(0, min_{j≤t} P_j), turning the recursion
+    into two stacked per-type running windows. Cross-engine
+    exactness: e_t = n·x_t − S is carried n-scaled in DECIMAL(38,0)
+    (qe24's trick), prefix sums and running minima of exact decimals
+    stay exact, and the 4σ flag is the pure integer comparison
+    (P−m)² > 16·(nQ − S²) — no float can flip it; cusum_sigma is one
+    identical scalar double expression rounded for display.
+
+    Shape at scale: one hash aggregation onto the (type, day) grid,
+    per-type moments broadcast back, then two type-partitioned
+    windows over the days-bounded grid. Nothing scales with raw
+    event volume past the first aggregation."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.groupBy("event_type").agg(
+        dec(F.count("*")).alias("cnt"),
+        dec(F.sum("n_events")).alias("s"),
+        dec(F.sum(F.col("n_events") * F.col("n_events"))).alias("q"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("cnt") * F.col("n_events") - F.col("s")).alias("e"),
+        (F.col("cnt") * F.col("q") - F.col("s") * F.col("s")).alias(
+            "var_n2"
+        ),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pre = dev.select(
+        "event_type",
+        "day",
+        "n_events",
+        "var_n2",
+        F.sum("e").over(w).alias("p"),
+    ).select(
+        "event_type",
+        "day",
+        "n_events",
+        "var_n2",
+        "p",
+        F.least(
+            F.lit(0).cast("decimal(38,0)"), F.min("p").over(w)
+        ).alias("m"),
+    )
+    c = F.col("p") - F.col("m")
+    return pre.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(F.col("var_n2") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                c.cast("double") / F.sqrt(F.col("var_n2").cast("double")), 3
+            )
+            + F.lit(0.0)
+        )
+        .alias("cusum_sigma"),
+        (c * c > 16 * F.col("var_n2")).alias("shifted"),
+    ).orderBy("event_type", "day")

@@ -10,6 +10,7 @@ RE2-and-Java-regex compatible, see functions/text.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.text import (
@@ -954,3 +955,172 @@ def qt18(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def bm25_sql_cte(top: int) -> str:
+    """WITH-body fragment (no leading WITH) ending in relation
+    ``btop(query_id, cand_id, rnk, s)``: BM25 (k1 = 1.2, b = 0.75)
+    top-``top`` candidates per query doc (doc_id % 20 == 0), ranked on
+    the EXACT micro-quantized integer score. Shared by qt19's oracle
+    and qv20's hybrid-fusion oracle."""
+    return f"""bdt AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+),
+btf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bdt GROUP BY doc_id, token
+),
+bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+bdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY token),
+bcorp AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(dl) FROM bdl) AS DOUBLE)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+bidf AS (
+  SELECT token,
+         ROUND(ln(1 + (bcorp.n_docs - df + 0.5) / (df + 0.5)), 6) + 0 AS idf
+  FROM bdf, bcorp
+),
+bq AS (
+  SELECT doc_id AS query_id, token FROM btf WHERE doc_id % 20 = 0
+),
+bscore AS (
+  SELECT bq.query_id, c.doc_id AS cand_id,
+         SUM(CAST(ROUND(bidf.idf
+               * ((c.tf * 2.2)
+                  / (c.tf + 1.2 * (0.25 + 0.75 * (cd.dl / bcorp.avgdl))))
+               * 1e6) AS BIGINT)) AS s
+  FROM bq
+  JOIN btf c ON c.token = bq.token AND c.doc_id <> bq.query_id
+  JOIN bidf ON bidf.token = bq.token
+  JOIN bdl cd ON cd.doc_id = c.doc_id
+  CROSS JOIN bcorp
+  GROUP BY bq.query_id, c.doc_id
+),
+btop AS (
+  SELECT query_id, cand_id, rnk, s FROM (
+    SELECT query_id, cand_id, s,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, cand_id) AS rnk
+    FROM bscore
+  ) WHERE rnk <= {top}
+)"""
+
+
+def bm25_rankings(spark, sf_dir, top: int):
+    """Spark dual of :func:`bm25_sql_cte` — DataFrame
+    (query_id, cand_id, rnk, s) of the BM25 top-``top`` per query doc.
+
+    Okapi BM25 (k1 = 1.2, b = 0.75, the Robertson idf in its
+    always-positive ln(1 + …) form). The per-(query, candidate) score
+    sums term contributions micro-quantized to BIGINT, so the ranking
+    key is an exact integer on any partitioning; idf is rounded to
+    1e-6 straight after the ln so both engines feed identical doubles
+    into the sum.
+
+    Shape at scale: tf/dl/df are one tokenize-explode pass plus three
+    bounded aggregations; scoring is the classic posting-list
+    equi-join on token — query terms × postings — followed by a
+    query-partitioned top-k window. At 100 TB you'd cap the hot-token
+    fan-out with qm01's df pruning before the join (this fixture's
+    vocabulary is ~31 near-stopword tokens, so no cut is applied
+    here)."""
+    docs = t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = dt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    corp = (
+        dl.agg(F.sum("dl").alias("total_tokens"))
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
+        .select(
+            "n_docs",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs")
+            ).alias("avgdl"),
+        )
+    )
+    idf = dfr.crossJoin(F.broadcast(corp)).select(
+        "token",
+        (
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("idf"),
+    )
+    bq = tf.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    cand = (
+        bq.join(
+            tf.select(F.col("doc_id").alias("cand_id"), "token", "tf"),
+            "token",
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .join(idf, "token")
+        .join(dl.select(F.col("doc_id").alias("cand_id"), "dl"), "cand_id")
+        .crossJoin(F.broadcast(corp))
+    )
+    term = F.col("idf") * (
+        (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    score = (
+        cand.select(
+            "query_id",
+            "cand_id",
+            F.round(term * 1e6).cast("long").alias("tq"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("tq").alias("s"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "cand_id")
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top)
+        .select("query_id", "cand_id", "rnk", "s")
+    )
+
+
+@query(
+    "qt19_bm25_retrieval",
+    oracle=f"""
+WITH {bm25_sql_cte(3)}
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
+       ROUND(s / 1e6, 6) + 0 AS bm25
+FROM btop
+ORDER BY query_id, rnk
+""",
+)
+def qt19(spark, sf_dir):
+    """Okapi BM25 top-3 retrieval: every 20th document queries the
+    corpus with its own term set — the lexical ranking half of hybrid
+    search and the retrieval scorer behind RAG corpus curation and
+    hard-negative mining. Completes the registry's lexical-statistics
+    ladder: qt12 scores documents by corpus-unigram likelihood, qm08
+    by tf-idf weight, qm09 by tf-idf cosine — BM25 adds the saturated
+    tf and length normalization that made it the IR default. The
+    mechanism (df-damped term match with per-doc length norm) exists
+    nowhere else in the registry; qv20 fuses these rankings with the
+    embedding ANN side.
+
+    Correctness/scale notes live on :func:`bm25_rankings`."""
+    out = bm25_rankings(spark, sf_dir, 3)
+    return out.select(
+        "query_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "cand_id",
+        (F.round(F.col("s") / 1e6, 6) + F.lit(0.0)).alias("bm25"),
+    ).orderBy("query_id", "rnk")

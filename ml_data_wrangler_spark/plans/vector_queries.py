@@ -22,6 +22,7 @@ from ml_data_wrangler_spark.operators.similarity import (
 )
 from ml_data_wrangler_spark.plans._util import t
 from ml_data_wrangler_spark.plans.registry import query
+from ml_data_wrangler_spark.plans.text_queries import bm25_rankings, bm25_sql_cte
 
 _SQL_COS = (
     "list_dot_product({a}, {b}) / "
@@ -1289,4 +1290,127 @@ def qv19(spark, sf_dir):
             ).alias("mean_overlap"),
         )
         .orderBy("dims")
+    )
+
+
+@query(
+    "qv20_hybrid_rrf_fusion",
+    oracle=f"""
+WITH {bm25_sql_cte(20)},
+vc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vq AS (SELECT vec_id AS query_id, v AS qv FROM vc WHERE vec_id % 20 = 0),
+vtop AS (
+  SELECT query_id, cand_id, rnk FROM (
+    SELECT vq.query_id, vc.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vq.query_id
+             ORDER BY ROUND({_SQL_COS.format(a="vq.qv", b="vc.v")}, 6) DESC,
+                      vc.vec_id
+           ) AS rnk
+    FROM vq JOIN vc ON vc.vec_id <> vq.query_id
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         COALESCE(b.cand_id, v.cand_id) AS cand_id,
+         b.rnk AS text_rank, v.rnk AS vec_rank,
+         ROUND(COALESCE(1.0 / (60 + b.rnk), 0)
+               + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0 AS rrf
+  FROM btop b
+  FULL OUTER JOIN vtop v
+    ON v.query_id = b.query_id AND v.cand_id = b.cand_id
+)
+SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, cand_id,
+       CAST(text_rank AS BIGINT) AS text_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank, rrf
+FROM (
+  SELECT query_id, cand_id, text_rank, vec_rank, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, cand_id) AS fr
+  FROM fused
+) WHERE fr <= 3
+ORDER BY query_id, fused_rank
+""",
+)
+def qv20(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    top-20 (qt19's scorer) and the exact-cosine embedding top-20 are
+    fused per query with RRF(d) = Σ 1/(60 + rank_d) — the
+    score-calibration-free combiner hybrid search engines default to,
+    and the standard recipe for mining retrieval training pairs (the
+    two modalities miss different neighbors; the fusion surfaces
+    docs either side alone would rank poorly). Documents and
+    embeddings share the id space, so every 20th id queries BOTH
+    indexes. Ranks, not scores, cross the modality boundary — which
+    is exactly why the mechanism is robust and why it's new here:
+    every other vector query combines scores.
+
+    Cross-engine exactness: both input rankings order by exact keys
+    (BM25's quantized integer, cosine rounded to 1e-6) with id
+    tiebreaks; the fused score is a two-term scalar sum of exact
+    reciprocals — no aggregation, no order sensitivity; the final
+    top-3 breaks rrf ties by cand_id (rank-pattern ties are common
+    by construction).
+
+    Shape at scale: the two rankings are the qt19 posting-list join
+    and the qv01 broadcast scan (each replaceable by its ANN dual —
+    qv05/qv08 — without touching the fusion); the fusion itself
+    full-outer-joins two top-20 relations per query — tiny."""
+    btop = bm25_rankings(spark, sf_dir, 20).select(
+        "query_id", "cand_id", F.col("rnk").alias("text_rank")
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vq = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    vtop = (
+        emb.join(F.broadcast(vq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("v")), 6
+            ).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk") <= 20)
+        .select("query_id", "cand_id", F.col("rnk").alias("vec_rank"))
+    )
+    fused = (
+        btop.join(vtop, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            "text_rank",
+            "vec_rank",
+            (
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / (60 + F.col("text_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (60 + F.col("vec_rank")), F.lit(0.0)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "cand_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 3)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+            "cand_id",
+            F.col("text_rank").cast("long").alias("text_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf",
+        )
+        .orderBy("query_id", "fused_rank")
     )

@@ -72,6 +72,9 @@ SAMPLE = [
     "qe34_ewma_trending",
     "qm19_ols_daily_trend",
     "qc18_zorder_layout",
+    "qt19_bm25_retrieval",
+    "qv20_hybrid_rrf_fusion",
+    "qe35_cusum_changepoints",
 ]
 
 

@@ -134,3 +134,135 @@ def test_qc18_zorder_bounds_both_dimensions(spark, sf_dir, queries):
     assert zo.files_per_qty_probe < lin.files_per_qty_probe
     assert zo.files_per_qty_probe < zo.n_files
     assert zo.files_per_price_probe < zo.n_files
+
+
+def test_qt19_bm25_matches_hand_formula(spark, tmp_path, queries):
+    """BM25 on a three-doc fixture must match an independent pure-
+    python Okapi implementation (k1 = 1.2, b = 0.75, ln(1 + …) idf)."""
+    import math
+
+    texts = {
+        0: "apple banana apple",
+        20: "apple cherry",
+        40: "banana banana cherry",
+    }
+    df = spark.createDataFrame(
+        [(i, s, "en", "web", len(s)) for i, s in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = queries["qt19_bm25_retrieval"](spark, str(tmp_path)).collect()
+
+    toks = {i: s.split() for i, s in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    docfreq: dict[str, int] = {}
+    for v in toks.values():
+        for w in set(v):
+            docfreq[w] = docfreq.get(w, 0) + 1
+
+    def bm25(query_id, cand_id):
+        s = 0
+        for term in set(toks[query_id]):
+            tf = toks[cand_id].count(term)
+            if tf == 0:
+                continue
+            idf = round(
+                math.log(
+                    1
+                    + (n_docs - docfreq[term] + 0.5) / (docfreq[term] + 0.5)
+                ),
+                6,
+            )
+            dl = len(toks[cand_id])
+            term_s = idf * (
+                (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            )
+            s += int(round(term_s * 1e6))
+        return round(s / 1e6, 6)
+
+    assert out, "no rows"
+    for r in out:
+        assert r.bm25 == bm25(r.query_id, r.cand_id), r
+    # ranks must follow the scores they claim to order
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        scores = [r.bm25 for r in sorted(rows, key=lambda r: r.rnk)]
+        assert scores == sorted(scores, reverse=True), rows
+
+
+def test_qv20_rrf_consistent_with_ranks(spark, sf_dir, queries):
+    rows = queries["qv20_hybrid_rrf_fusion"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = round(
+            (1.0 / (60 + r.text_rank) if r.text_rank is not None else 0.0)
+            + (1.0 / (60 + r.vec_rank) if r.vec_rank is not None else 0.0),
+            6,
+        )
+        assert abs(r.rrf - expect) < 1e-9, r
+        assert r.text_rank is not None or r.vec_rank is not None
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, qr in by_q.items():
+        assert sorted(x.fused_rank for x in qr) == list(range(1, len(qr) + 1))
+
+
+def test_qe35_matches_recursive_cusum(spark, sf_dir, queries):
+    """The prefix-sum-minus-running-min form must equal the textbook
+    recursion C_t = max(0, C_{t-1} + e_t) computed in exact ints."""
+    rows = queries["qe35_cusum_changepoints"](spark, sf_dir).collect()
+    assert rows
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    import math
+
+    for typ, rs in series.items():
+        xs = [r.n_events for r in rs]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        var_n2 = n * q - s * s
+        c = 0
+        for r, x in zip(rs, xs):
+            c = max(0, c + (n * x - s))
+            if var_n2 == 0:
+                assert r.cusum_sigma == 0.0 and not r.shifted
+            else:
+                assert (
+                    abs(r.cusum_sigma - round(c / math.sqrt(var_n2), 3))
+                    < 1e-9
+                ), (typ, r)
+                assert r.shifted == (c * c > 16 * var_n2), (typ, r)
+
+
+def test_qe35_sustained_shift_flags(spark, tmp_path, queries):
+    """Ten baseline days then five +30% days: the pointwise z never
+    reaches 2σ but the accumulated CUSUM must cross 4σ."""
+    base = dt.datetime(2024, 5, 1, 8, 0)
+    rows = []
+    eid = 0
+    counts = [100] * 10 + [130] * 5
+    for i, cnt in enumerate(counts):
+        for _ in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(days=i), 1, "shifty", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = sorted(
+        queries["qe35_cusum_changepoints"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    n, s = len(counts), sum(counts)
+    q = sum(c * c for c in counts)
+    var_n2 = n * q - s * s
+    # no single day is a 2-sigma pointwise outlier …
+    assert all((n * c - s) ** 2 <= 4 * var_n2 for c in counts)
+    # … but the sustained shift accumulates past the 4-sigma CUSUM gate
+    assert out[-1].shifted, out[-1]
+    assert not out[0].shifted
