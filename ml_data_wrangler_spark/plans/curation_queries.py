@@ -1147,3 +1147,81 @@ def qc18(spark, sf_dir):
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "qc19_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, CAST(n_chars // 512 AS BIGINT) AS size_bucket
+  FROM documents
+),
+grp AS (
+  SELECT lang, source, size_bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qi GROUP BY 1, 2, 3
+),
+summ AS (
+  SELECT CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS n_risky_docs,
+         CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM grp
+)
+SELECT g.lang, g.source, g.size_bucket, g.n,
+       g.n < 5 AS at_risk,
+       s.n_risky_docs,
+       ROUND(CAST(s.n_risky_docs AS DOUBLE) / s.n_docs, 6) + 0
+         AS risk_frac
+FROM grp g, summ s
+ORDER BY g.lang, g.source, g.size_bucket
+""",
+)
+def qc19(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length bucket): any document whose QI group has
+    fewer than k = 5 members is re-identifiable by those attributes
+    alone — the structural-privacy complement of qt03/qt15's
+    content-level PII scrubbing (a scrubbed document can still leak
+    identity through rare METADATA combinations, which is exactly
+    what k-anonymity measures). Reports every equivalence class with
+    its size and risk flag plus the corpus-level share of documents
+    needing suppression or generalization — the number a release
+    review asks for.
+
+    Pure integer counting end to end (one groupBy onto the bounded
+    QI grid, one summary aggregate broadcast back); the only double
+    is the final risk fraction. At 100 TB the QI grid is
+    |langs|×|sources|×|buckets| rows — tiny — and the scan prunes to
+    three columns."""
+    qi = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 512).cast("long").alias("size_bucket"),
+    )
+    grp = qi.groupBy("lang", "source", "size_bucket").agg(
+        F.count("*").alias("n")
+    )
+    summ = grp.agg(
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+            "n_risky_docs"
+        ),
+        F.sum("n").alias("n_docs"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(summ))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "n",
+            (F.col("n") < 5).alias("at_risk"),
+            "n_risky_docs",
+            (
+                F.round(
+                    F.col("n_risky_docs").cast("double") / F.col("n_docs"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("risk_frac"),
+        )
+        .orderBy("lang", "source", "size_bucket")
+    )

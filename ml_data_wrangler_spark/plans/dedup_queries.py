@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ml_data_wrangler_spark.functions.text import tokenize
 from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
 from ml_data_wrangler_spark.operators.dedup import (
+    _shingles_from_tokens,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -892,4 +894,182 @@ def qd16(spark, sf_dir):
             F.coalesce(F.col("fp"), empty_md5).alias("cleaned_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "qd17_similarity_triangles",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 2),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+  FROM toks WHERE len(l) >= 3
+), e AS (
+  SELECT a.doc_id AS na, b.doc_id AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT na AS node FROM e UNION ALL SELECT nb FROM e)
+  GROUP BY node
+), o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND na < nb)
+              THEN na ELSE nb END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND na < nb)
+              THEN nb ELSE na END AS dst,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND na < nb)
+              THEN db.d ELSE da.d END AS ddst
+  FROM e JOIN deg da ON da.node = na JOIN deg db ON db.node = nb
+), tri AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM o x
+  JOIN o y ON y.src = x.src
+          AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))
+  JOIN o z ON z.src = x.dst AND z.dst = y.dst
+), pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT u AS node FROM tri UNION ALL
+        SELECT v FROM tri UNION ALL
+        SELECT w FROM tri)
+  GROUP BY node
+), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_total FROM tri)
+SELECT p.node AS doc_id, deg.d AS degree, p.triangles,
+       ROUND(2.0 * p.triangles / (deg.d * (deg.d - 1)), 6) + 0
+         AS clustering,
+       total.n_triangles_total
+FROM pernode p JOIN deg ON deg.node = p.node, total
+ORDER BY p.triangles DESC, doc_id
+LIMIT 20
+""",
+)
+def qd17(spark, sf_dir):
+    """Triangle counting with local clustering coefficients over the
+    co-shingle evidence graph (docs sharing ≥ 2 distinct 3-gram
+    shingles) — the graph-motif diagnostic that separates tight
+    template/boilerplate communities (triangle-dense, clustering → 1)
+    from transitive chains of pairwise matches (triangle-free),
+    which qd07's connected components cannot distinguish: a clique
+    and a path produce the same component.
+
+    Mechanism (new to the registry): DEGREE-ORDERED triangle
+    enumeration — each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher, wedges are built only
+    between out-neighbors in that total order, and each triangle is
+    counted exactly once at its lowest-ordered apex. This is the
+    standard scalable formulation: wedge work is Σ out-deg², and
+    orientation caps out-degree at O(sqrt(|E|)) on any graph, so a
+    hub node never quadratically explodes (the naive a<b-id
+    orientation would put all of a hub's edges on one side).
+
+    Everything is integer counting; the clustering coefficient
+    2T/(d(d−1)) is the single rounded division. Shape at scale: the
+    edge list comes from the same posting-list join as qd02 (or its
+    prefix/LSH duals at 100 TB); degree join broadcasts the bounded
+    node relation; wedge-close is two equi-joins on node keys."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("toks"), 3)).alias("shingle"),
+    ).distinct()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("na"), F.col("b.doc_id").alias("nb")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("na", "nb")
+    )
+    deg = (
+        e.select(F.col("na").alias("node"))
+        .unionAll(e.select(F.col("nb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(
+            deg.select(F.col("node").alias("na"), F.col("d").alias("da")),
+            "na",
+        )
+        .join(
+            deg.select(F.col("node").alias("nb"), F.col("d").alias("db")),
+            "nb",
+        )
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("na") < F.col("nb"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
+        F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    x = o.alias("x")
+    y = o.alias("y")
+    z = o.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.src"))
+            & (
+                (F.col("x.ddst") < F.col("y.ddst"))
+                | (
+                    (F.col("x.ddst") == F.col("y.ddst"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
+        )
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    total = tri.agg(F.count("*").alias("n_triangles_total"))
+    return (
+        pernode.join(deg, "node")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            "triangles",
+            (
+                F.round(
+                    2.0
+                    * F.col("triangles")
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("clustering"),
+            "n_triangles_total",
+        )
+        .orderBy(F.desc("triangles"), "doc_id")
+        .limit(20)
     )

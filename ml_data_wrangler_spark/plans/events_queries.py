@@ -2212,3 +2212,225 @@ def qe35(spark, sf_dir):
         .alias("cusum_sigma"),
         (c * c > 16 * F.col("var_n2")).alias("shifted"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "qe36_variance_decomposition",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+mm AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+idx AS (
+  SELECT d.event_type, d.day, d.y,
+         CAST(d.day - mm.d0 AS BIGINT) AS x,
+         dayofweek(d.day) AS wd
+  FROM daily d JOIN mm USING (event_type)
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM idx GROUP BY 1
+),
+mom AS (
+  SELECT event_type, n, sy,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS varx_n,
+         sy * sxx - sx * sxy AS int_n
+  FROM st
+),
+dq AS (
+  SELECT i.event_type, i.wd,
+         CASE WHEN m.varx_n = 0 THEN 0.0
+              ELSE ROUND(CAST(m.varx_n * i.y - m.int_n - m.cov_n * i.x
+                              AS DOUBLE) / m.varx_n, 6) + 0
+         END AS d_q,
+         ROUND(CAST(m.n * i.y - m.sy AS DOUBLE) / m.n, 6) + 0 AS dev_tot
+  FROM idx i JOIN mom m USING (event_type)
+),
+sw AS (
+  SELECT event_type, wd,
+         SUM(CAST(ROUND(d_q * 1e6) AS BIGINT)) AS sdq,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM dq GROUP BY 1, 2
+),
+res AS (
+  SELECT d.event_type, d.d_q, d.dev_tot,
+         ROUND(d.d_q - (ROUND(sw.sdq / 1e6 / sw.c, 6) + 0), 6) + 0 AS r
+  FROM dq d JOIN sw USING (event_type, wd)
+),
+ss AS (
+  SELECT event_type,
+         SUM(CAST(ROUND(dev_tot * dev_tot * 1e6) AS BIGINT)) AS ss_tot,
+         SUM(CAST(ROUND(d_q * d_q * 1e6) AS BIGINT)) AS ss_det,
+         SUM(CAST(ROUND(r * r * 1e6) AS BIGINT)) AS ss_res,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM res GROUP BY 1
+)
+SELECT event_type, n_days,
+       CASE WHEN ss_tot = 0 THEN 0.0
+            ELSE ROUND(1 - CAST(ss_det AS DOUBLE) / ss_tot, 6) + 0
+       END AS trend_share,
+       CASE WHEN ss_tot = 0 THEN 0.0
+            ELSE ROUND(CAST(ss_det - ss_res AS DOUBLE) / ss_tot, 6) + 0
+       END AS seasonal_share,
+       CASE WHEN ss_tot = 0 THEN 0.0
+            ELSE ROUND(CAST(ss_res AS DOUBLE) / ss_tot, 6) + 0
+       END AS residual_share
+FROM ss ORDER BY event_type
+""",
+)
+def qe36(spark, sf_dir):
+    """Additive variance decomposition of the daily volume series:
+    linear trend (qm19's OLS), then day-of-week seasonality on the
+    detrended series, then residual — reporting what share of total
+    variance each layer explains. The classical trend/seasonal/
+    remainder decomposition (STL's additive skeleton) as ONE
+    relational pass per layer; it turns qe19's hour-of-week SHAPE and
+    qm19's slope into a single attribution ("volume is 60% weekly
+    rhythm, 25% growth, 15% noise") — the triage number behind
+    forecasting and anomaly-budget decisions.
+
+    Cross-engine exactness: detrended deviations have the exact
+    integer numerator varx_n·y − int_n − cov_n·x (one rounded scalar
+    division); weekday means micro-quantize before summing; every sum
+    of squares is a BIGINT micro-unit aggregation, so no share can
+    flip on partition order. The weekday key uses each engine's
+    native dayofweek — any bijection of the true weekday induces the
+    SAME partition of days, so the grouping needs no cross-engine
+    alignment. OLS guarantees ss_det ≤ ss_tot and within-group means
+    guarantee ss_res ≤ ss_det, so all shares land in [0, 1] up to
+    quantization. Shape at scale: raw events collapse to the
+    (type, day) grid first; everything after is bounded-grid joins
+    and aggregations, broadcast-sized."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    mm = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        "y",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.dayofweek("day").alias("wd"),
+    )
+    st = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mom = st.select(
+        "event_type",
+        "n",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_n"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "varx_n"
+        ),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "int_n"
+        ),
+    )
+    dq = idx.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "wd",
+        F.when(F.col("varx_n") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    F.col("varx_n") * F.col("y")
+                    - F.col("int_n")
+                    - F.col("cov_n") * F.col("x")
+                ).cast("double")
+                / F.col("varx_n"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("d_q"),
+        (
+            F.round(
+                (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+                / F.col("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dev_tot"),
+    )
+    sw = dq.groupBy("event_type", "wd").agg(
+        F.sum(F.round(F.col("d_q") * 1e6).cast("long")).alias("sdq"),
+        F.count("*").alias("c"),
+    )
+    res = dq.join(F.broadcast(sw), ["event_type", "wd"]).select(
+        "event_type",
+        "d_q",
+        "dev_tot",
+        (
+            F.round(
+                F.col("d_q")
+                - (
+                    F.round(
+                        F.col("sdq") / F.lit(1e6) / F.col("c"), 6
+                    )
+                    + F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r"),
+    )
+    ss = res.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.col("dev_tot") * F.col("dev_tot") * 1e6).cast("long")
+        ).alias("ss_tot"),
+        F.sum(
+            F.round(F.col("d_q") * F.col("d_q") * 1e6).cast("long")
+        ).alias("ss_det"),
+        F.sum(F.round(F.col("r") * F.col("r") * 1e6).cast("long")).alias(
+            "ss_res"
+        ),
+        F.count("*").alias("n_days"),
+    )
+    zero = F.lit(0.0)
+    return ss.select(
+        "event_type",
+        "n_days",
+        F.when(F.col("ss_tot") == 0, zero)
+        .otherwise(
+            F.round(
+                1 - F.col("ss_det").cast("double") / F.col("ss_tot"), 6
+            )
+            + zero
+        )
+        .alias("trend_share"),
+        F.when(F.col("ss_tot") == 0, zero)
+        .otherwise(
+            F.round(
+                (F.col("ss_det") - F.col("ss_res")).cast("double")
+                / F.col("ss_tot"),
+                6,
+            )
+            + zero
+        )
+        .alias("seasonal_share"),
+        F.when(F.col("ss_tot") == 0, zero)
+        .otherwise(
+            F.round(
+                F.col("ss_res").cast("double") / F.col("ss_tot"), 6
+            )
+            + zero
+        )
+        .alias("residual_share"),
+    ).orderBy("event_type")

@@ -75,6 +75,9 @@ SAMPLE = [
     "qt19_bm25_retrieval",
     "qv20_hybrid_rrf_fusion",
     "qe35_cusum_changepoints",
+    "qd17_similarity_triangles",
+    "qe36_variance_decomposition",
+    "qc19_k_anonymity",
 ]
 
 

@@ -266,3 +266,103 @@ def test_qe35_sustained_shift_flags(spark, tmp_path, queries):
     # … but the sustained shift accumulates past the 4-sigma CUSUM gate
     assert out[-1].shifted, out[-1]
     assert not out[0].shifted
+
+
+def _write_documents(spark, out_dir, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def test_qd17_clique_vs_chain(spark, tmp_path, queries):
+    """Three verbatim copies form a 3-clique (one triangle, clustering
+    1.0); a 2-evidence chain D—E—F without the closing edge adds no
+    triangle and must not appear."""
+    clique_text = "one two three four"
+    rows = [
+        (0, clique_text, "en", "web", 1),
+        (1, clique_text, "en", "web", 1),
+        (2, clique_text, "en", "web", 1),
+        (10, "alpha beta gamma delta epsilon", "en", "web", 1),
+        (11, "beta gamma delta epsilon zeta", "en", "web", 1),
+        (12, "gamma delta epsilon zeta eta", "en", "web", 1),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    out = queries["qd17_similarity_triangles"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in out} == {0, 1, 2}
+    for r in out:
+        assert (r.degree, r.triangles, r.clustering, r.n_triangles_total) == (
+            2,
+            1,
+            1.0,
+            1,
+        ), r
+
+
+def test_qe36_shares_sum_to_one(spark, sf_dir, queries):
+    rows = queries["qe36_variance_decomposition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for share in (r.trend_share, r.seasonal_share, r.residual_share):
+            assert -1e-4 <= share <= 1 + 1e-4, r
+        assert (
+            abs(r.trend_share + r.seasonal_share + r.residual_share - 1.0)
+            < 2e-5
+        ), r
+
+
+def test_qe36_pure_trend_and_constant_series(spark, tmp_path, queries):
+    """An exactly linear series is 100% trend; a constant series hits
+    the zero-variance guard (all shares 0.0)."""
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = []
+    eid = 0
+    for i in range(8):
+        for _ in range(3 + 2 * i):
+            rows.append(
+                (eid, base + dt.timedelta(days=i), 1, "lin", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(7):
+            rows.append(
+                (eid, base + dt.timedelta(days=i), 2, "flat", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.event_type: r
+        for r in queries["qe36_variance_decomposition"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    lin = out["lin"]
+    assert (lin.trend_share, lin.seasonal_share, lin.residual_share) == (
+        1.0,
+        0.0,
+        0.0,
+    )
+    flat = out["flat"]
+    assert (flat.trend_share, flat.seasonal_share, flat.residual_share) == (
+        0.0,
+        0.0,
+        0.0,
+    )
+
+
+def test_qc19_flags_small_groups(spark, tmp_path, queries):
+    rows = [(i, "t", "en", "web", 100) for i in range(3)] + [
+        (10 + i, "t", "en", "book", 100) for i in range(7)
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    out = {
+        (r.lang, r.source): r
+        for r in queries["qc19_k_anonymity"](spark, str(tmp_path)).collect()
+    }
+    web, book = out[("en", "web")], out[("en", "book")]
+    assert web.n == 3 and web.at_risk
+    assert book.n == 7 and not book.at_risk
+    assert web.n_risky_docs == 3
+    assert web.risk_frac == 0.3
