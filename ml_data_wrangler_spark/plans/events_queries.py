@@ -1909,13 +1909,21 @@ def qe33(spark, sf_dir):
 
     Shape at scale: the 100-TB work is the ONE user-partitioned lag
     window + pair count (same shuffle as qe15); the graph itself
-    collapses to |types|² edges, so each iteration is a
-    bounded-relation broadcast join — driver-free lineage, no
+    collapses to |types|² edges and is ``localCheckpoint``-ed before
+    the iterations (qd07's discipline — iterative lineage otherwise
+    branches the plan exponentially and re-runs the raw-event pass
+    per iteration; materializing the bounded edge relation once is
+    exactly what a 100-TB run must do). Each iteration is then a
+    bounded-relation broadcast join over the materialized leaf — no
     collect. With a billion-node graph (user-user edges) the
     identical plan shape shuffles on dst instead of broadcasting;
     the quantization trick is partitioning-proof either way."""
     ev = t(spark, sf_dir, "events")
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
     nn = nodes.agg(F.count("*").alias("n"))
     seq = ev.select(
         "event_type",
@@ -1929,17 +1937,22 @@ def qe33(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tn"))
-    p = pairs.join(F.broadcast(tot), "prev_type").select(
-        F.col("prev_type").alias("src"),
-        F.col("event_type").alias("dst"),
-        (
-            F.round(F.col("n").cast("double") / F.col("tn"), 9) + F.lit(0.0)
-        ).alias("pij"),
+    p = (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            (
+                F.round(F.col("n").cast("double") / F.col("tn"), 9)
+                + F.lit(0.0)
+            ).alias("pij"),
+        )
+        .localCheckpoint()
     )
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.round(F.lit(1.0) / F.col("n"), 9) + F.lit(0.0)).alias("r")
     )
-    srcs = tot.select(F.col("prev_type").alias("node"))
+    srcs = p.select(F.col("src").alias("node")).distinct()
     for _ in range(3):
         dang = (
             r.join(F.broadcast(srcs), "node", "left_anti")
@@ -1981,6 +1994,10 @@ def qe33(spark, sf_dir):
                     + F.lit(0.0)
                 ).alias("r"),
             )
+            # per-round checkpoint of the |types|-row rank vector —
+            # dang + inflow both reference r, so without it the plan
+            # branches ~3× per iteration (qd07's per-round rule)
+            .localCheckpoint()
         )
     return r.select(
         F.col("node").alias("event_type"),

@@ -1083,8 +1083,12 @@ def qv18(spark, sf_dir):
     (dim × dim) terms per vector then a 64×64-bounded aggregation —
     the relational outer-product accumulation (the GEMM dual would be
     a qv07-style mapInPandas partial-gram per partition; same
-    communication shape: only 64×64 partials move). Each iteration is
-    a 4096-row × 64-row broadcast join: driver-free, all lineage."""
+    communication shape: only 64×64 partials move). The covariance is
+    localCheckpoint-ed before iterating (qd07's discipline — without
+    it each matvec re-derives the matrix from raw embeddings and the
+    plan branches exponentially); each iteration is then a 4096-row ×
+    64-row broadcast join over the materialized leaf — driver-free,
+    no collect."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1120,6 +1124,12 @@ def qv18(spark, sf_dir):
                 + F.lit(0.0)
             ).alias("cij"),
         )
+        # qd07's iterative-lineage discipline: materialize the 64×64
+        # covariance once — each matvec otherwise re-derives it from
+        # the raw embeddings, branching the plan exponentially over
+        # the three iterations (observed: 280 parquet scans in the
+        # static plan without this checkpoint, 64×64 leaf with it).
+        .localCheckpoint()
     )
     v = spark.range(1, 65).select(
         F.col("id").cast("int").alias("i"),
@@ -1161,7 +1171,10 @@ def qv18(spark, sf_dir):
         )
 
     for _ in range(3):
-        v = normalize(matvec(v))
+        # per-round checkpoint of the 64-row vector (qd07's rule):
+        # normalize references the matvec result twice and lam reads
+        # v again, so lineage otherwise branches ~3× per iteration
+        v = normalize(matvec(v)).localCheckpoint()
     lam = v.select(
         F.round(F.col("val") * F.col("w") * 1e9).cast("long").alias("t")
     ).agg(
