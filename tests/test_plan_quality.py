@@ -145,6 +145,25 @@ def test_registry_sweep_no_unpartitioned_window(spark, sf_dir, q):
     assert not offenders, offenders
 
 
+def test_registry_sweep_no_plan_explosion(spark, sf_dir, q):
+    """Registry-wide audit: iterative/multi-reference lineage must be
+    checkpointed (qd07's per-round rule) — no query's STATIC plan may
+    re-scan its parquet sources more than 48 times or contain more
+    than 120 Exchange nodes. Legitimate multi-branch sweeps top out
+    at ~34 scans / ~70 exchanges today (qv19, qm14); the exponential
+    branching this guards against measured 102-280 scans before the
+    round-4 fixes (qe33 pre-checkpoint 102, qd17 248, qv18 280)."""
+    offenders = []
+    for name, fn in q.items():
+        if name.split("_", 1)[0] in _EAGER_CONSTRUCT:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        scans, exch = plan.count("Scan parquet"), plan.count("Exchange")
+        if scans > 48 or exch > 120:
+            offenders.append(f"{name}: {scans} scans, {exch} exchanges")
+    assert not offenders, offenders
+
+
 def test_triangular_self_joins_reuse_exchange(spark, sf_dir, q):
     """qe12 and qw07 both self-join an aggregated relation (the
     triangular prefix-sum/offset trick). The two sides are identical
