@@ -495,3 +495,70 @@ def test_twap_bounded_by_value_range(samples):
     tw = num / den
     vals = [round(v, 2) for v, _ in samples]
     assert min(vals) - 1e-9 <= tw <= max(vals) + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60)
+)
+def test_cusum_prefix_min_identity(xs):
+    """qe35's recursion elimination: C_t = P_t − min(0, min_{j≤t} P_j)
+    must equal the textbook recursion C_t = max(0, C_{t−1} + e_t) for
+    ANY integer series (e_t = n·x_t − S, the n-scaled deviation)."""
+    n, s = len(xs), sum(xs)
+    es = [n * x - s for x in xs]
+    c_rec = 0
+    p = 0
+    run_min = 0
+    for e in es:
+        c_rec = max(0, c_rec + e)
+        p += e
+        run_min = min(run_min, p)
+        assert c_rec == p - min(0, run_min)
+
+
+@given(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15))
+def test_morton_interleave_is_bijective(qx, qy):
+    """qc18's bit interleave must be invertible: the 8-bit Morton code
+    decodes back to exactly (qx, qy), so z-file ranges genuinely bound
+    BOTH dimensions."""
+    z = 0
+    for b in range(4):
+        z |= ((qx >> b) & 1) << (2 * b)
+        z |= ((qy >> b) & 1) << (2 * b + 1)
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(4))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(4))
+    assert (rx, ry) == (qx, qy)
+    assert 0 <= z <= 255
+
+
+@given(st.integers(min_value=1, max_value=10_000), st.integers(min_value=1, max_value=9_999))
+def test_bm25_idf_positive_and_df_monotone(n_docs, df):
+    """qt19's ln(1 + …) idf form must stay strictly positive even for
+    df > N/2 terms (the classic Robertson idf goes negative there,
+    which would let stopwords SUBTRACT relevance), and must strictly
+    decrease as df grows."""
+    import math
+
+    if df > n_docs:
+        return
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    assert idf > 0
+    if df + 1 <= n_docs:
+        idf_next = math.log(1 + (n_docs - df - 0.5) / (df + 1.5))
+        assert idf_next < idf
+
+
+@given(
+    st.one_of(st.none(), st.integers(min_value=1, max_value=20)),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=20)),
+)
+def test_rrf_bounds_and_dominance(tr, vr):
+    """qv20's fused score is bounded by 2/61 and a doc ranked first in
+    BOTH lists beats any doc present in only one list."""
+    if tr is None and vr is None:
+        return
+    rrf = (1 / (60 + tr) if tr else 0.0) + (1 / (60 + vr) if vr else 0.0)
+    assert 0 < rrf <= 2 / 61
+    both_first = 2 / 61
+    if tr is None or vr is None:
+        assert rrf < both_first
