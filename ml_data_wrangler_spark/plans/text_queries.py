@@ -1124,3 +1124,172 @@ def qt19(spark, sf_dir):
         "cand_id",
         (F.round(F.col("s") / 1e6, 6) + F.lit(0.0)).alias("bm25"),
     ).orderBy("query_id", "rnk")
+
+
+def _qt20_sql_step(k: int) -> str:
+    """One unrolled BPE merge: count adjacent symbol pairs weighted by
+    word-type frequency, pick the (count DESC, pair ASC) argmax, merge
+    its non-overlapping occurrences left-to-right via REPLACE."""
+    prev = f"w{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS pair, CAST(SUM(f) AS BIGINT) AS c
+  FROM (SELECT f, string_split(trim(sym), ' ') AS arr FROM {prev}),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY pair
+),
+b{k} AS (
+  SELECT pair, replace(pair, ' ', '') AS m, c
+  FROM p{k} ORDER BY c DESC, pair LIMIT 1
+),
+w{k} AS (
+  SELECT token, f,
+         REPLACE(sym, ' ' || b{k}.pair || ' ', ' ' || b{k}.m || ' ') AS sym
+  FROM {prev}, b{k}
+),
+v{k} AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS vocab,
+         CAST(SUM(f) AS BIGINT) AS total
+  FROM (SELECT f, unnest(string_split(trim(sym), ' ')) AS s FROM w{k})
+)"""
+
+
+@query(
+    "qt20_bpe_merges",
+    oracle=f"""
+WITH freq AS (
+  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+w0 AS (
+  SELECT token, f,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, length(token)),
+                          i -> token[i]), ' ') || ' ' AS sym
+  FROM freq
+),
+{",".join(_qt20_sql_step(k) for k in (1, 2, 3))}
+SELECT step, pair, merged, pair_count, vocab_size_after,
+       corpus_symbols_after
+FROM (
+  SELECT CAST(1 AS BIGINT) AS step, b1.pair, b1.m AS merged,
+         b1.c AS pair_count, v1.vocab AS vocab_size_after,
+         v1.total AS corpus_symbols_after
+  FROM b1, v1
+  UNION ALL
+  SELECT 2, b2.pair, b2.m, b2.c, v2.vocab, v2.total FROM b2, v2
+  UNION ALL
+  SELECT 3, b3.pair, b3.m, b3.c, v3.vocab, v3.total FROM b3, v3
+)
+ORDER BY step
+""",
+)
+def qt20(spark, sf_dir):
+    """Byte-pair-encoding vocabulary induction, three merge steps —
+    the tokenizer-training core (Sennrich et al. 2016): start from
+    characters over the corpus word-type table, repeatedly count
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent pair, and report each learned merge with the vocabulary
+    size and total corpus symbol count after it (the compression
+    curve a tokenizer build monitors). The registry tokenizes and
+    BUDGETS subwords elsewhere (qt06, qc03); this is the first query
+    that LEARNS the subword inventory itself.
+
+    Cross-engine exactness: pair counts are exact integer sums; the
+    argmax is totally ordered (count DESC, pair ASC); and the merge
+    is a literal string REPLACE over the space-joined symbol string —
+    leftmost non-overlapping semantics are identical on both engines,
+    which is precisely greedy BPE's one-pass merge rule (an 'a a a'
+    run merges once, the fresh pair waits for the next step).
+
+    Shape at scale: the 100-TB pass is the ONE word-frequency
+    aggregation — everything after operates on the bounded word-TYPE
+    table (the classic BPE trick), checkpointed per round per the
+    iterative-lineage rule; each merge is a map-side REPLACE plus a
+    pair-count aggregation over types, with the 1-row argmax
+    broadcast."""
+    wt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+        .select(
+            "token",
+            "f",
+            F.concat(
+                F.lit(" "),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("token")),
+                        lambda i: F.col("token").substr(i, F.lit(1)),
+                    ),
+                ),
+                F.lit(" "),
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    steps = []
+    for step in (1, 2, 3):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        # single-symbol words contribute no pairs — and must be
+        # filtered BEFORE the index transform because Spark's
+        # sequence(0, size-2) DESCENDS when size = 1
+        pairs = wt.where(F.size(arr) >= 2).select(
+            "f",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - 2),
+                    lambda i: F.concat(
+                        F.element_at(arr, i + 1),
+                        F.lit(" "),
+                        F.element_at(arr, i + 2),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .select(
+                "pair", F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("m"), "c"
+            )
+            .localCheckpoint()
+        )
+        wt = (
+            wt.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                "f",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("m"), F.lit(" ")),
+                ).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+        sym_col = F.explode(F.split(F.trim(F.col("sym")), " ")).alias("s")
+        exploded = wt.select("f", sym_col)
+        stats = exploded.agg(
+            F.count_distinct("s").alias("vocab"),
+            F.sum("f").alias("total"),
+        )
+        steps.append(
+            best.crossJoin(F.broadcast(stats)).select(
+                F.lit(step).cast("long").alias("step"),
+                "pair",
+                F.col("m").alias("merged"),
+                F.col("c").alias("pair_count"),
+                F.col("vocab").alias("vocab_size_after"),
+                F.col("total").alias("corpus_symbols_after"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

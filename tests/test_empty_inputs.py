@@ -78,6 +78,7 @@ SAMPLE = [
     "qd17_similarity_triangles",
     "qe36_variance_decomposition",
     "qc19_k_anonymity",
+    "qt20_bpe_merges",
 ]
 
 

@@ -366,3 +366,28 @@ def test_qc19_flags_small_groups(spark, tmp_path, queries):
     assert book.n == 7 and not book.at_risk
     assert web.n_risky_docs == 3
     assert web.risk_frac == 0.3
+
+
+def test_qt20_bpe_merges_hand_trace(spark, tmp_path, queries):
+    """Corpus {aaab×2, ab×1}: merges must be a+a (count 4), then a+b
+    (count 3), then aa+ab (count 2), with the vocabulary/compression
+    trace computed by hand."""
+    _write_documents(
+        spark, str(tmp_path), [(0, "aaab aaab ab", "en", "web", 12)]
+    )
+    out = [
+        (
+            r.step,
+            r.pair,
+            r.merged,
+            r.pair_count,
+            r.vocab_size_after,
+            r.corpus_symbols_after,
+        )
+        for r in queries["qt20_bpe_merges"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        (1, "a a", "aa", 4, 3, 8),
+        (2, "a b", "ab", 3, 2, 5),
+        (3, "aa ab", "aaab", 2, 2, 3),
+    ], out
