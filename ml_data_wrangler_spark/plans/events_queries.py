@@ -2451,3 +2451,159 @@ def qe36(spark, sf_dir):
         )
         .alias("residual_share"),
     ).orderBy("event_type")
+
+
+# Cumulative Poisson(1) probabilities P(K <= k) as shared literals —
+# identical decimal text on both engines → identical doubles.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _qe37_sql_k(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "qe37_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT e.event_type, e.value,
+         CAST(e.event_id AS VARCHAR) || ':' || CAST(g.r AS VARCHAR) AS seed
+  FROM events e CROSS JOIN unnest(generate_series(0, 31)) AS g(r)
+),
+drawn AS (
+  SELECT event_type, value, seed,
+         {_qe37_sql_k("greatest(CAST(CAST(('0x' || substr(md5(seed), 1, 15)) AS BIGINT) AS DOUBLE) / POWER(2.0, 60), POWER(2.0, -60))")} AS k,
+         CAST(split_part(seed, ':', 2) AS BIGINT) AS r
+  FROM reps
+),
+rmeans AS (
+  SELECT event_type, r,
+         ROUND(CAST(SUM(k * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(SUM(k) AS BIGINT), 6) + 0 AS mean_r
+  FROM drawn GROUP BY event_type, r
+  HAVING SUM(k) > 0
+),
+ranked AS (
+  SELECT event_type, mean_r,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_r, r) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_reps
+  FROM rmeans
+),
+ci AS (
+  SELECT event_type, n_reps,
+         MAX(CASE WHEN rn = 2 THEN mean_r END) AS ci_lo,
+         MAX(CASE WHEN rn = n_reps - 1 THEN mean_r END) AS ci_hi
+  FROM ranked GROUP BY event_type, n_reps
+),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*), 6) + 0 AS mean_value
+  FROM events GROUP BY event_type
+)
+SELECT pt.event_type, pt.n_events, pt.mean_value,
+       ci.ci_lo, ci.ci_hi, ci.n_reps
+FROM pt JOIN ci USING (event_type)
+ORDER BY pt.event_type
+""",
+)
+def qe37(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the per-type mean
+    event value: 32 resampling replicas where each row's multiplicity
+    in replica r is an independent Poisson(1) draw — the bootstrap
+    formulation that needs NO global resample (each row decides its
+    own counts locally, so it distributes over any partitioning;
+    the classic streaming/bootstrap-at-scale recipe). The interval is
+    the 2nd/(n−1)th order statistics of the replica means (≈94%
+    trimmed interval) — the registry's first RESAMPLING-based
+    uncertainty estimate (qe08/qe16 bound sketch error; this bounds
+    estimator error).
+
+    Determinism/cross-engine: the Poisson draw is content-addressed —
+    u = md5₆₀(event_id ':' replica)/2⁶⁰ (qc15's bit-identical uniform)
+    pushed through a CASE ladder of shared CDF literals — so both
+    engines draw the SAME counts; replica sums are exact
+    (BIGINT count × DECIMAL value), each mean divides once, and the
+    order statistics rank rounded means with the replica id as
+    tiebreak. Shape at scale: one fan-out map (×32 rows — or a
+    grouped k-vector per row to avoid it), one aggregation to
+    (type, replica), then bounded windows over 32-row groups."""
+    ev = t(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_type",
+        "value",
+        F.col("event_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).select(
+        "event_type",
+        "value",
+        "r",
+        F.concat_ws(":", F.col("event_id"), F.col("r")).alias("seed"),
+    )
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.col("seed")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(2**60)),
+        F.lit(2.0 ** -60),
+    )
+    k = F.lit(6)
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < float(_POIS1_CDF[kk]), F.lit(kk)).otherwise(k)
+    drawn = reps.select("event_type", "r", k.alias("k"), money("value").alias("v"))
+    rmeans = (
+        drawn.groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("k") * F.col("v")).alias("s"),
+            F.sum("k").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select(
+            "event_type",
+            "r",
+            (
+                F.round(F.col("s").cast("double") / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("mean_r"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("mean_r", "r")
+    wc = W.partitionBy("event_type")
+    ranked = rmeans.select(
+        "event_type",
+        "mean_r",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_reps"),
+    )
+    ci = ranked.groupBy("event_type", "n_reps").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_r"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n_reps") - 1, F.col("mean_r"))
+        ).alias("ci_hi"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.round(
+                F.sum(money("value")).cast("double") / F.count("*"), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_value"),
+    )
+    return (
+        pt.join(F.broadcast(ci), "event_type")
+        .select(
+            "event_type", "n_events", "mean_value", "ci_lo", "ci_hi", "n_reps"
+        )
+        .orderBy("event_type")
+    )

@@ -79,6 +79,7 @@ SAMPLE = [
     "qe36_variance_decomposition",
     "qc19_k_anonymity",
     "qt20_bpe_merges",
+    "qe37_bootstrap_ci",
 ]
 
 

@@ -391,3 +391,17 @@ def test_qt20_bpe_merges_hand_trace(spark, tmp_path, queries):
         (2, "a b", "ab", 3, 2, 5),
         (3, "aa ab", "aaab", 2, 2, 3),
     ], out
+
+
+def test_qe37_bootstrap_interval_brackets_the_mean(spark, sf_dir, queries):
+    """With 32 Poisson replicas over thousands of rows the trimmed
+    interval must be proper (lo < hi), bracket the point estimate,
+    and be narrow relative to the mean's magnitude."""
+    rows = queries["qe37_bootstrap_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_reps == 32, r
+        assert r.ci_lo < r.ci_hi, r
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+        half_width = (r.ci_hi - r.ci_lo) / 2
+        assert half_width < 0.5 * abs(r.mean_value) + 1.0, r
