@@ -139,9 +139,16 @@ def test_dirty_text_documents_survive_text_dedup_operators(spark, tmp_path):
         "qd01_exact_dedup",
         "qd14_duplicate_spans",
         "qd16_remove_duplicate_spans",
+        "qt19_bm25_retrieval",
+        "qt20_bpe_merges",
+        "qd17_similarity_triangles",
+        "qc19_k_anonymity",
     ):
         out = qs[qname](spark, sf).collect()
         assert isinstance(out, list), qname
     # the duplicated pair (docs 6/7) must still be found amid the dirt
     spans = {r["doc_id"] for r in qs["qd14_duplicate_spans"](spark, sf).collect()}
     assert {6, 7} <= spans
+    # BPE must learn merges from the clean tokens despite the dirt
+    merges = qs["qt20_bpe_merges"](spark, sf).collect()
+    assert [m.step for m in merges] == [1, 2, 3]
