@@ -11,7 +11,6 @@ import datetime as dt
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.plans import registry
 
