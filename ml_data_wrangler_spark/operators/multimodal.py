@@ -223,3 +223,112 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
         (row * patch).cast("long").alias("y0"),
         F.xxhash64(F.col("content"), F.col("patch_idx")).alias("patch_token"),
     )
+
+
+AHASH_SCHEMA = (
+    "media_id long, n_bytes long, hash_hi long, hash_lo long, "
+    "band0 long, band1 long, band2 long, band3 long"
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over image blobs — the media
+    dedup signature (a resize/re-encode of the same picture keeps a
+    near-identical hash, so Hamming distance finds visual near-dups
+    the byte-level content_hash misses). Pipeline shape is identical
+    to a real pHash deployment: mapInPandas decodes each blob (stub:
+    the raw bytes ARE the luma surface), pools it to a 64-cell grid,
+    and thresholds each cell against the global mean.
+
+    The bit rule is EXACT integer arithmetic — cell_sum·n >
+    total_sum·cell_len avoids ever forming a float mean — so the
+    DuckDB oracle reproduces every bit from the same bytes and the
+    whole Arrow UDF is hash-verified (qx06). Cells follow
+    np.array_split semantics: first (n mod 64) cells get one extra
+    byte. The 64 bits pack into two 32-bit halves (hash_hi keeps bits
+    32-63) plus four 16-bit bands for pigeonhole LSH blocking."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_bytes": [], "hash_hi": [], "hash_lo": [],
+                "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = b"" if content is None else bytes(content)
+                n = len(data)
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                total = int(arr.sum())
+                bits = []
+                for b in range(64):
+                    if n == 0:
+                        bits.append(0)
+                        continue
+                    q, r = divmod(n, 64)
+                    ln = q + (1 if b < r else 0)
+                    st = b * q + min(b, r)
+                    cs = int(arr[st : st + ln].sum())
+                    bits.append(1 if ln > 0 and cs * n > total * ln else 0)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(n)
+                out["hash_lo"].append(sum(bits[b] << b for b in range(32)))
+                out["hash_hi"].append(
+                    sum(bits[b] << (b - 32) for b in range(32, 64))
+                )
+                for k in range(4):
+                    out[f"band{k}"].append(
+                        sum(bits[16 * k + j] << j for j in range(16))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_hamming_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-dup image pairs by Hamming distance over aHash signatures,
+    via pigeonhole banding: distance ≤ 3 over 4 bands forces at least
+    one band to match exactly, so candidates come from equi-joins on
+    (band index, band value) — never an all-pairs scan — and only
+    candidates pay the popcount verification (qd04's blocking scheme
+    on the media axis)."""
+    bands = hashes.select(
+        "media_id",
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"), F.col(f"band{k}").alias("v")
+                )
+                for k in range(4)
+            ])
+        ).alias("b"),
+    ).select("media_id", "hash_hi", "hash_lo", "b.k", "b.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.hash_hi").alias("ha_hi"),
+            F.col("a.hash_lo").alias("ha_lo"),
+            F.col("b.hash_hi").alias("hb_hi"),
+            F.col("b.hash_lo").alias("hb_lo"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(
+        F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))
+    ) + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
+    return (
+        cand.select("id_a", "id_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+        .orderBy("id_a", "id_b")
+    )

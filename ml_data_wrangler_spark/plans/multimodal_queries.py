@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ml_data_wrangler_spark.operators.multimodal import extract_features
+from ml_data_wrangler_spark.operators.multimodal import extract_features, image_ahash
 from ml_data_wrangler_spark.plans._util import t
 from ml_data_wrangler_spark.plans.registry import query
 
@@ -225,4 +225,114 @@ def qx05(spark, sf_dir):
     )
     return patches.select(
         "media_id", "patch_idx", "grid_row", "grid_col", "x0", "y0"
+    )
+
+
+@query(
+    "qx06_image_ahash",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+tot AS (
+  SELECT media_id, text, n,
+         COALESCE(list_sum(list_transform(
+           range(1, n + 1), i -> ord(substr(text, CAST(i AS INT), 1)))), 0)
+           AS total
+  FROM m
+),
+cells AS (
+  SELECT media_id, n, total, b,
+         (n // 64) + CASE WHEN b < (n % 64) THEN 1 ELSE 0 END AS ln,
+         COALESCE(list_sum(list_transform(
+           range(b * (n // 64) + least(b, n % 64) + 1,
+                 b * (n // 64) + least(b, n % 64) + 1
+                 + (n // 64) + CASE WHEN b < (n % 64) THEN 1 ELSE 0 END),
+           i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS cs
+  FROM tot, unnest(generate_series(0, 63)) AS g(b)
+),
+bits AS (
+  SELECT media_id, n, b,
+         CASE WHEN ln > 0 AND cs * n > total * ln THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+h AS (
+  SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+         CAST(SUM(CASE WHEN b >= 32 THEN bit * CAST(power(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(SUM(CASE WHEN b < 32 THEN bit * CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_lo,
+         CAST(SUM(CASE WHEN b // 16 = 0 THEN bit * CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS band0,
+         CAST(SUM(CASE WHEN b // 16 = 1 THEN bit * CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS band1,
+         CAST(SUM(CASE WHEN b // 16 = 2 THEN bit * CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS band2,
+         CAST(SUM(CASE WHEN b // 16 = 3 THEN bit * CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS band3
+  FROM bits GROUP BY media_id
+),
+bl AS (
+  SELECT media_id, 0 AS k, band0 AS v FROM h
+  UNION ALL SELECT media_id, 1, band1 FROM h
+  UNION ALL SELECT media_id, 2, band2 FROM h
+  UNION ALL SELECT media_id, 3, band3 FROM h
+),
+buckets AS (
+  SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c FROM bl GROUP BY k, v
+),
+coll AS (
+  SELECT bl.media_id, CAST(SUM(buckets.c - 1) AS BIGINT) AS n_band_collisions
+  FROM bl JOIN buckets USING (k, v) GROUP BY bl.media_id
+)
+SELECT h.media_id, h.n_bytes, h.hash_hi, h.hash_lo,
+       h.band0, h.band1, h.band2, h.band3,
+       coll.n_band_collisions
+FROM h JOIN coll USING (media_id)
+ORDER BY h.media_id
+""",
+)
+def qx06(spark, sf_dir):
+    """Perceptual average-hash signatures for every image blob plus
+    each image's pigeonhole-band collision count — the media-dedup
+    signature pipeline (visual near-dups survive re-encodes that
+    break byte-level hashes; qd04 is this mechanism on text, qx06
+    puts it on the binary column through the Arrow UDF). The
+    collision count is the candidate-generation fan-in of the banded
+    LSH join (`operators.multimodal.ahash_hamming_pairs`), surfaced
+    per image so the gate pins the blocking arithmetic, not just the
+    signature.
+
+    ORACLE-CHECKED end to end: the bit rule cell_sum·n > total·len is
+    pure integer arithmetic over the blob bytes, so DuckDB reproduces
+    all 64 bits, both 32-bit packed halves, all four 16-bit bands,
+    and the bucket-size collision sums — hash-verifying the entire
+    mapInPandas computation. Shape at scale: hashing is a map-only
+    Arrow pass (no shuffle, blobs never leave executors); the
+    collision count is one groupBy over the 4·|images| band rows."""
+    hashes = image_ahash(synth_media(spark, sf_dir))
+    bl = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), F.col(f"band{k}").alias("v"))
+                for k in range(4)
+            ])
+        ).alias("b"),
+    ).select("media_id", "b.k", "b.v")
+    buckets = bl.groupBy("k", "v").agg(F.count("*").alias("c"))
+    coll = (
+        bl.join(buckets, ["k", "v"])
+        .groupBy("media_id")
+        .agg(F.sum(F.col("c") - 1).alias("n_band_collisions"))
+    )
+    return (
+        hashes.join(coll, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            "hash_hi",
+            "hash_lo",
+            "band0",
+            "band1",
+            "band2",
+            "band3",
+            "n_band_collisions",
+        )
+        .orderBy("media_id")
     )

@@ -80,6 +80,7 @@ SAMPLE = [
     "qc19_k_anonymity",
     "qt20_bpe_merges",
     "qe37_bootstrap_ci",
+    "qx06_image_ahash",
 ]
 
 

@@ -404,3 +404,60 @@ def test_qe37_bootstrap_interval_brackets_the_mean(spark, sf_dir, queries):
         assert r.ci_lo <= r.mean_value <= r.ci_hi, r
         half_width = (r.ci_hi - r.ci_lo) / 2
         assert half_width < 0.5 * abs(r.mean_value) + 1.0, r
+
+
+def test_qx06_ahash_hamming_semantics(spark):
+    """Engineered blobs: a verbatim copy collides at distance 0; a
+    blob with exactly two luma cells inverted lands at distance 2; an
+    inverted blob is far beyond the threshold."""
+    from ml_data_wrangler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_hamming_pairs,
+        image_ahash,
+    )
+
+    base = bytes([0] * 64 + [255] * 64)  # cells 0-31 dark, 32-63 bright
+    two_flipped = bytes([255] * 4 + [0] * 60 + [255] * 60 + [0] * 4)
+    inverted = bytes([255] * 64 + [0] * 64)
+    meta = (64, 64, 16000, 0, "synthetic")
+    media = spark.createDataFrame(
+        [
+            (1, "image", base, meta),
+            (2, "image", base, meta),
+            (3, "image", two_flipped, meta),
+            (4, "image", inverted, meta),
+            (5, "audio", base, meta),  # non-image: excluded
+        ],
+        MEDIA_SCHEMA,
+    )
+    hashes = image_ahash(media)
+    rows = {r.media_id: r for r in hashes.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].hash_hi, rows[1].hash_lo) == (rows[2].hash_hi, rows[2].hash_lo)
+    # base: bits 32-63 set → hash_hi all ones, hash_lo zero
+    assert rows[1].hash_lo == 0 and rows[1].hash_hi == 2**32 - 1
+    # two_flipped: cells 0,1 bright and 62,63 dark
+    assert rows[3].hash_lo == 0b11
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ahash_hamming_pairs(hashes, max_distance=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 4  # two cells flipped at each end
+    assert (1, 4) not in pairs  # inverted: distance 64
+
+
+def test_qx06_collision_counts_match_bucket_sizes(spark, sf_dir, queries):
+    rows = queries["qx06_image_ahash"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    buckets = Counter()
+    for r in rows:
+        for k in range(4):
+            buckets[(k, getattr(r, f"band{k}"))] += 1
+    for r in rows:
+        expect = sum(
+            buckets[(k, getattr(r, f"band{k}"))] - 1 for k in range(4)
+        )
+        assert r.n_band_collisions == expect, r
