@@ -1225,3 +1225,100 @@ def qc19(spark, sf_dir):
         )
         .orderBy("lang", "source", "size_bucket")
     )
+
+
+@query(
+    "qc20_table_profile",
+    oracle="""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         CAST(n_chars AS VARCHAR) AS n_chars
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+SELECT u.col_name, n.n_rows,
+       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+       CAST(u.n_distinct AS BIGINT) AS n_distinct,
+       u.min_val, u.max_val,
+       CASE WHEN n.n_rows = 0 THEN 0.0
+            ELSE ROUND(CAST(u.n_distinct AS DOUBLE) / n.n_rows, 6) + 0
+       END AS distinct_ratio
+FROM (
+  SELECT 'doc_id' AS col_name, COUNT(*) - COUNT(doc_id) AS n_nulls,
+         COUNT(DISTINCT doc_id) AS n_distinct,
+         MIN(doc_id) AS min_val, MAX(doc_id) AS max_val FROM t
+  UNION ALL
+  SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+         MIN(lang), MAX(lang) FROM t
+  UNION ALL
+  SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+         MIN(n_chars), MAX(n_chars) FROM t
+  UNION ALL
+  SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+         MIN(source), MAX(source) FROM t
+  UNION ALL
+  SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+         MIN(text), MAX(text) FROM t
+) u, n
+ORDER BY u.col_name
+""",
+)
+def qc20(spark, sf_dir):
+    """Table profile — the dataset-card / discovery stage of a corpus
+    pipeline: one row per column with null count, exact distinct
+    count, lexicographic min/max (every value canonicalized to its
+    string form so the profile has ONE schema regardless of column
+    types), and the distinct ratio that flags key candidates vs
+    low-cardinality enums. qe18's contract runner CHECKS declared
+    expectations; this PRODUCES the statistics you write those
+    expectations from.
+
+    Shape at scale: one pass per profiled relation — Spark computes
+    all five columns' aggregates in a single wide aggregation over
+    the string-canonicalized projection, then unpivots the 1×(5·4)
+    aggregate row to the long format with ``stack`` (the unpivot
+    operator appears nowhere else in the registry); the oracle
+    mirrors it as a UNION of per-column aggregates, which DuckDB
+    likewise folds into one scan. Exact integer counts; string
+    min/max compare binary-identically on both engines (ASCII
+    corpus); the only double is the final ratio."""
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    t_ = t(spark, sf_dir, "documents").select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = t_.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    long = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    )
+    return long.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("distinct_ratio"),
+    ).orderBy("col_name")

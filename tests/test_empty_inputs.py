@@ -81,6 +81,7 @@ SAMPLE = [
     "qt20_bpe_merges",
     "qe37_bootstrap_ci",
     "qx06_image_ahash",
+    "qc20_table_profile",
 ]
 
 

@@ -461,3 +461,23 @@ def test_qx06_collision_counts_match_bucket_sizes(spark, sf_dir, queries):
             buckets[(k, getattr(r, f"band{k}"))] - 1 for k in range(4)
         )
         assert r.n_band_collisions == expect, r
+
+
+def test_qc20_profile_matches_hand_fixture(spark, tmp_path, queries):
+    rows = [
+        (0, "alpha", "en", "web", 5),
+        (1, None, "en", "web", 0),
+        (2, "beta", "de", "book", 4),
+        (3, "alpha", None, "web", 5),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    out = {
+        r.col_name: r
+        for r in queries["qc20_table_profile"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["text"].n_nulls, out["text"].n_distinct) == (1, 2)
+    assert (out["lang"].n_nulls, out["lang"].n_distinct) == (1, 2)
+    assert out["doc_id"].n_distinct == 4 and out["doc_id"].distinct_ratio == 1.0
+    assert (out["source"].min_val, out["source"].max_val) == ("book", "web")
