@@ -89,8 +89,29 @@ def global_row_number(
         "_gr_pid", F.spark_partition_id()
     )
     local_w = W.partitionBy("_gr_pid").orderBy(*order)
-    local = parts.withColumn("_gr_local", F.row_number().over(local_w))
-    counts = local.groupBy("_gr_pid").agg(F.count("*").alias("_gr_cnt"))
+    # localCheckpoint is REQUIRED for correctness, not just plan
+    # hygiene: `local` is consumed by two plan branches (the ranked
+    # rows and the per-partition counts that become offsets). Without
+    # materialization each branch holds its own copy of the
+    # repartitionByRange exchange, and RangePartitioner seeds its
+    # boundary sampling with the RDD id — two plan copies get two
+    # DIFFERENT sampled boundaries whenever Catalyst fails to reuse
+    # the exchange (observed: adding payload columns changed pruning
+    # enough to kill ReusedExchange and the "global" rank stopped
+    # being a permutation). Checkpointing pins ONE set of boundaries
+    # that both branches provably share.
+    local = parts.withColumn(
+        "_gr_local", F.row_number().over(local_w)
+    ).localCheckpoint()
+    # counts is consumed twice by the triangular self-join below; the
+    # checkpoint (<= #partitions rows, trivial) pins the ONE full-data
+    # aggregation pass instead of relying on AQE exchange reuse, which
+    # the `local` checkpoint above demonstrably breaks.
+    counts = (
+        local.groupBy("_gr_pid")
+        .agg(F.count("*").alias("_gr_cnt"))
+        .localCheckpoint()
+    )
     x, y = counts.alias("x"), counts.alias("y")
     offsets = (
         x.join(F.broadcast(y), F.lit(True))

@@ -1322,3 +1322,78 @@ def qc20(spark, sf_dir):
         )
         .alias("distinct_ratio"),
     ).orderBy("col_name")
+
+
+@query(
+    "qc21_snapshot_diff",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, text, {_SQL_BUCKET} AS bucket FROM documents
+),
+v1 AS (
+  SELECT doc_id, source, md5(text) AS h FROM b WHERE bucket < 240
+),
+v2 AS (
+  SELECT doc_id, source, md5(substr(text, 1, 256)) AS h
+  FROM b WHERE bucket >= 16
+),
+diff AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def qc21(spark, sf_dir):
+    """Dataset snapshot diff — the version-regression audit a corpus
+    release runs before replacing last month's training set: v1 is
+    the previous snapshot (hash-bucket bands 0-239 of the crawl), v2
+    is the new one (bands 16-255 — the oldest segment rotated out,
+    a fresh segment rotated in) built with a cleaning change (a
+    256-char document budget introduced between versions). Rows are
+    matched by key and compared by CONTENT HASH, so the report
+    separates membership churn (added / removed) from silent content
+    drift (changed) — the class of regression row counts alone
+    cannot see.
+
+    Scale shape: one equi full-outer join hash-partitioned on
+    doc_id (no skew — keys are unique per side), md5 computed once
+    per side during the scan projection, then a groupBy onto the
+    tiny (source x status) grid. Pure string/integer ops; no doubles
+    anywhere. At 100 TB this is the same two-scan + one-shuffle cost
+    as the dedup fingerprint pass."""
+    b = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    v1 = b.where(F.col("bucket") < 240).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.md5("text").alias("h1"),
+    )
+    v2 = b.where(F.col("bucket") >= 16).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.md5(F.substring("text", 1, 256)).alias("h2"),
+    )
+    diff = v1.join(v2, F.col("id1") == F.col("id2"), "full_outer").select(
+        F.coalesce("src1", "src2").alias("source"),
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )

@@ -2607,3 +2607,87 @@ def qe37(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qe38_churn_hazard",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS first_day,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS last_day
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT first_day, last_day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY first_day, last_day
+),
+d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+sums AS (
+  SELECT d.day,
+         CAST(SUM(CASE WHEN g.first_day <= d.day AND g.last_day >= d.day
+                       THEN g.n ELSE 0 END) AS BIGINT) AS n_at_risk,
+         CAST(SUM(CASE WHEN g.last_day = d.day THEN g.n ELSE 0 END)
+              AS BIGINT) AS n_churned
+  FROM d CROSS JOIN g
+  GROUP BY d.day
+)
+SELECT day, n_at_risk, n_churned,
+       ROUND(CAST(n_churned AS DOUBLE) / n_at_risk, 6) + 0 AS hazard
+FROM sums
+ORDER BY day
+""",
+)
+def qe38(spark, sf_dir):
+    """Discrete-time churn hazard (survival analysis over the event
+    log): for each observed day d, the risk set is every user whose
+    activity span covers d (first_day <= d <= last_day) and the
+    hazard is the share of that risk set whose LAST event falls on d.
+    qe27's growth accounting counts day-over-day state transitions;
+    this is the survival-curve view a retention model is trained on
+    — per-day conditional churn probability with its exact risk-set
+    denominator.
+
+    Scale shape: the naive formulation explodes events x days; here
+    users collapse to an activity-span grid grouped by (first_day,
+    last_day) — at most |days|^2 rows no matter how many users — and
+    the day table (bounded by the calendar) cross-joins the
+    BROADCAST grid, so after the two groupBys nothing large moves.
+    Every day observed in the log has >= 1 user at risk (the user
+    who produced the day's events), so the hazard division is safe.
+    Integer counts end to end; the single double is rounded and
+    signed-zero-guarded on both engines."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
+    )
+    g = u.groupBy("first_day", "last_day").agg(F.count("*").alias("n"))
+    d = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    sums = (
+        d.crossJoin(F.broadcast(g))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("first_day") <= F.col("day"))
+                    & (F.col("last_day") >= F.col("day")),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("last_day") == F.col("day"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_churned"),
+        )
+    )
+    return sums.select(
+        "day",
+        "n_at_risk",
+        "n_churned",
+        (
+            F.round(F.col("n_churned").cast("double") / F.col("n_at_risk"), 6)
+            + F.lit(0.0)
+        ).alias("hazard"),
+    ).orderBy("day")

@@ -1422,3 +1422,140 @@ def qm19(spark, sf_dir):
         .otherwise(r2)
         .alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "qm20_price_binning_woe",
+    oracle="""
+WITH ranked AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)),
+                    l_orderkey, l_linenumber
+         ) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+binned AS (
+  SELECT ((rn - 1) * 10) // n AS bin, bad FROM ranked
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(bad) AS BIGINT) AS n_bad,
+         CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_bad) AS BIGINT) AS t_bad,
+         CAST(SUM(n_good) AS BIGINT) AS t_good
+  FROM per_bin
+),
+woe AS (
+  SELECT bin, n_rows, n_bad, n_good,
+         ROUND(CAST(n_bad AS DOUBLE) / n_rows, 6) + 0 AS bad_rate,
+         CASE WHEN n_bad = 0 OR n_good = 0 THEN 0.0
+              ELSE ROUND(ln((CAST(n_bad AS DOUBLE) / t_bad)
+                            / (CAST(n_good AS DOUBLE) / t_good)), 6) + 0
+         END AS woe
+  FROM per_bin CROSS JOIN tot
+)
+SELECT bin, n_rows, n_bad, n_good, bad_rate, woe,
+       CASE WHEN n_bad = 0 OR n_good = 0 THEN 0.0
+            ELSE ROUND((CAST(n_bad AS DOUBLE) / (SELECT t_bad FROM tot)
+                        - CAST(n_good AS DOUBLE) / (SELECT t_good FROM tot))
+                       * woe, 6) + 0
+       END AS iv_term
+FROM woe
+ORDER BY bin
+""",
+)
+def qm20(spark, sf_dir):
+    """Equal-frequency feature binning with Weight-of-Evidence — the
+    credit-scoring-style discretization step of a feature-engineering
+    pipeline: decile-bin l_extendedprice by EXACT global rank, label
+    each line item bad/good by return flag, and report per-bin WoE
+    ln((bad_i/bad_tot)/(good_i/good_tot)) plus its Information-Value
+    term. qm06 computes quantile EDGES; this assigns every row to its
+    quantile BIN and measures the target association per bin — the
+    supervised-discretization complement.
+
+    Scale shape: the global decile rank goes through
+    _util.global_row_number (range-partition + per-partition
+    row_number + triangular broadcast offsets — never an
+    unpartitioned window), then one groupBy onto the 10-row bin grid
+    and a broadcast of the 1-row totals. Bin assignment
+    floor((rn-1)*k/n) is pure integer arithmetic (DuckDB `//` ==
+    Spark `div`), so the cut points are identical on both engines by
+    construction — no float quantile edges to disagree about. The
+    ln() is computed over ratios of exact integers and rounded with
+    the signed-zero guard; degenerate all-good/all-bad bins are
+    CASE-guarded to 0.0 on both engines."""
+    from ml_data_wrangler_spark.plans._util import global_row_number, money
+
+    li = t(spark, sf_dir, "lineitem").select(
+        money("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bad"),
+    )
+    ranked = global_row_number(
+        li,
+        F.col("price"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        out="rn",
+        n_out="n",
+    )
+    binned = ranked.select(
+        F.expr("((rn - 1) * 10) div n").alias("bin"), "bad"
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bad").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).alias("n_good"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_bad").alias("t_bad"), F.sum("n_good").alias("t_good")
+    )
+    degenerate = (F.col("n_bad") == 0) | (F.col("n_good") == 0)
+    woe = (
+        F.round(
+            F.log(
+                (F.col("n_bad").cast("double") / F.col("t_bad"))
+                / (F.col("n_good").cast("double") / F.col("t_good"))
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            "n_bad",
+            "n_good",
+            (
+                F.round(F.col("n_bad").cast("double") / F.col("n_rows"), 6)
+                + F.lit(0.0)
+            ).alias("bad_rate"),
+            F.when(degenerate, F.lit(0.0)).otherwise(woe).alias("woe"),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (
+                        F.col("n_bad").cast("double") / F.col("t_bad")
+                        - F.col("n_good").cast("double") / F.col("t_good")
+                    )
+                    * (F.when(degenerate, F.lit(0.0)).otherwise(woe)),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

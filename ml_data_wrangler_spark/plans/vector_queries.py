@@ -1427,3 +1427,210 @@ def qv20(spark, sf_dir):
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+@query(
+    "qv21_mmr_rerank",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 20 = 0),
+cand AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROUND(sim * 1e6) AS BIGINT) AS sim_u
+  FROM (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) DESC, c.vec_id
+           ) AS rk
+    FROM q JOIN c ON c.vec_id <> q.query_id
+  ) WHERE rk <= 10
+),
+cv AS (
+  SELECT cand.query_id, cand.neighbor_id, c.v
+  FROM cand JOIN c ON c.vec_id = cand.neighbor_id
+),
+pair AS (
+  SELECT a.query_id, a.neighbor_id, b.neighbor_id AS sel,
+         CAST(ROUND(ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) * 1e6)
+              AS BIGINT) AS psim_u
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id AS sel, sim AS rel,
+         sim_u * 10 AS score_u
+  FROM cand
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim_u DESC, neighbor_id) = 1
+),
+rem1 AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.sim, cand.sim_u,
+         p.psim_u AS ms_u
+  FROM cand
+  JOIN s1 ON cand.query_id = s1.query_id AND cand.neighbor_id <> s1.sel
+  JOIN pair p ON p.query_id = cand.query_id
+             AND p.neighbor_id = cand.neighbor_id AND p.sel = s1.sel
+),
+s2 AS (
+  SELECT query_id, neighbor_id AS sel, sim AS rel,
+         7 * sim_u - 3 * ms_u AS score_u
+  FROM rem1
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY 7 * sim_u - 3 * ms_u DESC, neighbor_id) = 1
+),
+rem2 AS (
+  SELECT r.query_id, r.neighbor_id, r.sim, r.sim_u,
+         greatest(r.ms_u, p.psim_u) AS ms_u
+  FROM rem1 r
+  JOIN s2 ON r.query_id = s2.query_id AND r.neighbor_id <> s2.sel
+  JOIN pair p ON p.query_id = r.query_id
+             AND p.neighbor_id = r.neighbor_id AND p.sel = s2.sel
+),
+s3 AS (
+  SELECT query_id, neighbor_id AS sel, sim AS rel,
+         7 * sim_u - 3 * ms_u AS score_u
+  FROM rem2
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY 7 * sim_u - 3 * ms_u DESC, neighbor_id) = 1
+)
+SELECT query_id, sel AS selected_id, CAST(1 AS BIGINT) AS mmr_rank,
+       rel, score_u AS mmr_score_e7 FROM s1
+UNION ALL
+SELECT query_id, sel, CAST(2 AS BIGINT), rel, score_u FROM s2
+UNION ALL
+SELECT query_id, sel, CAST(3 AS BIGINT), rel, score_u FROM s3
+ORDER BY query_id, mmr_rank
+""",
+)
+def qv21(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking — the diversified top-k a
+    RAG/retrieval curation stage runs AFTER similarity scoring so the
+    k results aren't k near-copies of each other: greedily select 3
+    of each query's top-10 cosine candidates maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-selected
+    (Carbonell & Goldstein's MMR with lambda = 0.7). The greedy
+    recurrence is unrolled into three relational steps (the same
+    discipline as qv17/qm16's exact iterative duals), each an argmax
+    over a per-query window on INTEGER micro-unit scores — sims are
+    quantized to 1e-6 units up front and the MMR score kept as the
+    exact bigint 7·sim_u − 3·ms_u in 1e-7 units (qv13's idiom), so
+    the greedy trajectory AND the reported score are bit-identical
+    on both engines with no float combination anywhere.
+
+    Scale shape: candidate generation is the broadcast brute-force
+    scorer (any ANN path drops in); everything after it touches only
+    |Q|·k rows and |Q|·k² candidate pairs — k is a small constant, so
+    the re-rank cost is independent of corpus size. All windows are
+    partitioned by query_id; no global window, no driver loop."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    mmr_queries = emb.where(F.col("vec_id") % 20 == 0)
+    cand = brute_force_topk(emb, mmr_queries, k=10).select(
+        F.col("query_id").alias("qid"),
+        "neighbor_id",
+        "sim",
+        F.round(F.col("sim") * 1e6).cast("long").alias("sim_u"),
+    )
+    cv = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nvec"),
+        ),
+        "neighbor_id",
+    )
+    pa = cv.select(
+        "qid", F.col("neighbor_id").alias("mna"), F.col("nvec").alias("av")
+    )
+    pb = cv.select(
+        "qid", F.col("neighbor_id").alias("mnb"), F.col("nvec").alias("bv")
+    )
+    # pair sims keyed (qid, neighbor_id, sel) so each greedy step can
+    # look up sim(candidate, just-selected) with a plain equi join.
+    pair = (
+        pa.join(pb, "qid")
+        .where(F.col("mna") != F.col("mnb"))
+        .select(
+            "qid",
+            F.col("mna").alias("neighbor_id"),
+            F.col("mnb").alias("sel"),
+            F.round(
+                F.round(cosine_similarity(F.col("av"), F.col("bv")), 6) * 1e6
+            )
+            .cast("long")
+            .alias("psim_u"),
+        )
+    )
+
+    def argmax(df, order_cols):
+        w = W.partitionBy("qid").orderBy(*order_cols)
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    s1 = argmax(cand, [F.desc("sim_u"), F.col("neighbor_id")]).select(
+        "qid",
+        F.col("neighbor_id").alias("sel"),
+        F.col("sim").alias("rel"),
+        (F.col("sim_u") * 10).alias("score_u"),
+    )
+    rem1 = (
+        cand.join(s1.select("qid", "sel"), "qid")
+        .where(F.col("neighbor_id") != F.col("sel"))
+        .join(pair, ["qid", "neighbor_id", "sel"])
+        .select(
+            "qid", "neighbor_id", "sim", "sim_u", F.col("psim_u").alias("ms_u")
+        )
+    )
+    score_u = 7 * F.col("sim_u") - 3 * F.col("ms_u")
+    s2 = argmax(
+        rem1.withColumn("score_u", score_u),
+        [F.desc(score_u), F.col("neighbor_id")],
+    ).select(
+        "qid",
+        F.col("neighbor_id").alias("sel"),
+        F.col("sim").alias("rel"),
+        "score_u",
+    )
+    rem2 = (
+        rem1.withColumnRenamed("ms_u", "ms_prev")
+        .join(s2.select("qid", "sel"), "qid")
+        .where(F.col("neighbor_id") != F.col("sel"))
+        .join(pair, ["qid", "neighbor_id", "sel"])
+        .select(
+            "qid",
+            "neighbor_id",
+            "sim",
+            "sim_u",
+            F.greatest(F.col("ms_prev"), F.col("psim_u")).alias("ms_u"),
+        )
+    )
+    s3 = argmax(
+        rem2.withColumn("score_u", score_u),
+        [F.desc(score_u), F.col("neighbor_id")],
+    ).select(
+        "qid",
+        F.col("neighbor_id").alias("sel"),
+        F.col("sim").alias("rel"),
+        "score_u",
+    )
+
+    def out(df, rank):
+        return df.select(
+            F.col("qid").alias("query_id"),
+            F.col("sel").alias("selected_id"),
+            F.lit(rank).cast("long").alias("mmr_rank"),
+            "rel",
+            F.col("score_u").alias("mmr_score_e7"),
+        )
+
+    out1, out2, out3 = out(s1, 1), out(s2, 2), out(s3, 3)
+    return out1.unionByName(out2).unionByName(out3).orderBy(
+        "query_id", "mmr_rank"
+    )

