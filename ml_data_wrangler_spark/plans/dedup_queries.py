@@ -1080,3 +1080,87 @@ def qd17(spark, sf_dir):
         .orderBy(F.desc("triangles"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "qd18_incremental_dedup",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 256 AS bucket
+  FROM documents
+),
+corpus_fp AS (SELECT DISTINCT fp FROM b WHERE bucket < 240),
+batch AS (SELECT doc_id, source, fp FROM b WHERE bucket >= 240),
+keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper_id FROM batch GROUP BY fp
+),
+flagged AS (
+  SELECT batch.source,
+         CASE WHEN corpus_fp.fp IS NOT NULL THEN 'dup_vs_corpus'
+              WHEN batch.doc_id > k.keeper_id THEN 'dup_in_batch'
+              ELSE 'accepted' END AS status
+  FROM batch
+  LEFT JOIN corpus_fp ON batch.fp = corpus_fp.fp
+  JOIN keepers k ON batch.fp = k.fp
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM flagged GROUP BY source, status
+ORDER BY source, status
+""",
+)
+def qd18(spark, sf_dir):
+    """Incremental (batch-vs-corpus) dedup — the ingestion-time path a
+    live corpus runs on every arriving crawl segment, where qd01's
+    global groupBy is the wrong shape because the existing corpus must
+    not be reshuffled per batch. The arriving batch (hash-bucket bands
+    240-255, ~6% of docs) is admitted against the corpus (bands
+    0-239) in two stages with an explicit verdict per document:
+    ``dup_vs_corpus`` (fingerprint already known to the corpus),
+    ``dup_in_batch`` (new fingerprint but not the batch's min-doc_id
+    keeper), ``accepted``.
+
+    Scale shape: only the (small) batch is hash-partitioned on
+    fingerprint; the corpus contributes one DISTINCT-fingerprint
+    relation consumed via an equi left join — at 100 TB that relation
+    is the persisted fingerprint index of the corpus (or a Bloom
+    filter prefilter ahead of it), NOT a rescan, and per-segment cost
+    is O(|batch|) + one index probe join. Keeper election is a
+    groupBy-min on the batch alone (qd01's policy). Counts only;
+    no doubles anywhere."""
+    b = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 256
+        ).alias("bucket"),
+    )
+    corpus_fp = (
+        b.where(F.col("bucket") < 240)
+        .select("fp")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = b.where(F.col("bucket") >= 240).select("doc_id", "source", "fp")
+    keepers = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    flagged = (
+        batch.join(corpus_fp, "fp", "left")
+        .join(keepers, "fp")
+        .select(
+            "source",
+            F.when(F.col("in_corpus").isNotNull(), F.lit("dup_vs_corpus"))
+            .when(F.col("doc_id") > F.col("keeper_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
+    )
+    return (
+        flagged.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )

@@ -1559,3 +1559,103 @@ def qm20(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "qm21_target_encoding",
+    oracle="""
+WITH base AS (
+  SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS category,
+         (l_orderkey + l_linenumber) % 5 AS fold,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem
+),
+cf AS (
+  SELECT category, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM base GROUP BY category, fold
+),
+cat AS (
+  SELECT category,
+         CAST(SUM(n_rows) AS BIGINT) AS cat_n,
+         CAST(SUM(n_bad) AS BIGINT) AS cat_bad
+  FROM cf GROUP BY category
+),
+pri AS (
+  SELECT ROUND(CAST(SUM(n_bad) AS DOUBLE) / SUM(n_rows), 6) AS prior
+  FROM cf
+)
+SELECT cf.category, cf.fold, cf.n_rows, cf.n_bad,
+       ROUND((CAST(cat.cat_bad - cf.n_bad AS DOUBLE) + 20 * pri.prior)
+             / (CAST(cat.cat_n - cf.n_rows AS DOUBLE) + 20), 6) + 0
+         AS oof_encoding
+FROM cf
+JOIN cat ON cf.category = cat.category
+CROSS JOIN pri
+ORDER BY cf.category, cf.fold
+""",
+)
+def qm21(spark, sf_dir):
+    """K-fold leakage-free target encoding — the categorical feature
+    transform a tabular-ML pipeline fits WITHOUT letting a row see its
+    own label: ship month (a 12-level categorical) is encoded against
+    the return-rate target,
+    and each fold's encoding is computed from the OTHER four folds
+    only ((cat_bad − fold_bad)/(cat_n − fold_n)), smoothed toward the
+    global prior with m=20 pseudo-counts so rare category×fold cells
+    don't overfit. Fold assignment (l_orderkey + l_linenumber) % 5 is
+    pure integer arithmetic — identical on both engines by
+    construction, like qm20's bin cuts.
+
+    Scale shape: one partial-aggregated groupBy onto the
+    |categories|×K grid; the per-category totals and the 1-row global
+    prior are broadcast back onto that grid, so after the single
+    shuffle nothing larger than |categories|×K rows moves. The
+    encoding table is what ships to training — this query IS the fit
+    artifact. All counts exact integers; the prior is round-6
+    quantized before entering the smoothing arithmetic so both
+    engines combine identical doubles in identical order."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").cast("long").alias("category"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 5).alias("fold"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bad"),
+    )
+    cf = li.groupBy("category", "fold").agg(
+        F.count("*").alias("n_rows"), F.sum("bad").alias("n_bad")
+    )
+    cat = cf.groupBy("category").agg(
+        F.sum("n_rows").alias("cat_n"), F.sum("n_bad").alias("cat_bad")
+    )
+    glob = cf.agg(
+        F.round(
+            F.sum("n_bad").cast("double") / F.sum("n_rows"), 6
+        ).alias("prior")
+    )
+    return (
+        cf.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "fold",
+            "n_rows",
+            "n_bad",
+            (
+                F.round(
+                    (
+                        (F.col("cat_bad") - F.col("n_bad")).cast("double")
+                        + 20 * F.col("prior")
+                    )
+                    / (
+                        (F.col("cat_n") - F.col("n_rows")).cast("double")
+                        + F.lit(20)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("oof_encoding"),
+        )
+        .orderBy("category", "fold")
+    )

@@ -1634,3 +1634,114 @@ def qv21(spark, sf_dir):
     return out1.unionByName(out2).unionByName(out3).orderBy(
         "query_id", "mmr_rank"
     )
+
+
+@query(
+    "qv22_hard_negatives",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS ql, v AS qv FROM c WHERE vec_id % 20 = 0
+),
+scored AS (
+  SELECT query_id, ql, c.vec_id AS neighbor_id, c.label AS nl,
+         ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim,
+         CAST(ROUND(ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) * 1e6)
+              AS BIGINT) AS sim_u
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+pos AS (
+  SELECT query_id, sim_u AS pos_u FROM scored WHERE nl = ql
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim_u DESC, neighbor_id) = 1
+),
+negs AS (
+  SELECT query_id, ql, neighbor_id, nl, sim, sim_u,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim_u DESC, neighbor_id
+         ) AS BIGINT) AS neg_rank
+  FROM scored WHERE nl <> ql
+  QUALIFY neg_rank <= 5
+)
+SELECT n.query_id, n.ql AS query_label, n.neighbor_id,
+       n.nl AS neighbor_label, n.sim, n.neg_rank,
+       p.pos_u - n.sim_u AS margin_e6
+FROM negs n JOIN pos p ON n.query_id = p.query_id
+ORDER BY n.query_id, n.neg_rank
+""",
+)
+def qv22(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data a
+    retrieval/embedding fine-tune is built from: for each query in the
+    5% sample, the 5 most-similar corpus vectors with a DIFFERENT
+    label (the negatives hardest to separate), each reported with its
+    margin below the query's best same-label positive. Ranking and
+    the margin both run on 1e-6-quantized integer sims (qv13/qv21's
+    idiom), so trajectory and output are bit-identical on both
+    engines; queries whose label has no other member (no positive
+    exists) drop out of the mined set on both engines via the inner
+    join.
+
+    Scale shape: ONE broadcast scoring pass over the corpus (same
+    cost as qv01 — any ANN path drops in as the scorer), then two
+    windows partitioned by query_id over the scored rows and a
+    broadcast join of the |Q|-row positives. Nothing beyond
+    O(|Q|·k) rows moves after scoring."""
+    from ml_data_wrangler_spark.functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nl"),
+        F.col("embedding").alias("cvec"),
+        l2_norm(F.col("embedding")).alias("cnorm"),
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        6,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "ql",
+        "neighbor_id",
+        "nl",
+        sim.alias("sim"),
+        F.round(sim * 1e6).cast("long").alias("sim_u"),
+    )
+    wpos = W.partitionBy("query_id").orderBy(
+        F.desc("sim_u"), F.col("neighbor_id")
+    )
+    pos = (
+        scored.where(F.col("nl") == F.col("ql"))
+        .withColumn("_rk", F.row_number().over(wpos))
+        .where(F.col("_rk") == 1)
+        .select("query_id", F.col("sim_u").alias("pos_u"))
+    )
+    negs = (
+        scored.where(F.col("nl") != F.col("ql"))
+        .withColumn("neg_rank", F.row_number().over(wpos).cast("long"))
+        .where(F.col("neg_rank") <= 5)
+    )
+    return (
+        negs.join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            F.col("ql").alias("query_label"),
+            "neighbor_id",
+            F.col("nl").alias("neighbor_label"),
+            "sim",
+            "neg_rank",
+            (F.col("pos_u") - F.col("sim_u")).alias("margin_e6"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
