@@ -79,7 +79,7 @@ _GATE_LATE = frozenset(
         "qc16", "qv18", "qt18", "qs11", "qm18", "qd16", "qc17", "qe30", "qe31", "qe32", "qv19",
         "qe33", "qe34", "qm19", "qc18", "qt19", "qv20", "qe35",
         "qd17", "qe36", "qc19", "qt20", "qe37", "qx06", "qc20",
-        "qc21", "qe38", "qm20", "qv21", "qd18", "qm21", "qv22",
+        "qc21", "qe38", "qm20", "qv21", "qd18", "qm21", "qv22", "qx07",
     ]
 )
 

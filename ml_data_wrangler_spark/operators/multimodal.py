@@ -332,3 +332,57 @@ def ahash_hamming_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_distance)
         .orderBy("id_a", "id_b")
     )
+
+
+def video_frame_stats(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-frame luma statistics for scene-cut detection: sample each
+    video on the ``every_ms`` grid, map each sampled timestamp to its
+    proportional byte window of the blob (chunk_audio's uncompressed
+    mapping), and emit the window's EXACT integer byte sum + length —
+    the sufficient statistics for frame-difference scene-change
+    detection downstream (|Δmean| thresholds compare as pure
+    cross-multiplied integers, so the cut decision is engine-exact).
+
+    Arrow mapInPandas, map-only: blobs never leave their executor,
+    only O(frames) stat rows (5 longs each) come out. A real decoder
+    (the stub note in _decode_stub applies) would swap the byte
+    window for a decoded luma plane behind the same output schema."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("f_sum", T.LongType()),
+            T.StructField("f_len", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms", "f_sum", "f_len")}
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                data = b"" if content is None else bytes(content)
+                n = len(data)
+                dur = int(dur) if dur is not None else 0
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                # inclusive sequence(0, max(dur-1,0), every_ms) — qx02's grid
+                for idx, ts in enumerate(range(0, max(dur - 1, 0) + 1, every_ms)):
+                    if dur > 0:
+                        s = ts * n // dur
+                        e = min((ts + every_ms) * n // dur, n)
+                    else:
+                        s = e = 0
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["f_sum"].append(int(arr[s:e].sum()) if e > s else 0)
+                    rows["f_len"].append(e - s)
+            yield pd.DataFrame(rows)
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(run, schema=out_schema)

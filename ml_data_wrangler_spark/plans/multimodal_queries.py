@@ -336,3 +336,108 @@ def qx06(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "qx07_video_scene_cuts",
+    oracle="""
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text) ) AS n,
+         CAST(n_chars * 10 AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT media_id, text, n, dur,
+         unnest(generate_series(0, CAST(greatest(dur - 1, 0) AS BIGINT), 1000)) AS ts
+  FROM v
+),
+feat AS (
+  SELECT media_id, ts,
+         CASE WHEN dur > 0 THEN (ts * n) // dur ELSE 0 END AS s,
+         CASE WHEN dur > 0 THEN least(((ts + 1000) * n) // dur, n) ELSE 0 END AS e,
+         text
+  FROM fr
+),
+sums AS (
+  SELECT media_id, ts, CAST(e - s AS BIGINT) AS f_len,
+         CASE WHEN e > s
+              THEN CAST(list_sum(list_transform(range(CAST(s + 1 AS BIGINT), CAST(e + 1 AS BIGINT)),
+                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS f_sum
+  FROM feat
+),
+lagd AS (
+  SELECT media_id, ts, f_sum, f_len,
+         LAG(f_sum) OVER w AS p_sum, LAG(f_len) OVER w AS p_len
+  FROM sums WINDOW w AS (PARTITION BY media_id ORDER BY ts)
+),
+cuts AS (
+  SELECT media_id, ts,
+         CASE WHEN p_sum IS NULL OR f_len = 0 OR p_len = 0 THEN FALSE
+              WHEN ABS(f_sum * p_len - p_sum * f_len) >= 5 * f_len * p_len
+              THEN TRUE ELSE FALSE END AS is_cut
+  FROM lagd
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN is_cut THEN ts END), -1) AS BIGINT)
+         AS first_cut_ts_ms
+FROM cuts GROUP BY media_id
+ORDER BY media_id
+""",
+)
+def qx07(spark, sf_dir):
+    """Video scene-cut detection by frame differencing — the temporal
+    media operator a video-curation pipeline runs to segment footage
+    before captioning/sampling: sample frames on the 1 s grid (qx02's
+    plumbing), reduce each frame to its exact integer luma sufficient
+    statistics through ONE Arrow mapInPandas pass
+    (operators.multimodal.video_frame_stats), then flag a cut wherever
+    the mean-luma jump between consecutive frames is ≥ 5 byte units.
+    The threshold comparison is cross-multiplied integers
+    (|f_sum·p_len − p_sum·f_len| ≥ 5·f_len·p_len) — no float mean is
+    ever formed, so the cut trajectory is engine-exact and the whole
+    UDF output is hash-verified by the oracle, qx06's discipline on a
+    WINDOWED (lag) computation rather than a global one.
+
+    Scale shape: the Arrow pass is map-only (blobs never shuffle;
+    only 5-long stat rows come out, O(total video seconds) of them);
+    the lag window and the per-video rollup both partition by
+    media_id. A real codec drops in behind video_frame_stats' schema
+    without touching this plan."""
+    from pyspark.sql import Window as W
+
+    from ml_data_wrangler_spark.operators.multimodal import video_frame_stats
+
+    st = video_frame_stats(synth_media(spark, sf_dir))
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    lagd = st.withColumn("p_sum", F.lag("f_sum").over(w)).withColumn(
+        "p_len", F.lag("f_len").over(w)
+    )
+    is_cut = (
+        F.col("p_sum").isNotNull()
+        & (F.col("f_len") > 0)
+        & (F.col("p_len") > 0)
+        & (
+            F.abs(
+                F.col("f_sum") * F.col("p_len") - F.col("p_sum") * F.col("f_len")
+            )
+            >= 5 * F.col("f_len") * F.col("p_len")
+        )
+    )
+    cuts = lagd.select(
+        "media_id", "frame_ts_ms", is_cut.alias("is_cut")
+    )
+    return (
+        cuts.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("is_cut"), F.col("frame_ts_ms"))), F.lit(-1)
+            ).alias("first_cut_ts_ms"),
+        )
+        .orderBy("media_id")
+    )

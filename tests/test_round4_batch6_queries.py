@@ -135,3 +135,18 @@ def test_qv22_negatives_cross_label_and_margin_monotone(
         # sim non-increasing with rank → margin non-decreasing
         margins = [r.margin_e6 for r in negs]
         assert margins == sorted(margins), (qid, margins)
+
+
+def test_qx07_scene_cuts_invariants(spark, sf_dir, queries):
+    rows = queries["qx07_video_scene_cuts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_cuts <= max(r.n_frames - 1, 0), r
+        # first_cut sentinel agrees with the cut count
+        assert (r.first_cut_ts_ms == -1) == (r.n_cuts == 0), r
+    # frame grid identical to qx02's (same sampling plumbing)
+    grid = queries["qx02_video_frame_grid"](spark, sf_dir).collect()
+    per_video = {}
+    for g in grid:
+        per_video[g.media_id] = per_video.get(g.media_id, 0) + 1
+    assert {r.media_id: r.n_frames for r in rows} == per_video
