@@ -82,6 +82,14 @@ SAMPLE = [
     "qe37_bootstrap_ci",
     "qx06_image_ahash",
     "qc20_table_profile",
+    "qc21_snapshot_diff",
+    "qe38_churn_hazard",
+    "qm20_price_binning_woe",
+    "qm21_target_encoding",
+    "qv21_mmr_rerank",
+    "qv22_hard_negatives",
+    "qd18_incremental_dedup",
+    "qx07_video_scene_cuts",
 ]
 
 
