@@ -153,6 +153,8 @@ def test_dirty_text_documents_survive_text_dedup_operators(spark, tmp_path):
         "qt20_bpe_merges",
         "qd17_similarity_triangles",
         "qc19_k_anonymity",
+        "qc21_snapshot_diff",
+        "qd18_incremental_dedup",
     ):
         out = qs[qname](spark, sf).collect()
         assert isinstance(out, list), qname
@@ -162,3 +164,9 @@ def test_dirty_text_documents_survive_text_dedup_operators(spark, tmp_path):
     # BPE must learn merges from the clean tokens despite the dirt
     merges = qs["qt20_bpe_merges"](spark, sf).collect()
     assert [m.step for m in merges] == [1, 2, 3]
+    # incremental dedup must classify every doc that routes to the
+    # batch bands without crashing on NULL/empty fingerprints
+    inc = qs["qd18_incremental_dedup"](spark, sf).collect()
+    assert all(
+        r.status in {"dup_vs_corpus", "dup_in_batch", "accepted"} for r in inc
+    )
