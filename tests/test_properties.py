@@ -562,3 +562,34 @@ def test_rrf_bounds_and_dominance(tr, vr):
     both_first = 2 / 61
     if tr is None or vr is None:
         assert rrf < both_first
+
+
+def test_global_row_number_survives_branched_consumption(spark):
+    """Regression for the round-4 boundary-determinism bug: consuming
+    the distributed rank through a SECOND aggregation branch (qm20's
+    bin-grid + totals cross-join shape) used to kill AQE exchange
+    reuse, letting the two plan copies of the repartitionByRange
+    sample DIFFERENT split points (RangePartitioner seeds by RDD id)
+    — the 'global' rank stopped being a permutation and downstream
+    equal-frequency bins went uneven. The localCheckpoint in
+    _util.global_row_number pins one set of boundaries; this test
+    reproduces the consumption shape that exposed the bug."""
+    from ml_data_wrangler_spark.plans._util import global_row_number
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id")) % 1000000).alias("k"),
+        "id",
+        *[(F.col("id") * (i + 1)).alias(f"payload{i}") for i in range(6)],
+    )
+    ranked = global_row_number(df, F.col("k"), F.col("id"), out="rn", n_out="n")
+    binned = ranked.select(F.expr("((rn - 1) * 10) div n").alias("bin"))
+    per = binned.groupBy("bin").count()
+    tot = per.agg(F.sum("count").alias("t"))
+    rows = per.crossJoin(F.broadcast(tot)).collect()
+    sizes = sorted(r["count"] for r in rows)
+    assert len(sizes) == 10
+    assert sum(sizes) == n
+    assert all(r["t"] == n for r in rows)
+    # a true permutation rank yields bins differing by at most 1
+    assert max(sizes) - min(sizes) <= 1, sizes
