@@ -80,6 +80,7 @@ _GATE_LATE = frozenset(
         "qe33", "qe34", "qm19", "qc18", "qt19", "qv20", "qe35",
         "qd17", "qe36", "qc19", "qt20", "qe37", "qx06", "qc20",
         "qc21", "qe38", "qm20", "qv21", "qd18", "qm21", "qv22", "qx07",
+        "qe39",
     ]
 )
 

@@ -2691,3 +2691,84 @@ def qe38(spark, sf_dir):
             + F.lit(0.0)
         ).alias("hazard"),
     ).orderBy("day")
+
+
+@query(
+    "qe39_seasonal_backtest",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM events GROUP BY event_type, day
+),
+scored AS (
+  SELECT cur.event_type, cur.vol AS actual, prev.vol AS forecast,
+         ABS(cur.vol - prev.vol) AS abs_err
+  FROM d cur JOIN d prev
+    ON cur.event_type = prev.event_type AND cur.day = prev.day + 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(actual) AS BIGINT) AS total_actual,
+       CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+       ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) + 0 AS mae,
+       ROUND(CAST(SUM(abs_err) AS DOUBLE) / SUM(actual), 6) + 0 AS wape
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def qe39(spark, sf_dir):
+    """Seasonal-naive forecast backtest — the evaluation loop a volume
+    forecasting model is judged against: predict each day's per-type
+    event volume with the same weekday one week earlier (the
+    seasonal-naive baseline every published forecast must beat) and
+    score MAE and WAPE per event type over every day that has a
+    7-day-back observation. qm19 FITS a trend and qe34 ranks trending
+    types; this closes the loop with the error measurement itself,
+    and the seasonal-naive errors it reports are the denominators a
+    MASE computation would feed on.
+
+    Scale shape: one groupBy to the (type, day) grid — bounded by
+    |types|·|days| regardless of event volume — then a self equi
+    join ON day = prev_day + 7 (exact calendar semantics; a lag-7
+    ROW window would silently misalign across gaps) and a rollup to
+    |types| rows. Numerators are exact integer |error| sums; the two
+    divisions are round-6 with the signed-zero guard, and actual > 0
+    by construction (a scored day has >= 1 event)."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("vol"))
+    cur = d.select(
+        "event_type", "day", F.col("vol").alias("actual")
+    )
+    prev = d.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("vol").alias("forecast"),
+    )
+    scored = cur.join(prev, ["event_type", "day"]).select(
+        "event_type",
+        "actual",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("actual").alias("total_actual"),
+            F.sum("abs_err").alias("total_abs_err"),
+            (
+                F.round(F.sum("abs_err").cast("double") / F.count("*"), 6)
+                + F.lit(0.0)
+            ).alias("mae"),
+            (
+                F.round(
+                    F.sum("abs_err").cast("double") / F.sum("actual"), 6
+                )
+                + F.lit(0.0)
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )

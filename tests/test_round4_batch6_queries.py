@@ -150,3 +150,23 @@ def test_qx07_scene_cuts_invariants(spark, sf_dir, queries):
     for g in grid:
         per_video[g.media_id] = per_video.get(g.media_id, 0) + 1
     assert {r.media_id: r.n_frames for r in rows} == per_video
+
+
+def test_qe39_backtest_scores_bounded(spark, sf_dir, queries):
+    rows = queries["qe39_seasonal_backtest"](spark, sf_dir).collect()
+    assert rows
+    import datetime as dt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    span = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    ).collect()[0]
+    n_days = (span.hi - span.lo).days + 1
+    for r in rows:
+        assert r.n_scored <= max(n_days - 7, 0), r
+        assert r.mae >= 0.0 and r.wape >= 0.0, r
+        # WAPE numerator/denominator consistency
+        assert abs(r.wape - round(r.total_abs_err / r.total_actual, 6)) < 1e-9
