@@ -41,18 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # snapshots ~50 queries per round in registration order). Listing them
 # lets queries() order NEVER-YET-GATED queries first, so the union of
 # per-round gate files converges on full coverage of the registry
-# (144+ queries as of round 4). Union of CORRECTNESS_r01/r02/r03.
-# Deliberately EXCLUDED so they re-gate under their round-4 forms:
-# qm05 (array output crashed the driver canon — now a joined string),
-# qd03/qd04/qv06 (rows-only in r03 — now oracle-pinned bounded-error
-# forms).
+# (213 queries as of round 5). Union of CORRECTNESS_r01/r02/r03/r04
+# (r04 folded at the start of round 5, per the round-4 verdict item 1:
+# 49 hash-PASS + qv07 rows-only-by-design, zero failures).
 _GATED_PASS = frozenset(
     # r01 ∪ r02
     [f"q{i:02d}" for i in range(1, 33)]
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
     + ["qj01", "qj02", "qj03"]
     + [f"qw{i:02d}" for i in range(1, 9)]
-    # r03 (minus qm05 — see above)
+    # r03
     + [f"qc{i:02d}" for i in range(1, 7)]
     + ["qd01", "qd02", "qd06", "qd07", "qd08"]
     + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
@@ -61,26 +59,30 @@ _GATED_PASS = frozenset(
     + [f"qt{i:02d}" for i in range(1, 8)]
     + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
     + [f"qx{i:02d}" for i in range(1, 6)]
+    # r04 (CORRECTNESS_r04.json: 49 hash-PASS + qv07 rows-only)
+    + ["q33", "qw09"]
+    + [f"qc{i:02d}" for i in range(7, 15)]  # qc11 unused (dupe removed)
+    + ["qd03", "qd04", "qd05", "qd09", "qd10", "qd11"]
+    + [f"qe{i:02d}" for i in range(8, 21)]
+    + [f"qm{i:02d}" for i in range(5, 13)]
+    + ["qs07"]
+    + [f"qt{i:02d}" for i in range(8, 16)]
+    + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
 )
 
 
-# Queries added AFTER the round-4 priority set was sized to exactly
-# one ~50-query driver snapshot. They are never-gated too, but queue
-# BEHIND the priority set so late additions can't displace a
-# priority re-gate out of this round's snapshot; once the round-4
-# correctness file folds into _GATED_PASS next round, these become
-# the front of the line automatically.
-_GATE_LATE = frozenset(
+# The 22 never-driver-gated queries the round-4 JUDGE spot-verified at
+# sf0.01 (0 failures / 22, every one an oracle hash-match — VERDICT.md
+# round 4). They still need a driver gate eventually, but they queue
+# BEHIND the 44 queries with zero external verification so the ~50-slot
+# r05 snapshot maximizes first-time coverage: 44 fresh + ~6 of these,
+# leaving ≤16 never-driver-gated names, all of which carry judge
+# evidence.
+_JUDGE_VERIFIED = frozenset(
     [
-        "qe21", "qs08", "qv13", "qd12", "qe22", "qd13", "qc15", "qg07",
-        "qv14", "qt16", "qj05", "qd14", "qv15", "qs09", "qm13", "qm14",
-        "qv16", "qt17", "qg08", "qe24", "qe25", "qj06", "q34", "qw11",
-        "qe27", "qv17", "qs10", "qd15", "qm16", "qe28", "qe29", "qm17",
-        "qc16", "qv18", "qt18", "qs11", "qm18", "qd16", "qc17", "qe30", "qe31", "qe32", "qv19",
-        "qe33", "qe34", "qm19", "qc18", "qt19", "qv20", "qe35",
-        "qd17", "qe36", "qc19", "qt20", "qe37", "qx06", "qc20",
-        "qc21", "qe38", "qm20", "qv21", "qd18", "qm21", "qv22", "qx07",
-        "qe39",
+        "q34", "qw11", "qg08", "qj06", "qe22", "qe33", "qe37", "qe39",
+        "qs09", "qs11", "qv17", "qv20", "qv22", "qd15", "qd17", "qc19",
+        "qc21", "qt19", "qt20", "qm16", "qm20", "qx07",
     ]
 )
 
@@ -90,16 +92,17 @@ def _short(name: str) -> str:
 
 
 def _gate_order(names: list[str]) -> list[str]:
-    """Never-gated queries first (family-interleaved by the registry),
-    late additions after them, previously-gated ones last."""
+    """Never-externally-verified queries first (family-interleaved by
+    the registry), judge-spot-verified-but-never-driver-gated ones
+    after them, driver-gated ones last."""
     fresh = [
         n
         for n in names
-        if _short(n) not in _GATED_PASS and _short(n) not in _GATE_LATE
+        if _short(n) not in _GATED_PASS and _short(n) not in _JUDGE_VERIFIED
     ]
-    late = [n for n in names if _short(n) in _GATE_LATE]
+    judge = [n for n in names if _short(n) in _JUDGE_VERIFIED]
     seen = [n for n in names if _short(n) in _GATED_PASS]
-    return fresh + late + seen
+    return fresh + judge + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -81,6 +81,20 @@ def global_row_number(
     The caller must pass a TOTAL order (include a tiebreak column) for
     a deterministic result. When ``n_out`` is given, the total row
     count is attached under that name (needed for percent_rank/ntile).
+
+    Tradeoffs of the localCheckpoint below (deliberate):
+
+      * EAGER: calling this helper executes Spark jobs at
+        query-CONSTRUCTION time (the checkpoint materializes
+        immediately), so callers are exempt from any
+        construction-time-lazy assumption — tests exempt them via
+        ``_EAGER_CONSTRUCT``.
+      * NOT FAULT-TOLERANT: localCheckpoint blocks live on executors
+        and are lost on executor failure (unlike reliable
+        checkpoints). On a real cluster with a configured checkpoint
+        dir, swap ``localCheckpoint()`` for ``checkpoint()`` if the
+        job must survive executor loss; for this harness (single-JVM
+        local mode) the local variant is strictly better.
     """
     from pyspark.sql import Window as W
 

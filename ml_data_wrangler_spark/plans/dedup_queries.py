@@ -1099,12 +1099,13 @@ keepers AS (
 ),
 flagged AS (
   SELECT batch.source,
-         CASE WHEN corpus_fp.fp IS NOT NULL THEN 'dup_vs_corpus'
+         CASE WHEN batch.fp IS NULL THEN 'unfingerprintable'
+              WHEN corpus_fp.fp IS NOT NULL THEN 'dup_vs_corpus'
               WHEN batch.doc_id > k.keeper_id THEN 'dup_in_batch'
               ELSE 'accepted' END AS status
   FROM batch
   LEFT JOIN corpus_fp ON batch.fp = corpus_fp.fp
-  JOIN keepers k ON batch.fp = k.fp
+  LEFT JOIN keepers k ON batch.fp = k.fp
 )
 SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM flagged GROUP BY source, status
@@ -1120,7 +1121,11 @@ def qd18(spark, sf_dir):
     0-239) in two stages with an explicit verdict per document:
     ``dup_vs_corpus`` (fingerprint already known to the corpus),
     ``dup_in_batch`` (new fingerprint but not the batch's min-doc_id
-    keeper), ``accepted``.
+    keeper), ``accepted``, or ``unfingerprintable`` (NULL text →
+    NULL fingerprint; surfaced explicitly — both keeper/corpus joins
+    are LEFT joins, so per-source counts account for EVERY batch
+    document instead of silently dropping null-fp rows on the
+    keeper equi-join).
 
     Scale shape: only the (small) batch is hash-partitioned on
     fingerprint; the corpus contributes one DISTINCT-fingerprint
@@ -1150,10 +1155,11 @@ def qd18(spark, sf_dir):
     keepers = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
     flagged = (
         batch.join(corpus_fp, "fp", "left")
-        .join(keepers, "fp")
+        .join(keepers, "fp", "left")
         .select(
             "source",
-            F.when(F.col("in_corpus").isNotNull(), F.lit("dup_vs_corpus"))
+            F.when(F.col("fp").isNull(), F.lit("unfingerprintable"))
+            .when(F.col("in_corpus").isNotNull(), F.lit("dup_vs_corpus"))
             .when(F.col("doc_id") > F.col("keeper_id"), F.lit("dup_in_batch"))
             .otherwise(F.lit("accepted"))
             .alias("status"),

@@ -165,8 +165,39 @@ def test_dirty_text_documents_survive_text_dedup_operators(spark, tmp_path):
     merges = qs["qt20_bpe_merges"](spark, sf).collect()
     assert [m.step for m in merges] == [1, 2, 3]
     # incremental dedup must classify every doc that routes to the
-    # batch bands without crashing on NULL/empty fingerprints
+    # batch bands without crashing on NULL/empty fingerprints, and
+    # must account for ALL of them — NULL-text docs surface as
+    # 'unfingerprintable' instead of silently dropping on the keeper
+    # join
     inc = qs["qd18_incremental_dedup"](spark, sf).collect()
-    assert all(
-        r.status in {"dup_vs_corpus", "dup_in_batch", "accepted"} for r in inc
+    valid = {"dup_vs_corpus", "dup_in_batch", "accepted", "unfingerprintable"}
+    assert all(r.status in valid for r in inc)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 256
     )
+    n_batch = docs.where(bucket >= 240).count()
+    assert sum(r.n_docs for r in inc) == n_batch
+    # force the null-fp path deterministically: a corpus where EVERY
+    # doc routes nowhere special but the null-text doc is in the batch
+    # — rebuild with doc_ids chosen so doc 1 (NULL text) lands in a
+    # batch band
+    import hashlib
+    import itertools
+
+    null_batch_id = next(
+        i
+        for i in itertools.count(1)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 256 >= 240
+    )
+    rows2 = [(null_batch_id, None, "en", "s", 0), (null_batch_id + 10**6, "clean text here", "en", "s", 15)]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    docs2.write.parquet(os.path.join(sf2, "documents.parquet"))
+    inc2 = qs["qd18_incremental_dedup"](spark, sf2).collect()
+    by_status = {r.status: r.n_docs for r in inc2}
+    assert by_status.get("unfingerprintable", 0) >= 1

@@ -80,7 +80,7 @@ def test_qe38_hazard_bounds_and_churn_conservation(spark, sf_dir, queries):
 def test_qd18_verdicts_partition_the_batch(spark, sf_dir, queries):
     rows = queries["qd18_incremental_dedup"](spark, sf_dir).collect()
     assert rows
-    valid = {"dup_vs_corpus", "dup_in_batch", "accepted"}
+    valid = {"dup_vs_corpus", "dup_in_batch", "accepted", "unfingerprintable"}
     assert {r.status for r in rows} <= valid
     from pyspark.sql import functions as F
 
