@@ -392,6 +392,33 @@ def test_qt20_bpe_merges_hand_trace(spark, tmp_path, queries):
     ], out
 
 
+def test_qt20_bpe_merges_back_to_back_pair(spark, tmp_path, queries):
+    """Corpus {xyxy×2, zxy×1}: 'xyxy' holds BACK-TO-BACK occurrences
+    of the step-1 winning pair (x,y) — true one-pass BPE merges both
+    ([x,y,x,y] → [xy,xy]); a naive string REPLACE would merge only the
+    first (the shared delimiter is consumed by the first match),
+    leaving [xy,x,y] and a different trace from step 1 onward."""
+    _write_documents(
+        spark, str(tmp_path), [(0, "xyxy xyxy zxy", "en", "web", 13)]
+    )
+    out = [
+        (
+            r.step,
+            r.pair,
+            r.merged,
+            r.pair_count,
+            r.vocab_size_after,
+            r.corpus_symbols_after,
+        )
+        for r in queries["qt20_bpe_merges"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        (1, "x y", "xy", 5, 2, 6),
+        (2, "xy xy", "xyxy", 2, 3, 4),
+        (3, "z xy", "zxy", 1, 2, 3),
+    ], out
+
+
 def test_qe37_bootstrap_interval_brackets_the_mean(spark, sf_dir, queries):
     """With 32 Poisson replicas over thousands of rows the trimmed
     interval must be proper (lo < hi), bracket the point estimate,
