@@ -61,6 +61,18 @@ def dbl(c: Column) -> Column:
     return c.cast("double")
 
 
+def _range_partitioned(df: DataFrame, *order: Column) -> DataFrame:
+    """global_row_number's pre-checkpoint stage: range-partition on
+    the sort key and stamp the partition id. Exposed separately so the
+    plan-quality suite can assert RangePartitioning on the PHYSICAL
+    plan of this stage (the localCheckpoint in the caller hides it
+    behind an ExistingRDD scan in the final plan)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(parallelism, *order).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+
+
 def global_row_number(
     df: DataFrame, *order: Column, out: str = "rn", n_out: str | None = None
 ) -> DataFrame:
@@ -98,10 +110,7 @@ def global_row_number(
     """
     from pyspark.sql import Window as W
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(parallelism, *order).withColumn(
-        "_gr_pid", F.spark_partition_id()
-    )
+    parts = _range_partitioned(df, *order)
     local_w = W.partitionBy("_gr_pid").orderBy(*order)
     # localCheckpoint is REQUIRED for correctness, not just plan
     # hygiene: `local` is consumed by two plan branches (the ranked

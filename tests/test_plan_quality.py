@@ -200,11 +200,24 @@ def test_qw07_no_single_partition_window(spark, sf_dir, q):
     round-4 boundary-determinism fix, so it's asserted on the helper's
     pre-checkpoint stage rather than the final plan.)"""
     plan = _plan(q["qw07_order_percentile"](spark, sf_dir))
-    from ml_data_wrangler_spark.plans._util import global_row_number  # noqa: F401
-    import inspect
+    # The range partitioning sits behind global_row_number's
+    # localCheckpoint, invisible in the final plan — assert it on the
+    # PHYSICAL plan of the helper's pre-checkpoint stage instead of on
+    # source text (a source check would pass even if the behavior
+    # regressed).
+    from pyspark.sql import functions as F
 
-    src = inspect.getsource(global_row_number)
-    assert "repartitionByRange" in src  # the pre-checkpoint range sort
+    from ml_data_wrangler_spark.plans._util import _range_partitioned, t
+
+    pre = _range_partitioned(
+        t(spark, sf_dir, "orders"), F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    pre_plan = _plan(pre).lower()
+    assert "rangepartitioning" in pre_plan, (
+        "global_row_number's pre-checkpoint stage lost its range "
+        "partitioning"
+    )
+    assert "singlepartition" not in pre_plan
     for line in plan.splitlines():
         if "Window " in line and "windowspecdefinition" in line:
             # an unpartitioned window spec prints 'windowspecdefinition(ORDER'

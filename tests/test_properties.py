@@ -593,3 +593,51 @@ def test_global_row_number_survives_branched_consumption(spark):
     assert all(r["t"] == n for r in rows)
     # a true permutation rank yields bins differing by at most 1
     assert max(sizes) - min(sizes) <= 1, sizes
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    dom_pct=st.integers(min_value=0, max_value=100),
+    n_keys=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_row_number_permutation_under_adversarial_skew(
+    spark, n, dom_pct, n_keys, seed
+):
+    """global_row_number is correctness-critical shared infrastructure
+    (qw07/qw11/qt13/qe24) built on repartitionByRange, whose sampled
+    split points degenerate under skew: when dom_pct% of rows share
+    ONE sort-key value, most partitions receive that value and the
+    per-partition offsets must still compose an exact global order.
+    Property: for ANY skew profile the output rn column is a
+    permutation of 1..N AND equals the exact total order computed
+    driver-side (dup keys broken by the unique tiebreak)."""
+    from ml_data_wrangler_spark.plans._util import global_row_number
+
+    df = spark.range(n).select(
+        F.when(
+            (F.xxhash64(F.col("id"), F.lit(seed)) % 100) < dom_pct,
+            F.lit(0),
+        )
+        .otherwise(
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % n_keys) + 1
+        )
+        .alias("k"),
+        F.col("id").alias("uid"),
+    ).repartition(13)
+    got = [
+        (r["k"], r["uid"], r["rn"])
+        for r in global_row_number(
+            df, F.col("k"), F.col("uid"), out="rn"
+        ).collect()
+    ]
+    assert sorted(r[2] for r in got) == list(range(1, n + 1))  # permutation
+    by_rank = sorted(got, key=lambda r: r[2])
+    assert [(k, u) for k, u, _ in by_rank] == sorted(
+        (k, u) for k, u, _ in got
+    )  # exact total order
