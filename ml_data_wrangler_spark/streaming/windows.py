@@ -395,7 +395,7 @@ def stream_stream_left_outer_join(
 
 
 def foreach_batch_merge_state(
-    spark: SparkSession, src_dir: str, state_root: str
+    spark: SparkSession, src_dir: str, state_root: str, retain: int = 2
 ) -> DataFrame:
     """Incremental materialized view via ``foreachBatch`` — the
     production idiom for maintaining an upsert table from a stream
@@ -405,8 +405,19 @@ def foreach_batch_merge_state(
     generation — never overwriting the input of the read that
     produced it, so a failed batch leaves the previous generation
     intact and a replayed batch just rewrites its own generation
-    (idempotent by batch_id: the write path depends only on
-    (prev_state, batch), which availableNow replays identically).
+    (idempotent by batch_id: the merge input is always the newest
+    generation STRICTLY OLDER than the replayed batch's own id, so a
+    crash between the gen write and the checkpoint commit re-derives
+    gen_N from gen_{N-1} + batch N instead of double-counting batch N
+    into its own half-committed generation).
+
+    State stays BOUNDED across arbitrarily many micro-batches:
+    after each generation commits, generations older than its merge
+    input are dead (nothing can ever read them — a replay needs at
+    most gen_{N-1}) and are pruned, keeping ``retain`` generations on
+    disk. Disk footprint is therefore O(retain × |aggregate|),
+    independent of stream length; tests drive 20+ batches and assert
+    the plateau.
 
     The merged quantities are COMMUTATIVE MONOIDS — count, exact
     decimal sum, max of a (ts, event_id, payload) struct — so the
@@ -458,12 +469,25 @@ def foreach_batch_merge_state(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         gen = os.path.join(state_root, f"gen_{batch_id:05d}")
-        prev_gens = sorted(_glob.glob(os.path.join(state_root, "gen_*")))
+        # merge input: newest generation STRICTLY OLDER than this
+        # batch's own — a replayed batch must not merge into the
+        # half-committed generation it wrote before the crash
+        prev_gens = [
+            g
+            for g in sorted(_glob.glob(os.path.join(state_root, "gen_*")))
+            if os.path.basename(g) < os.path.basename(gen)
+        ]
         agg = batch_agg(batch_df)
         if prev_gens:
             prev = spark.read.parquet(prev_gens[-1])
             agg = merge(prev, agg)
         agg.write.mode("overwrite").parquet(gen)
+        # retention: once gen_N is committed, generations older than
+        # its merge input can never be read again (a replay of N needs
+        # gen_{N-1} at most) — prune to the newest `retain - 1` of
+        # them so state size plateaus instead of growing per batch
+        for dead in prev_gens[: -(retain - 1)] if retain > 1 else prev_gens:
+            shutil.rmtree(dead, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(schema)

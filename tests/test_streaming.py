@@ -254,3 +254,92 @@ def test_foreach_batch_merge_state_generations(spark, tmp_path):
         for r in spark.read.parquet(gens[0]).collect()
     }
     assert mid[7] == 1  # generation 0 saw only batch 0
+
+
+def test_foreach_batch_merge_state_bounded_across_many_generations(
+    spark, tmp_path
+):
+    """20+ micro-batches: the generational state must PLATEAU, not
+    grow per batch — after the run only the newest `retain`
+    generations exist on disk (dead generations are pruned as soon as
+    a newer one commits), and the survivors are exactly the
+    highest-numbered ones. The final state still equals the all-data
+    batch aggregate exactly (commutative-monoid merge), proving the
+    pruning never touched a generation the merge chain needed."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ml_data_wrangler_spark.streaming.windows import (
+        foreach_batch_merge_state,
+    )
+
+    n_batches = 21
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for i in range(n_batches):
+        rows = [
+            (
+                i * 10 + j,
+                t0 + dt.timedelta(hours=i, minutes=j),
+                (i + j) % 5,
+                ["view", "click", "purchase"][(i + j) % 3],
+                float(i) + j / 10.0,
+            )
+            for j in range(3)
+        ]
+        all_rows += rows
+        b = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        d = str(tmp_path / f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        [f] = glob.glob(os.path.join(d, "part-*.parquet"))
+        dst = os.path.join(src, f"e{i:03d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    state_root = str(tmp_path / "state")
+    state = foreach_batch_merge_state(spark, src, state_root)
+
+    # plateau: exactly the newest `retain`=2 generations survive
+    gens = sorted(
+        os.path.basename(g) for g in glob.glob(os.path.join(state_root, "gen_*"))
+    )
+    assert gens == [f"gen_{n_batches - 2:05d}", f"gen_{n_batches - 1:05d}"], gens
+
+    # exactness: final state == all-data batch aggregate
+    full = spark.createDataFrame(
+        all_rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    want = {
+        r["user_id"]: (
+            r["n"],
+            float(r["s"]),
+            r["last"]["event_type"],
+        )
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            float(r["sum_value"]),
+            r["last"]["event_type"],
+        )
+        for r in state.collect()
+    }
+    assert got == want
