@@ -60,3 +60,97 @@ def test_constraint_report_rejects_empty(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         constraint_report(df, {})
+
+
+def test_registry_has_no_undeclared_duplicate_queries():
+    """Mechanical registry-dedup guard (a round-4 continuation session
+    added four queries duplicating existing operators before
+    self-catching it — at 213 queries the README family table alone is
+    not enough). Two queries collide when they read the SAME table set
+    and produce the SAME output schema (column names + types, from a
+    DuckDB DESCRIBE of the oracle — planned, never executed). Every
+    collision must be declared in the allowlist below with its reason;
+    an undeclared collision fails this test and means either delete
+    the new query or document why the near-dual earns its slot."""
+    import re
+
+    import duckdb
+
+    from ml_data_wrangler_spark.plans import registry
+    from tests.oracle_harness import TESTDATA_TABLES
+
+    # Intentional duals: same relation shape, deliberately different
+    # algorithm, physical strategy, or execution mode (each group's
+    # docstrings explain). Every entry needs a reason.
+    ALLOWED_GROUPS = [
+        # count-based vs PPJoin prefix-filter candidate generation
+        {"qd02_ngram_jaccard_pairs", "qd06_prefix_jaccard_pairs"},
+        # JVM fold vs Arrow GEMM physical strategy (qv11 pins agreement)
+        {"qv01_knn_bruteforce", "qv07_knn_vectorized"},
+        # batch aggregate vs its Structured Streaming duals (tumbling
+        # window job / late-data watermark job) — the streaming runs
+        # are the point, the matching schema is the gate
+        {"qe01_hourly_by_type", "qs01_stream_tumbling_hourly", "qs09_stream_late_data"},
+        # batch debounce vs the applyInPandasWithState streaming run
+        {"qe20_event_debounce", "qs08_stream_debounce"},
+        # stream-stream inner vs LEFT OUTER join (different semantics,
+        # same projected schema)
+        {"qs06_stream_stream_join", "qs10_stream_outer_join"},
+        # greedy token-budget fill vs the dedup→budget pipeline
+        # composition (qc08 gates the composed path)
+        {"qc03_token_budget_fill", "qc08_dedup_budget_pipeline"},
+        # uncapped vs hot-block-capped tf-idf pair join (the cap is
+        # the scale path; same output contract)
+        {"qm09_tfidf_doc_pairs", "qm12_tfidf_pairs_capped"},
+        # exact vs tiered (MinHash-prefiltered) corpus-build CLI —
+        # the two CLI modes share one output contract by design
+        {"qc13_corpus_build", "qc14_corpus_build_tiered"},
+        # NB classifier on train split vs its holdout evaluation
+        {"qm14_nb_language_classifier", "qm17_nb_holdout_eval"},
+        # snapshot diff vs incremental dedup: both audit per-source
+        # (status, n_docs) but over different status vocabularies and
+        # different partitioning of the corpus
+        {"qc21_snapshot_diff", "qd18_incremental_dedup"},
+        # INTERSECT vs EXCEPT on the same projection — different set
+        # operator, schema-identical by construction
+        {"q27_nations_intersect", "q28_nations_except"},
+        # INTERSECT ALL vs EXCEPT ALL, same as above
+        {"q30_status_intersect_all", "q31_status_except_all"},
+    ]
+
+    con = duckdb.connect()
+    for t_name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t_name} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t_name}.parquet'"
+        )
+    table_re = re.compile(
+        r"\b(" + "|".join(TESTDATA_TABLES) + r")\b", re.IGNORECASE
+    )
+    oracles = registry.oracle_sql()
+    sigs: dict[tuple, list[str]] = {}
+    for name in registry.queries():
+        sql = oracles.get(name)
+        if sql is None:
+            # rows-only-by-design queries (model outputs, raw ANN
+            # streams) have no SQL to fingerprint; they are few and
+            # covered by the README family table review
+            continue
+        tables = frozenset(m.lower() for m in table_re.findall(sql))
+        schema = tuple(
+            (r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        )
+        sigs.setdefault((tables, schema), []).append(name)
+
+    undeclared = []
+    for group in sigs.values():
+        if len(group) < 2:
+            continue
+        if any(set(group) <= allowed for allowed in ALLOWED_GROUPS):
+            continue
+        undeclared.append(sorted(group))
+    assert not undeclared, (
+        "undeclared near-duplicate queries (same table set + output "
+        f"schema): {undeclared} — delete the duplicate or add an "
+        "allowlist entry with a reason"
+    )
