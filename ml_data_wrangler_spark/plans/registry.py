@@ -35,9 +35,12 @@ _QUERY_MODULES = (
     "ml_data_wrangler_spark.plans.window_queries",
     "ml_data_wrangler_spark.plans.grouping_queries",
     "ml_data_wrangler_spark.plans.events_queries",
+    "ml_data_wrangler_spark.plans.events_stats_queries",
+    "ml_data_wrangler_spark.plans.events_advanced_queries",
     "ml_data_wrangler_spark.plans.text_queries",
     "ml_data_wrangler_spark.plans.dedup_queries",
     "ml_data_wrangler_spark.plans.vector_queries",
+    "ml_data_wrangler_spark.plans.vector_ml_queries",
     "ml_data_wrangler_spark.plans.ml_queries",
     "ml_data_wrangler_spark.plans.multimodal_queries",
     "ml_data_wrangler_spark.plans.streaming_queries",

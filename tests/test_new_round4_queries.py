@@ -272,7 +272,7 @@ def test_qv17_lloyd_sse_nonincreasing(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from ml_data_wrangler_spark.plans._util import t as _t
-    from ml_data_wrangler_spark.plans.vector_queries import (
+    from ml_data_wrangler_spark.plans.vector_ml_queries import (
         _kmeans_assign,
         _kmeans_update,
     )
