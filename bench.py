@@ -1,8 +1,20 @@
 """Bench harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
-  {"metric": "suite_sec", "value": <total>, "unit": "sec",
+  {"metric": "suite_sec", "value": <tier-1 total>, "unit": "sec",
+   "tier2_sec": <tier-2 total>,
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Two tiers, each with its own same-box baseline in BASELINE.md:
+
+  * tier 1 (HEADLINE) — the original 24-query set, one per operator
+    family; ``value`` is its total, keeping the suite_sec lineage
+    comparable across rounds.
+  * tier 2 (HEAVY) — the heaviest round-4 additions (iterative
+    relational ML, triangle/wedge join, BPE, BM25/RRF retrieval),
+    added in round 5 so a perf regression there is visible;
+    ``tier2_sec`` is its total. Per-query timings for BOTH tiers are
+    in ``queries``.
 
 Per-query time = wall time of plan construction + full materialization
 (count-style action that forces every row). A JVM warm-up query runs
@@ -46,6 +58,21 @@ HEADLINE = [
     "qs01_stream_tumbling_hourly",
 ]
 
+# Tier 2: the heaviest post-round-3 operators — iterative trajectories
+# (PageRank, Lloyd k-means, PCA power iteration), the degree-ordered
+# wedge join, BPE vocabulary induction, and the BM25→RRF retrieval
+# stack. Tracked separately so regressions in the iterative/graph
+# paths are visible without perturbing the tier-1 lineage.
+HEAVY = [
+    "qe33_event_type_pagerank",
+    "qv17_lloyd_kmeans",
+    "qv18_pca_power_iteration",
+    "qd17_similarity_triangles",
+    "qt19_bm25_retrieval",
+    "qt20_bpe_merges",
+    "qv20_hybrid_rrf_fusion",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,7 +89,7 @@ def main() -> None:
     warm(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -70,13 +97,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
+    tier2 = round(sum(timings[n] for n in HEAVY), 3)
     print(
         json.dumps(
             {
                 "metric": "suite_sec",
                 "value": total,
                 "unit": "sec",
+                "tier2_sec": tier2,
                 "queries": timings,
                 "sf": sf,
             }
