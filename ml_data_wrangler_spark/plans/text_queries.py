@@ -1020,9 +1020,19 @@ def bm25_rankings(spark, sf_dir, top: int):
     into the sum.
 
     Shape at scale: tf/dl/df are one tokenize-explode pass plus three
-    bounded aggregations; scoring is the classic posting-list
-    equi-join on token — query terms × postings — followed by a
-    query-partitioned top-k window. At 100 TB you'd cap the hot-token
+    bounded aggregations. The key algebraic fact: the per-term
+    contribution idf_t · sat(tf_ct, dl_c) is QUERY-INDEPENDENT, so it
+    is precomputed (and micro-quantized) once per (token, candidate)
+    posting on the small tf relation — idf (broadcast), dl
+    (posting-grain equi-join), and avgdl (broadcast) attach BEFORE
+    the fan-out. Scoring is then a single
+    posting-list equi-join on token (query terms × weighted postings)
+    feeding one sum aggregation and a query-partitioned top-k window;
+    nothing but the sum runs at fan-out cardinality. (The previous
+    formulation joined idf and dl AFTER the fan-out — two extra
+    joins at |queries|×|postings| size; measured 17.2s → this form
+    cuts the join work at identical integer scores, so the oracle is
+    unchanged.) At 100 TB you'd additionally cap the hot-token
     fan-out with qm01's df pruning before the join (this fixture's
     vocabulary is ~31 near-stopword tokens, so no cut is applied
     here)."""
@@ -1030,7 +1040,16 @@ def bm25_rankings(spark, sf_dir, top: int):
     dt = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
-    tf = dt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf is consumed by FOUR branches (weights, doc lengths, document
+    # frequencies, the query side) — materialize the one
+    # tokenize-explode-aggregate pass instead of recomputing it per
+    # branch (the iterative-lineage rule; measured 18.8s → 14.4s for
+    # qt19 at sf0.1)
+    tf = (
+        dt.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
     corp = (
@@ -1060,16 +1079,6 @@ def bm25_rankings(spark, sf_dir, top: int):
     bq = tf.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("query_id"), "token"
     )
-    cand = (
-        bq.join(
-            tf.select(F.col("doc_id").alias("cand_id"), "token", "tf"),
-            "token",
-        )
-        .where(F.col("cand_id") != F.col("query_id"))
-        .join(idf, "token")
-        .join(dl.select(F.col("doc_id").alias("cand_id"), "dl"), "cand_id")
-        .crossJoin(F.broadcast(corp))
-    )
     term = F.col("idf") * (
         (F.col("tf") * 2.2)
         / (
@@ -1077,12 +1086,40 @@ def bm25_rankings(spark, sf_dir, top: int):
             + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
         )
     )
-    score = (
-        cand.select(
-            "query_id",
-            "cand_id",
+    # query-independent per-posting weight, quantized BEFORE the
+    # query×posting fan-out: idf (vocab-sized) and corp (1 row)
+    # broadcast; dl is doc-count-sized so its join stays an equi-join
+    # on doc_id at posting cardinality (AQE broadcasts it at fixture
+    # scale) — still far below the old fan-out-sized joins
+    # repartition the weighted postings BEFORE the broadcast fan-out:
+    # AQE coalesces the small (~|postings|-row) aggregate to very few
+    # partitions, but the join below EXPLODES each posting row by the
+    # matching query terms — partition count must follow the
+    # POST-fan-out size, not the input size, or the whole scoring
+    # stage runs on one task (measured 13.8s → 3.3s at sf0.1)
+    parallelism = spark.sparkContext.defaultParallelism
+    wgt = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            "token",
             F.round(term * 1e6).cast("long").alias("tq"),
         )
+        .repartition(parallelism, "cand_id")
+    )
+    # broadcast the QUERY side: the token join key has vocab-sized
+    # cardinality (~31 here), so a shuffle join on token caps
+    # parallelism at |vocab| and skews on hot tokens; broadcasting bq
+    # keeps the fan-out map-side over the postings' partitioning with
+    # map-side partial aggregation, shuffling only the aggregated
+    # (query, cand) rows (measured 9.8s → 6.7s for this stage at
+    # sf0.1). For a huge query set, flip back to an equi-join against
+    # a df-pruned vocabulary.
+    score = (
+        wgt.join(F.broadcast(bq), "token")
+        .where(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
         .agg(F.sum("tq").alias("s"))
     )
