@@ -1,6 +1,11 @@
 """Standalone parity runner (same checks as test_oracle_parity, with
 per-query timing) — usage:
-python tests/run_parity.py [sf_dir] [--only name1,name2,...]"""
+python tests/run_parity.py [sf_dir] [--only name1,name2,...] [--sig N]
+
+--sig N rounds floats to N significant digits before hashing — for
+scale smokes above the gate tiers only, where DuckDB's decimal→double
+cast drifts 1 ulp on ≥16-significant-digit sums (see oracle_harness
+docstring). The driver-gate mirror (no flag) stays bit-exact."""
 
 from __future__ import annotations
 
@@ -24,6 +29,11 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    sig: int | None = None
+    if "--sig" in argv:
+        i = argv.index("--sig")
+        sig = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     from ml_data_wrangler_spark.session import get_spark
 
@@ -42,7 +52,7 @@ def main() -> int:
             cols, rows = run_spark_query(spark, queries[name], sf_dir)
             if name in oracles:
                 o_cols, o_rows = run_oracle(con, oracles[name])
-                problems = compare(name, cols, rows, o_cols, o_rows)
+                problems = compare(name, cols, rows, o_cols, o_rows, sig=sig)
             else:
                 problems = [] if len(cols) > 0 else ["no columns"]
             dt = time.time() - t0
