@@ -197,3 +197,32 @@ def test_gate_lists_have_no_stale_names():
     # the gate ordering must be a permutation of the registry
     ordered = list(e.queries())
     assert sorted(ordered) == sorted(registry.queries())
+
+
+def test_sig_rounding_absorbs_ulp_but_keeps_exact_default():
+    """--sig N (scale-smoke float tolerance, tests/oracle_harness.py):
+    1-ulp decimal->double cast drift must hash equal under sig=12,
+    while the default (sig=None) stays bit-exact, including floats
+    nested inside arrays. Mirrors the measured q01 sf0.6 divergence
+    (30611567484.269775 vs ...26978 — see harness docstring)."""
+    import math
+
+    from tests.oracle_harness import _norm_value, compare
+
+    a, b = 30611567484.269775, 30611567484.26978
+    assert abs(a - b) <= 2 * math.ulp(a)  # genuinely a cast-rounding artifact
+    assert _norm_value(a) != _norm_value(b)
+    assert _norm_value(a, sig=12) == _norm_value(b, sig=12)
+    # nested containers thread sig through
+    assert _norm_value([a], sig=12) == _norm_value([b], sig=12)
+    assert _norm_value({"k": a}, sig=12) == _norm_value({"k": b}, sig=12)
+    # non-finite and zero survive rounding untouched
+    assert _norm_value(float("nan"), sig=12) == "NaN"
+    assert _norm_value(0.0, sig=12) == repr(0.0)
+    assert _norm_value(float("inf"), sig=12) == repr(float("inf"))
+    # a REAL mismatch (beyond the tolerance) still fails under sig=12
+    probs = compare("t", ["x"], [(1.0,)], ["x"], [(1.001,)], sig=12)
+    assert probs, "sig rounding must not mask real divergence"
+    # and compare() with sig=None preserves the exact-match contract
+    assert compare("t", ["x"], [(a,)], ["x"], [(b,)]) != []
+    assert compare("t", ["x"], [(a,)], ["x"], [(b,)], sig=12) == []
