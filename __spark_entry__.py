@@ -68,21 +68,29 @@ _GATED_PASS = frozenset(
     + ["qs07"]
     + [f"qt{i:02d}" for i in range(8, 16)]
     + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
+    # r05 (CORRECTNESS_r05.json: 50 hash-PASS, 0 rows-only, 0 errors)
+    + ["qc15", "qc16", "qc17", "qc18", "qc20"]
+    + ["qd12", "qd13", "qd14", "qd16", "qd18"]
+    + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
+       "qe32", "qe34", "qe35", "qe36", "qe38"]
+    + ["qg07", "qg08", "qj05", "qj06"]
+    + ["qm13", "qm14", "qm17", "qm18", "qm19", "qm21"]
+    + ["qs08", "qs09", "qs10", "qs11"]
+    + ["qt16", "qt17", "qt18"]
+    + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
+    + ["qw11", "qx06", "qx07"]
 )
 
 
-# The 22 never-driver-gated queries the round-4 JUDGE spot-verified at
-# sf0.01 (0 failures / 22, every one an oracle hash-match — VERDICT.md
-# round 4). They still need a driver gate eventually, but they queue
-# BEHIND the 44 queries with zero external verification so the ~50-slot
-# r05 snapshot maximizes first-time coverage: 44 fresh + ~6 of these,
-# leaving ≤16 never-driver-gated names, all of which carry judge
-# evidence.
+# The 16 remaining never-driver-gated queries, each JUDGE
+# hash-verified at sf0.01 TWICE (round-4 and round-5 verdicts, 0
+# failures both times). They order FIRST in queries() so the ~50-slot
+# r06 driver snapshot gates them and completes 213/213 driver
+# coverage of the registry.
 _JUDGE_VERIFIED = frozenset(
     [
-        "q34", "qw11", "qg08", "qj06", "qe22", "qe33", "qe37", "qe39",
-        "qs09", "qs11", "qv17", "qv20", "qv22", "qd15", "qd17", "qc19",
-        "qc21", "qt19", "qt20", "qm16", "qm20", "qx07",
+        "q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
+        "qe39", "qm16", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22",
     ]
 )
 

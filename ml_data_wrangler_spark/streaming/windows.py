@@ -431,6 +431,24 @@ def foreach_batch_merge_state(
     import os
     import shutil
 
+    if retain < 2:
+        # retain=1 would delete gen_{N-1} immediately after writing
+        # gen_N; a crash between the gen write and the checkpoint
+        # commit followed by a replay of batch N would then rebuild
+        # gen_N from batch N ALONE, silently discarding all prior
+        # state — violating the replay invariant documented above.
+        raise ValueError(
+            f"retain must be >= 2 so the merge-input generation survives"
+            f" until the next generation commits (got {retain})"
+        )
+
+    def _gen_id(path: str) -> int:
+        # numeric batch id, NOT the lexicographic basename: gen_%05d
+        # sorts wrongly as a string once batch_id reaches 100000
+        # (gen_100000 < gen_99999), which would corrupt both the merge
+        # input and retention for very long streams
+        return int(os.path.basename(path).split("_", 1)[1])
+
     schema = spark.read.parquet(*_glob.glob(f"{src_dir}/*.parquet")).schema
     shutil.rmtree(state_root, ignore_errors=True)
     os.makedirs(state_root)
@@ -472,11 +490,14 @@ def foreach_batch_merge_state(
         # merge input: newest generation STRICTLY OLDER than this
         # batch's own — a replayed batch must not merge into the
         # half-committed generation it wrote before the crash
-        prev_gens = [
-            g
-            for g in sorted(_glob.glob(os.path.join(state_root, "gen_*")))
-            if os.path.basename(g) < os.path.basename(gen)
-        ]
+        prev_gens = sorted(
+            (
+                g
+                for g in _glob.glob(os.path.join(state_root, "gen_*"))
+                if _gen_id(g) < batch_id
+            ),
+            key=_gen_id,
+        )
         agg = batch_agg(batch_df)
         if prev_gens:
             prev = spark.read.parquet(prev_gens[-1])
@@ -486,7 +507,7 @@ def foreach_batch_merge_state(
         # its merge input can never be read again (a replay of N needs
         # gen_{N-1} at most) — prune to the newest `retain - 1` of
         # them so state size plateaus instead of growing per batch
-        for dead in prev_gens[: -(retain - 1)] if retain > 1 else prev_gens:
+        for dead in prev_gens[: -(retain - 1)]:
             shutil.rmtree(dead, ignore_errors=True)
 
     stream = (
@@ -503,5 +524,5 @@ def foreach_batch_merge_state(
         .start()
     )
     q.awaitTermination()
-    final = sorted(_glob.glob(os.path.join(state_root, "gen_*")))[-1]
+    final = max(_glob.glob(os.path.join(state_root, "gen_*")), key=_gen_id)
     return spark.read.parquet(final)

@@ -24,16 +24,28 @@ from tests.oracle_harness import (
 
 def main() -> int:
     argv = list(sys.argv[1:])
-    only: set[str] | None = None
-    if "--only" in argv:
-        i = argv.index("--only")
-        only = set(argv[i + 1].split(","))
+
+    def _flag_arg(flag: str) -> str | None:
+        if flag not in argv:
+            return None
+        i = argv.index(flag)
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit(f"usage: {flag} requires an argument (see module docstring)")
+        value = argv[i + 1]
         del argv[i : i + 2]
+        return value
+
+    only_arg = _flag_arg("--only")
+    only: set[str] | None = set(only_arg.split(",")) if only_arg else None
+    sig_arg = _flag_arg("--sig")
     sig: int | None = None
-    if "--sig" in argv:
-        i = argv.index("--sig")
-        sig = int(argv[i + 1])
-        del argv[i : i + 2]
+    if sig_arg is not None:
+        try:
+            sig = int(sig_arg)
+        except ValueError:
+            sys.exit(f"usage: --sig requires an integer >= 1 (got {sig_arg!r})")
+        if sig < 1:
+            sys.exit(f"usage: --sig requires an integer >= 1 (got {sig})")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     from ml_data_wrangler_spark.session import get_spark
 

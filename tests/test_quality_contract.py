@@ -199,6 +199,34 @@ def test_gate_lists_have_no_stale_names():
     assert sorted(ordered) == sorted(registry.queries())
 
 
+def test_gate_fold_is_complete():
+    """Every green name in every CORRECTNESS_r*.json at the repo root
+    must be folded into _GATED_PASS. Three rounds of manual start-of-
+    round folding is two too many (round-5 verdict item 2): a missed
+    fold wastes ~50 driver gate slots re-verifying green queries
+    instead of gating fresh ones. A name counts as green when it ran
+    without error and at least the row-count matched (rows-only is the
+    driver's weaker-but-recorded pass for non-SQL ops, e.g. qv07)."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    gate_files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert gate_files, "driver correctness files must exist at repo root"
+    unfolded = set()
+    for path in gate_files:
+        with open(path) as fh:
+            results = json.load(fh)
+        for name, res in results.items():
+            green = res.get("err") is None and res.get("rows_match")
+            if green and e._short(name) not in e._GATED_PASS:
+                unfolded.add((os.path.basename(path), e._short(name)))
+    assert not unfolded, f"green driver-gated queries missing from _GATED_PASS: {sorted(unfolded)}"
+
+
 def test_sig_rounding_absorbs_ulp_but_keeps_exact_default():
     """--sig N (scale-smoke float tolerance, tests/oracle_harness.py):
     1-ulp decimal->double cast drift must hash equal under sig=12,

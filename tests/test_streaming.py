@@ -343,3 +343,20 @@ def test_foreach_batch_merge_state_bounded_across_many_generations(
         for r in state.collect()
     }
     assert got == want
+
+
+def test_foreach_batch_merge_state_rejects_retain_below_two(spark, tmp_path):
+    """retain=1 would delete the merge-input generation before the
+    checkpoint commits, so a crash-replay of batch N would rebuild
+    gen_N from batch N alone, discarding all prior state. The function
+    must refuse rather than run with a broken replay invariant."""
+    import pytest
+
+    from ml_data_wrangler_spark.streaming.windows import (
+        foreach_batch_merge_state,
+    )
+
+    with pytest.raises(ValueError, match="retain must be >= 2"):
+        foreach_batch_merge_state(
+            spark, str(tmp_path / "src"), str(tmp_path / "state"), retain=1
+        )
