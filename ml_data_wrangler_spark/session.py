@@ -70,6 +70,15 @@ def get_spark(
         # (readers.read_table converts to micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.python.worker.reuse", "true")
+        # long-lived sessions (parity sweeps, notebook-style use, a
+        # multi-tenant driver) accumulate shuffle files until the
+        # DRIVER garbage-collects the shuffle dependency objects —
+        # with a large heap that can be never. Measured: a 213-query
+        # sweep at the 6x scale tier piled up 74 GB of blockmgr files
+        # and starved the box. Periodic GC drives ContextCleaner to
+        # release dead shuffles; same mechanism protects executor
+        # disks on a real cluster.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",

@@ -49,7 +49,17 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     from ml_data_wrangler_spark.session import get_spark
 
-    spark = get_spark(app_name="parity", cpus=8, shuffle_partitions=8, driver_memory="8g")
+    # defaults match the driver-gate regime (8 cpus / 8g); scale
+    # smokes above sf0.1 override via SPARK_GRAFT_CPUS / _MEMORY
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 8))
+    spark = get_spark(
+        app_name="parity",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 8),
+        driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    )
     con = duckdb_connection(sf_dir)
     queries = registry.queries()
     oracles = registry.oracle_sql()
@@ -79,6 +89,12 @@ def main() -> int:
             dt = time.time() - t0
             print(f"ERROR {name} ({dt:.1f}s):", flush=True)
             traceback.print_exc()
+        if ran % 10 == 0:
+            # nudge the JVM so ContextCleaner reclaims dead shuffle
+            # files between queries — a full sweep otherwise
+            # accumulates tens of GB of blockmgr spill (the driver
+            # heap is large, so organic GC may never run)
+            spark.sparkContext._jvm.System.gc()
     print(f"\n{failures} failures / {ran} queries", flush=True)
     return 1 if failures else 0
 
