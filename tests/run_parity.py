@@ -72,18 +72,23 @@ def main() -> int:
         t0 = time.time()
         try:
             cols, rows = run_spark_query(spark, queries[name], sf_dir)
+            t_spark = time.time() - t0
             if name in oracles:
                 o_cols, o_rows = run_oracle(con, oracles[name])
                 problems = compare(name, cols, rows, o_cols, o_rows, sig=sig)
             else:
                 problems = [] if len(cols) > 0 else ["no columns"]
             dt = time.time() - t0
+            # the spark/oracle split matters at the scale tiers, where
+            # the DuckDB all-pairs oracles can dominate a line and make
+            # the ENGINE look superlinear (round-6 lesson)
+            split = f"{dt:.1f}s = spark {t_spark:.1f} + oracle {dt - t_spark:.1f}"
             if problems:
                 failures += 1
-                print(f"FAIL {name} ({dt:.1f}s): " + " | ".join(problems), flush=True)
+                print(f"FAIL {name} ({split}): " + " | ".join(problems), flush=True)
             else:
                 kind = "oracle" if name in oracles else "rows-only"
-                print(f"ok   {name} ({dt:.1f}s, {len(rows)} rows, {kind})", flush=True)
+                print(f"ok   {name} ({split}, {len(rows)} rows, {kind})", flush=True)
         except Exception:
             failures += 1
             dt = time.time() - t0
