@@ -485,3 +485,141 @@ def pq_reconstruction_report(
         F.sum("sq_err_k1").alias("sq_err_k1"),
         F.sum("norm_sq").alias("norm_sq"),
     )
+
+
+def allpairs_cosine_topk_dense(
+    entries: DataFrame,
+    dim: int,
+    k: int = 20,
+    id_col: str = "doc_id",
+    chunk: int = 128,
+) -> DataFrame:
+    """Exact global top-k most-similar pairs over a SMALL dense
+    vocabulary, without ever materializing the O(n²) pair keyspace.
+
+    `entries` holds the sparse rows (id, idx, wt, nrm) of an n × dim
+    weight matrix with dim small (≤ ~1k): idx ∈ [0, dim) is the
+    vocabulary position, wt the (pre-rounded) weight, nrm the full
+    per-document L2 norm (which may include weight mass OUTSIDE the
+    dim pruned columns — e.g. df=1 terms that cannot co-occur but do
+    count toward the norm).
+
+    Why this exists: the inverted-index pair join (Σ df(t)² rows into
+    a GROUP BY (a, b) of up to n²/2 keys) is the right plan for
+    Zipfian vocabularies, but on a DENSE vocabulary (df ≈ Θ(n) for
+    every term) it degenerates to an O(n²) shuffle — at the 6× scale
+    tier that is ~1.6e10 pair rows ≈ 0.5 TB of shuffle spill, and NO
+    row-at-a-time engine survives it (a row engine must materialize
+    the pair keyspace to aggregate it; measured: both the naive Spark
+    plan and the DuckDB oracle exhaust 80+ GB of disk). The dense
+    formulation never creates pair rows at all: the full matrix is
+    model-sized (n × dim ≤ ~2e8 cells gated by the caller), so it
+    broadcasts like any other model table, and each partition streams
+    its row-chunks through two BLAS products
+        dot    = A_chunk @ M.T          (float64, exact weights)
+        shared = (A_chunk≠0) @ (M≠0).T  (float32; counts ≤ dim < 2²⁴,
+                                         so integer-exact)
+    emitting only its chunk-local top-k pairs — O(partitions × k)
+    rows move after scoring, nothing else. A final sort of those
+    winners is exact: every global top-k pair is chunk-local top-k in
+    the one chunk that owns its lower id.
+
+    Semantics matched to the relational dual (and its SQL oracle):
+    a pair exists iff it shares ≥ 1 pruned-vocab term (shared > 0 —
+    NOT dot > 0: co-occurring zero-weight terms still create the
+    pair); doc_a < doc_b; cosine = round(dot / (nrm_a·nrm_b), 6)
+    rounded HALF-UP (floor(x·1e6 + 0.5)/1e6 — numpy's np.round is
+    half-to-even, which would diverge from Spark/DuckDB ROUND);
+    ties broken by (doc_a, doc_b); NaN cosines (zero norms) rank
+    HIGHEST, matching both engines' NaN-is-largest total order.
+
+    At 100 TB: this path is gated by the caller to the small-dense
+    regime where the matrix broadcast fits (n·dim bounded); beyond it
+    the corpus is block-partitioned and the same two GEMMs run per
+    block pair (the qv08 tiered/blocked pattern) — the selection
+    logic is unchanged because top-k-of-chunk-local-top-k stays
+    exact under any partitioning of the doc_a axis.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = entries.sparkSession
+    vecs = (
+        entries.groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.collect_list(F.struct("idx", "wt")).alias("ent"),
+            F.first("nrm").alias("nrm"),
+        )
+        # consumed twice (driver collect for the broadcast matrix +
+        # the distributed chunk scan); pin so the weight subtree runs
+        # once. Model-sized: n rows of ≤ dim sparse entries.
+        .localCheckpoint()
+    )
+    rows = vecs.collect()
+    out_schema = "doc_a long, doc_b long, shared long, cosine double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    n = len(rows)
+    ids = np.empty(n, dtype=np.int64)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    nrm = np.empty(n, dtype=np.float64)
+    for i, r in enumerate(rows):
+        ids[i] = r["id"]
+        nrm[i] = r["nrm"]
+        for e in r["ent"]:
+            mat[i, e["idx"]] = e["wt"]
+    bin_mat = (mat != 0.0).astype(np.float32)
+    bc = spark.sparkContext.broadcast((ids, mat, bin_mat, nrm))
+
+    def score(batches):
+        all_ids, m, mb, all_nrm = bc.value
+        nn = all_ids.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                c = len(part)
+                a_ids = part["id"].to_numpy()
+                a_nrm = part["nrm"].to_numpy()
+                a = np.zeros((c, dim), dtype=np.float64)
+                for i, ent in enumerate(part["ent"]):
+                    for e in ent:
+                        a[i, e["idx"]] = e["wt"]
+                dot = a @ m.T
+                shared = ((a != 0.0).astype(np.float32) @ mb.T).astype(np.int64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (a_nrm[:, None] * all_nrm[None, :])
+                # HALF-UP to 6 decimals (cosines are ≥ 0: weights are
+                # tf·ln(N/df) ≥ 0); NaN passes through floor unchanged
+                cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                valid = (a_ids[:, None] < all_ids[None, :]) & (shared > 0)
+                # selection key: NaN must outrank every finite cosine
+                # (Spark and DuckDB both order NaN above +inf)
+                key = np.where(np.isnan(cos), np.inf, cos)
+                key = np.where(valid, key, -1.0)
+                flat = key.ravel()
+                nv = int(valid.sum())
+                if nv == 0:
+                    continue
+                if nv > k:
+                    top = np.argpartition(-flat, k - 1)[:k]
+                    kth = flat[top].min()
+                    cand = np.flatnonzero(flat >= kth)
+                else:
+                    cand = np.flatnonzero(key.ravel() > -1.0)
+                ca, cb = np.unravel_index(cand, key.shape)
+                order = np.lexsort((all_ids[cb], a_ids[ca], -flat[cand]))
+                sel = cand[order[:k]]
+                sa, sb = np.unravel_index(sel, key.shape)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": a_ids[sa],
+                        "doc_b": all_ids[sb],
+                        "shared": shared[sa, sb],
+                        "cosine": cos[sa, sb],
+                    }
+                )
+
+    winners = vecs.mapInPandas(score, schema=out_schema)
+    return winners.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(k)

@@ -931,12 +931,17 @@ WITH toks AS (
           AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))
   JOIN o z ON z.src = x.dst AND z.dst = y.dst
 ), pernode AS (
+  -- single reference to tri: each triangle contributes its three
+  -- corners through one unnest, so the (potentially billions-row)
+  -- triangle list is pipelined straight into this bounded-keyspace
+  -- aggregate and never materialized to temp storage
   SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
-  FROM (SELECT u AS node FROM tri UNION ALL
-        SELECT v FROM tri UNION ALL
-        SELECT w FROM tri)
+  FROM (SELECT unnest([u, v, w]) AS node FROM tri)
   GROUP BY node
-), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_total FROM tri)
+), total AS (
+  SELECT CAST(SUM(triangles) // 3 AS BIGINT) AS n_triangles_total
+  FROM pernode
+)
 SELECT p.node AS doc_id, deg.d AS degree, p.triangles,
        ROUND(2.0 * p.triangles / (deg.d * (deg.d - 1)), 6) + 0
          AS clustering,
@@ -1049,16 +1054,27 @@ def qd17(spark, sf_dir):
             F.col("x.dst").alias("v"),
             F.col("y.dst").alias("w"),
         )
-        .localCheckpoint()  # read four times (3 corner unions + total)
     )
+    # single consumption of the triangle stream: each triangle
+    # contributes its three corners through one explode, pipelined
+    # straight into a bounded-keyspace (≤ |nodes|) partial aggregate —
+    # the triangle list itself (|tri| can be ~1e9 at the 6× tier,
+    # ~24 GB as a checkpoint) is never materialized; the map-side
+    # combine collapses each task's corner stream to its distinct
+    # nodes before the shuffle. The total count is recovered exactly
+    # as Σ per-node triangles / 3 (each triangle has 3 corners), so
+    # no second pass over tri is needed either.
     pernode = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
+        .localCheckpoint()  # read twice: total + final projection
     )
-    total = tri.agg(F.count("*").alias("n_triangles_total"))
+    total = pernode.agg(
+        (F.sum("triangles") / F.lit(3)).cast("long").alias("n_triangles_total")
+    )
     return (
         pernode.join(deg, "node")
         .crossJoin(F.broadcast(total))

@@ -234,9 +234,19 @@ def qm08(spark, sf_dir):
     return tfidf(t(spark, sf_dir, "documents"), top_n=3)
 
 
-@query(
-    "qm09_tfidf_doc_pairs",
-    oracle=f"""
+# qm09 physical-strategy dispatch bounds (module-level so tests can
+# monkeypatch them to force the sparse postings path and assert the
+# two regimes produce identical values on the same data): the dense
+# GEMM path requires the pruned vocab to be narrow AND the dense
+# matrix to be model-sized (broadcastable).
+QM09_DENSE_VOCAB_CAP = 1024
+QM09_DENSE_CELL_CAP = 200_000_000
+
+# qm09's linear relational prologue (tokens → tf → df → rounded
+# tf-idf weights), shared verbatim between the SQL oracle and the
+# Python scale-oracle so the two can never drift on the value
+# definition — only the quadratic pair kernel differs between them.
+_QM09_W_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
 ), tf AS (
@@ -250,7 +260,88 @@ WITH tok AS (
   SELECT doc_id, tf.token, df,
          ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt
   FROM tf CROSS JOIN n JOIN dfc ON tf.token = dfc.token
-), norms AS (
+)"""
+
+
+def _qm09_scale_oracle(con):
+    """Scale-tier oracle for qm09: the SQL oracle's pair kernel is an
+    O(n²)-KEY aggregate (Σdf² join rows into a GROUP BY over all
+    co-occurring pairs) — at the 6× tier that is ~1.6e10 groups, and
+    a row engine must materialize the keyspace to aggregate it
+    (measured: DuckDB exhausts 80+ GB of temp and dies; so did the
+    naive Spark postings plan). No SQL phrasing removes the keyspace,
+    so beyond the registered bound the oracle changes ALGORITHM, not
+    semantics: DuckDB still computes the linear prologue (the SQL
+    oracle's own CTEs, textually shared via _QM09_W_SQL) and numpy
+    computes the quadratic kernel as a chunked GEMM with the same
+    rounding/tie/NaN discipline as the engine — an independent
+    single-process implementation of the same value definition."""
+    import numpy as np
+
+    w_rows = con.execute(
+        _QM09_W_SQL + "\nSELECT doc_id, token, df, wt FROM w"
+    ).fetchall()
+    cols = ["doc_a", "doc_b", "shared", "cosine"]
+    if not w_rows:
+        return cols, []
+    vocab = sorted({tok for _, tok, dfv, _ in w_rows if dfv >= 2})
+    idx = {tok: i for i, tok in enumerate(vocab)}
+    by_doc: dict[int, list[tuple[int, float]]] = {}
+    norm_sq: dict[int, float] = {}
+    for doc, tok, dfv, wt in w_rows:
+        norm_sq[doc] = norm_sq.get(doc, 0.0) + wt * wt
+        if dfv >= 2:
+            by_doc.setdefault(doc, []).append((idx[tok], wt))
+    if not by_doc:
+        return cols, []
+    ids = np.array(sorted(by_doc), dtype=np.int64)
+    n, dim = len(ids), len(vocab)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    for i, doc in enumerate(ids):
+        for j, wt in by_doc[int(doc)]:
+            mat[i, j] = wt
+    nrm = np.sqrt(np.array([norm_sq[int(d)] for d in ids]))
+    bin_mat = (mat != 0.0).astype(np.float32)
+    winners: list[tuple[float, int, int, int, float]] = []
+    chunk = 512
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        dot = mat[lo:hi] @ mat.T
+        shared = (bin_mat[lo:hi] @ bin_mat.T).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / (nrm[lo:hi, None] * nrm[None, :])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF-UP, like ROUND()
+        valid = (ids[lo:hi, None] < ids[None, :]) & (shared > 0)
+        key = np.where(np.isnan(cos), np.inf, cos)
+        key = np.where(valid, key, -1.0)
+        flat = key.ravel()
+        nv = int(valid.sum())
+        if nv == 0:
+            continue
+        if nv > 20:
+            top = np.argpartition(-flat, 19)[:20]
+            cand = np.flatnonzero(flat >= flat[top].min())
+        else:
+            cand = np.flatnonzero(flat > -1.0)
+        ca, cb = np.unravel_index(cand, key.shape)
+        for c_i, a_i, b_i in zip(cand, ca, cb):
+            winners.append(
+                (
+                    -flat[c_i],
+                    int(ids[lo + a_i]),
+                    int(ids[b_i]),
+                    int(shared[a_i, b_i]),
+                    float(cos[a_i, b_i]),
+                )
+            )
+    winners.sort(key=lambda t: (t[0], t[1], t[2]))
+    return cols, [(a, b, s, c) for _, a, b, s, c in winners[:20]]
+
+
+@query(
+    "qm09_tfidf_doc_pairs",
+    oracle=_QM09_W_SQL
+    + """, norms AS (
   SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
 ), dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -268,29 +359,57 @@ JOIN norms nb ON doc_b = nb.doc_id
 ORDER BY cosine DESC, doc_a, doc_b
 LIMIT 20
 """,
+    scale_oracle=_qm09_scale_oracle,
+    # the SQL pair kernel's GROUP BY keyspace is Θ(n²) over the
+    # documents table; 50k docs ≈ 1.2e9 pair keys is the measured
+    # row-engine feasibility edge on this box (sf0.1 = 30k docs runs;
+    # 6× = 180k docs exhausts 80+ GB of temp)
+    oracle_scale_bound=("documents", 50_000),
 )
 def qm09(spark, sf_dir):
     """Sparse TF-IDF document similarity: top-20 doc pairs by cosine
-    over the relational TF-IDF weights (qm08's table), computed the
-    inverted-index way — postings self-join on token, dot products
-    from the shared-term rows only, norms from a per-doc aggregate.
-    This is the IR-correct sparse formulation: cost is Σ df(t)², not
-    |docs|², and singleton terms (df=1) are pruned from the pair join
-    losslessly (they can't co-occur; they still count toward norms).
+    over the relational TF-IDF weights (qm08's table). ADAPTIVE
+    physical strategy keyed on the postings density — the logical
+    semantics (exact uncapped all-pairs top-20) never change:
 
-    At scale the same plan needs the tiers the dedup family already
-    models: a max-df cap (ubiquitous terms carry ~zero idf weight) or
-    the qv06/qv08 LSH candidate stage in front — the fixture's tiny
-    dense vocabulary (31 tokens, df ≈ 0.78·N — the worst case for an
-    inverted index) runs uncapped BY DESIGN so the oracle can verify
-    the exact semantics, and the cost shows it: ~4s at sf0.01 vs
-    ~108s at sf0.1 (Σdf² growth, measured local[32]). That curve is
-    the argument for the candidate tier, demonstrated rather than
-    asserted; real corpora with Zipfian vocabularies behave far
-    better, and the df≥2 prune plus a max-df cap restore linearity.
+    * Zipfian/sparse vocabulary (the common real-corpus case): the
+      inverted-index plan — postings self-join on token, dot products
+      from shared-term rows only, norms from a per-doc aggregate.
+      Cost Σ df(t)², not |docs|²; singleton terms (df=1) are pruned
+      from the pair join losslessly (they can't co-occur; they still
+      count toward norms).
+    * DENSE small vocabulary (this fixture: ~31 tokens, df ≈ 0.78·N —
+      the adversarial worst case for an inverted index): Σ df(t)²
+      degenerates to Θ(n²) pair rows into a Θ(n²)-key GROUP BY. At
+      the 6× scale tier that is ~1.6e10 pair rows ≈ 0.5 TB of
+      shuffle — measured to exhaust the disk on BOTH the naive Spark
+      plan and the row-engine oracle; no pair-materializing plan
+      survives, because the OUTPUT keyspace of the aggregate is
+      quadratic. The only scalable exact formulation changes the
+      algorithm, not the constant: a dense blocked GEMM
+      (operators/similarity.py:allpairs_cosine_topk_dense) that
+      streams chunk × matrix BLAS products and moves only chunk-local
+      top-k winners — the same vectorized dual already proven against
+      the relational plan by qv07/qv11.
+
+    The dispatch is decided by two model-sized scalars (pruned-vocab
+    width ≤ 1024 and matrix cells n·V ≤ 2e8, i.e. the dense matrix
+    broadcasts like a model table); the fixture resolves to the GEMM
+    path at every SF, so the sf0.01 driver gate hash-verifies exactly
+    the code that runs at the scale tier. qm12 (max-df capped) and
+    qm16 (stopword-pruned) remain the registry's candidate-tier
+    variants for corpora where approximate pair generation is the
+    right trade.
+
     Float discipline: weights rounded to 6 decimals BEFORE any
     product (identical on both engines), the final cosine rounded to
-    6, (cosine, doc_a, doc_b) total order."""
+    6 HALF-UP on both paths, (cosine, doc_a, doc_b) total order; a
+    pair exists iff it shares ≥ 1 df≥2 term (shared > 0, not
+    dot > 0 — zero-weight co-occurrences still create the pair)."""
+    from ml_data_wrangler_spark.operators.similarity import (
+        allpairs_cosine_topk_dense,
+    )
+
     tok = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
@@ -311,11 +430,43 @@ def qm09(spark, sf_dir):
             ).alias("wt"),
         )
     )
-    # norm attached to every posting row via a doc-keyed window, so
-    # the pair aggregation carries it along (F.first) — this avoids a
-    # separate norms aggregate + two joins, which would re-derive the
-    # whole weight subtree twice more (self-joins already duplicate
-    # lineage once; don't quadruple it)
+    # dispatch scalars: both model-sized aggregates (vocab width and
+    # doc count), one cheap job each at plan-construction time
+    vocab = [
+        r["token"]
+        for r in dfc.where(F.col("df") >= 2)
+        .select("token")
+        .orderBy("token")
+        .collect()
+    ]
+    n_docs_val = t(spark, sf_dir, "documents").count()
+    import ml_data_wrangler_spark.plans.ml_queries as _self
+
+    if (
+        0 < len(vocab) <= _self.QM09_DENSE_VOCAB_CAP
+        and n_docs_val * len(vocab) <= _self.QM09_DENSE_CELL_CAP
+    ):
+        idx_df = F.broadcast(
+            spark.createDataFrame(
+                [(tkn, i) for i, tkn in enumerate(vocab)], "token string, idx int"
+            )
+        )
+        norms = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+        )
+        entries = (
+            w.where(F.col("df") >= 2)
+            .join(idx_df, "token")
+            .join(norms, "doc_id")
+            .select("doc_id", "idx", "wt", "nrm")
+        )
+        return allpairs_cosine_topk_dense(entries, dim=len(vocab), k=20)
+    # sparse/Zipfian regime: inverted-index pair join. Norm attached
+    # to every posting row via a doc-keyed window, so the pair
+    # aggregation carries it along (F.first) — this avoids a separate
+    # norms aggregate + two joins, which would re-derive the whole
+    # weight subtree twice more (self-joins already duplicate lineage
+    # once; don't quadruple it)
     from pyspark.sql import Window as W
 
     w2 = w.withColumn(

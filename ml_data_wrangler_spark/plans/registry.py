@@ -28,6 +28,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# scale-tier oracle surface: for queries whose SQL oracle has an
+# inherently super-linear KEYSPACE (e.g. an O(n²) pair aggregate), a
+# row engine cannot verify beyond a bound no matter how the SQL is
+# phrased — the aggregate's output is the cost. Such queries may
+# register (a) a bound (table, max_rows) above which the SQL oracle is
+# declared infeasible, and (b) a Python scale-oracle fn(con) ->
+# (cols, rows) that re-derives the SAME values with a feasible
+# algorithm (typically: DuckDB for the linear relational prologue +
+# numpy for the quadratic kernel). The driver gate (sf0.01) never
+# consults these — it always runs the SQL oracle bit-exactly.
+_SCALE_ORACLES: dict[str, Callable] = {}
+_ORACLE_SCALE_BOUNDS: dict[str, tuple[str, int]] = {}
 
 _QUERY_MODULES = (
     "ml_data_wrangler_spark.plans.relational_queries",
@@ -48,13 +60,22 @@ _QUERY_MODULES = (
 )
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    scale_oracle: Callable | None = None,
+    oracle_scale_bound: tuple[str, int] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if scale_oracle is not None:
+            _SCALE_ORACLES[name] = scale_oracle
+        if oracle_scale_bound is not None:
+            _ORACLE_SCALE_BOUNDS[name] = oracle_scale_bound
         return fn
 
     return deco
@@ -100,3 +121,13 @@ def oracle_sql() -> dict[str, str]:
     load_all_queries()
     order = _interleaved(list(_QUERIES))
     return {n: _ORACLES[n] for n in order if n in _ORACLES}
+
+
+def scale_oracles() -> dict[str, Callable]:
+    load_all_queries()
+    return dict(_SCALE_ORACLES)
+
+
+def oracle_scale_bounds() -> dict[str, tuple[str, int]]:
+    load_all_queries()
+    return dict(_ORACLE_SCALE_BOUNDS)

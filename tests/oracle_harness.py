@@ -34,6 +34,19 @@ from ml_data_wrangler_spark.schemas import TESTDATA_TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Explicit memory budget: the oracle shares its process with a
+    # multi-GB Spark driver JVM, and DuckDB's default limit (80% of
+    # PHYSICAL RAM) doesn't know that. At the 6× scale tier the big
+    # windowed-join oracles then die on a raw malloc failure ("bad
+    # allocation") instead of spilling — observed on qv21, whose
+    # 2.6e8-row cosine window is perfectly spillable. A fixed limit
+    # makes DuckDB switch to its out-of-core operators early and
+    # predictably. Override via DUCKDB_MEMORY_LIMIT for small boxes.
+    import os
+
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('DUCKDB_MEMORY_LIMIT', '24GB')}'"
+    )
     for name in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"

@@ -371,20 +371,20 @@ def test_unigram_lm_plan_no_python(spark, sf_dir, q):
     assert "SortMergeJoin" not in plan
 
 
-def test_tfidf_pairs_plan_broadcasts_model_tables(spark, sf_dir, q):
-    """qm09: the df/N model tables broadcast; the posting self-join is
-    a hash join on token, never a nested loop over documents."""
+def test_tfidf_pairs_plan_never_materializes_pairs(spark, sf_dir, q):
+    """qm09 (dense-vocab regime, which the fixture always is): the
+    plan must be the GEMM path — a MapInPandas chunk scan over the
+    pinned vector relation feeding straight into the global top-k
+    sort, with NO join anywhere downstream of the scoring stage: a
+    pair-materializing join (the Σdf² postings self-join into an
+    O(n²)-key aggregate) is exactly the shape that exhausted the disk
+    at the 6× scale tier."""
     plan = _plan(q["qm09_tfidf_doc_pairs"](spark, sf_dir))
-    assert "pythonUDF" not in plan.lower()
-    # the only nested-loops allowed are the 1-row scalar-N cross
-    # joins (one per self-join side); postings/df joins must hash
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    assert all(
-        "Cross" in line
-        for line in plan.splitlines()
-        if "BroadcastNestedLoopJoin" in line
-    )
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the scored-winners subtree must be join-free (the weight/norm
+    # joins all happen before the localCheckpoint pin)
+    assert "Join" not in plan
 
 
 def test_minhash_signature_plan_no_python_no_extra_shuffle(spark, sf_dir, q):
