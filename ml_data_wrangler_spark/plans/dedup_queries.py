@@ -897,9 +897,12 @@ def qd16(spark, sf_dir):
     )
 
 
-@query(
-    "qd17_similarity_triangles",
-    oracle=f"""
+# qd17's linear relational prologue (tokens → 3-gram shingles →
+# co-shingle edge list with support ≥ 2), shared verbatim between the
+# SQL oracle and the Python scale-oracle so the two can never drift on
+# the graph definition — only the super-linear wedge/triangle kernel
+# differs between them.
+_QD17_E_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {SQL_TOKS} AS l FROM documents
 ), sh AS (
@@ -912,7 +915,124 @@ WITH toks AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
   HAVING COUNT(*) >= 2
-), deg AS (
+)"""
+
+# wedge-buffer flush threshold for the qd17 scale-oracle kernel
+# (module-level so tests can shrink it to force the multi-flush
+# accumulate path that only scale-sized graphs hit naturally)
+_QD17_FLUSH_ROWS = 30_000_000
+
+
+def _qd17_scale_oracle(con):
+    """Scale-tier oracle for qd17: the SQL oracle's wedge-close kernel
+    is super-linear (Σ out-deg² wedge rows through two joins — 354M
+    wedges at the 6× tier), and DuckDB materializes/spills the join
+    state rather than pipelining it (measured: 80+ GB of temp,
+    exhausting the disk; the edge-list prologue alone is 4.1M rows in
+    ~3 s). No SQL phrasing removes the wedge stream, so beyond the
+    registered bound the oracle changes ALGORITHM, not semantics:
+    DuckDB still computes the linear prologue (the SQL oracle's own
+    CTEs, textually shared via _QD17_E_SQL) and numpy runs the same
+    degree-ordered wedge-closure counting — adjacency lists sorted by
+    the identical (dest-degree, dest-id) total order, chunked pair
+    generation, sorted-key membership for the closing edge, bincount
+    per-corner accumulation — an independent single-process
+    implementation of the same value definition."""
+    import numpy as np
+
+    arr = con.execute(_QD17_E_SQL + "\nSELECT na, nb FROM e").fetchnumpy()
+    cols = ["doc_id", "degree", "triangles", "clustering", "n_triangles_total"]
+    na = np.asarray(arr["na"], dtype=np.int64)
+    nb = np.asarray(arr["nb"], dtype=np.int64)
+    if len(na) == 0:
+        return cols, []
+    # compact node ids; `nodes` is sorted, so compact order == id order
+    nodes, inv = np.unique(np.concatenate([na, nb]), return_inverse=True)
+    ca, cb = inv[: len(na)], inv[len(na) :]
+    n = len(nodes)
+    deg = np.bincount(ca, minlength=n) + np.bincount(cb, minlength=n)
+    # orient each edge from its lower-(degree, id) endpoint
+    da, db = deg[ca], deg[cb]
+    fwd = (da < db) | ((da == db) & (ca < cb))
+    src = np.where(fwd, ca, cb)
+    dst = np.where(fwd, cb, ca)
+    # adjacency sorted by (src, deg[dst], dst): out-neighbor pairs
+    # (i < j) then enumerate exactly the SQL wedge condition
+    # (x.ddst, x.dst) < (y.ddst, y.dst) lexicographically
+    order = np.lexsort((dst, deg[dst], src))
+    src, dst = src[order], dst[order]
+    starts = np.searchsorted(src, np.arange(n))
+    ends = np.searchsorted(src, np.arange(n), side="right")
+    # sorted oriented-edge keys for the closing-edge membership test
+    ekeys = np.sort(src * n + dst)
+    tri_per_node = np.zeros(n, dtype=np.int64)
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    buf_v: list[np.ndarray] = []
+    buf_w: list[np.ndarray] = []
+    buf_u: list[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buffered, tri_per_node
+        if not buf_v:
+            return
+        v = np.concatenate(buf_v)
+        w = np.concatenate(buf_w)
+        u = np.concatenate(buf_u)
+        buf_v.clear(), buf_w.clear(), buf_u.clear()
+        buffered = 0
+        keys = v * n + w
+        pos = np.searchsorted(ekeys, keys)
+        closed = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)] == keys)
+        if closed.any():
+            corners = np.concatenate([u[closed], v[closed], w[closed]])
+            tri_per_node += np.bincount(corners, minlength=n)
+
+    for s in range(n):
+        k = ends[s] - starts[s]
+        if k < 2:
+            continue
+        if k not in triu_cache:
+            triu_cache[k] = np.triu_indices(k, 1)
+        ii, jj = triu_cache[k]
+        neigh = dst[starts[s] : ends[s]]
+        buf_v.append(neigh[ii])
+        buf_w.append(neigh[jj])
+        buf_u.append(np.full(len(ii), s, dtype=np.int64))
+        buffered += len(ii)
+        if buffered >= _QD17_FLUSH_ROWS:
+            flush()
+    flush()
+    total = int(tri_per_node.sum()) // 3
+    hit = np.flatnonzero(tri_per_node > 0)
+    # ORDER BY triangles DESC, doc_id LIMIT 20; ROUND half-up like both
+    # engines (values ≥ 0), -0.0 normalized by the + 0
+    rows = sorted(
+        (
+            (
+                int(nodes[i]),
+                int(deg[i]),
+                int(tri_per_node[i]),
+                float(
+                    np.floor(
+                        2.0 * tri_per_node[i] / (deg[i] * (deg[i] - 1)) * 1e6 + 0.5
+                    )
+                    / 1e6
+                    + 0.0
+                ),
+                total,
+            )
+            for i in hit
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    return cols, rows[:20]
+
+
+@query(
+    "qd17_similarity_triangles",
+    oracle=_QD17_E_SQL
+    + """, deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT na AS node FROM e UNION ALL SELECT nb FROM e)
   GROUP BY node
@@ -950,6 +1070,14 @@ FROM pernode p JOIN deg ON deg.node = p.node, total
 ORDER BY p.triangles DESC, doc_id
 LIMIT 20
 """,
+    scale_oracle=_qd17_scale_oracle,
+    # the SQL wedge kernel's intermediate is Σ out-deg² wedge rows
+    # through two joins, which the row engine materializes/spills:
+    # sf0.1 = 5k docs runs (≈5s); the 6× tier = 30k docs (4.1M edges,
+    # 354M wedges in its duplicate-heavy regime) exhausted 80+ GB of
+    # temp disk three times running. 10k docs is the same measured
+    # feasibility edge as qm09's pair kernel on this box.
+    oracle_scale_bound=("documents", 10_000),
 )
 def qd17(spark, sf_dir):
     """Triangle counting with local clustering coefficients over the

@@ -266,7 +266,8 @@ WITH tok AS (
 def _qm09_scale_oracle(con):
     """Scale-tier oracle for qm09: the SQL oracle's pair kernel is an
     O(n²)-KEY aggregate (Σdf² join rows into a GROUP BY over all
-    co-occurring pairs) — at the 6× tier that is ~1.6e10 groups, and
+    co-occurring pairs) — at the 6× tier (30k docs) that is ~1.6e10
+    join rows into ~4.5e8 groups, and
     a row engine must materialize the keyspace to aggregate it
     (measured: DuckDB exhausts 80+ GB of temp and dies; so did the
     naive Spark postings plan). No SQL phrasing removes the keyspace,
@@ -361,10 +362,10 @@ LIMIT 20
 """,
     scale_oracle=_qm09_scale_oracle,
     # the SQL pair kernel's GROUP BY keyspace is Θ(n²) over the
-    # documents table; 50k docs ≈ 1.2e9 pair keys is the measured
-    # row-engine feasibility edge on this box (sf0.1 = 30k docs runs;
-    # 6× = 180k docs exhausts 80+ GB of temp)
-    oracle_scale_bound=("documents", 50_000),
+    # documents table; the measured row-engine feasibility edge on
+    # this box sits between sf0.1 (5k docs, runs in ~2 min) and the
+    # 6× tier (30k docs ≈ 4.5e8 pair keys, exhausts 80+ GB of temp)
+    oracle_scale_bound=("documents", 10_000),
 )
 def qm09(spark, sf_dir):
     """Sparse TF-IDF document similarity: top-20 doc pairs by cosine

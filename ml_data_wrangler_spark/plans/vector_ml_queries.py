@@ -873,24 +873,35 @@ def qv20(spark, sf_dir):
     oracle=f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 20 = 0),
-cand AS (
+-- cand/cv/pair are each referenced by several downstream greedy
+-- steps; MATERIALIZED pins them to ONE execution (|Q|·k and |Q|·k²
+-- rows). Without it the engine may inline the CTE per reference and
+-- re-run the |Q|×|C| scoring window each time — at the 6× tier the
+-- compounded re-executions spilled past 80 GB of temp. The cosine is
+-- also computed once in the innermost subquery so the scoring
+-- window's sort input is three scalar columns, not two 64-dim
+-- vectors per row.
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, sim,
          CAST(ROUND(sim * 1e6) AS BIGINT) AS sim_u
   FROM (
-    SELECT query_id, c.vec_id AS neighbor_id,
-           ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim,
+    SELECT query_id, neighbor_id, sim,
            ROW_NUMBER() OVER (
              PARTITION BY query_id
-             ORDER BY ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) DESC, c.vec_id
+             ORDER BY sim DESC, neighbor_id
            ) AS rk
-    FROM q JOIN c ON c.vec_id <> q.query_id
+    FROM (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    )
   ) WHERE rk <= 10
 ),
-cv AS (
+cv AS MATERIALIZED (
   SELECT cand.query_id, cand.neighbor_id, c.v
   FROM cand JOIN c ON c.vec_id = cand.neighbor_id
 ),
-pair AS (
+pair AS MATERIALIZED (
   SELECT a.query_id, a.neighbor_id, b.neighbor_id AS sel,
          CAST(ROUND(ROUND({_SQL_COS.format(a="a.v", b="b.v")}, 6) * 1e6)
               AS BIGINT) AS psim_u

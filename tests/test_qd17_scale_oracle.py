@@ -1,0 +1,60 @@
+"""qd17's Python scale-oracle (DuckDB edge-list prologue + numpy
+degree-ordered wedge-closure kernel) is an independent implementation
+of the SQL oracle's value definition. Pinning the two byte-identical
+on the real fixture verifies the 6× scale tier (where the SQL wedge
+kernel exhausts temp disk and only the Python oracle is feasible) by
+transitivity against the SQL oracle the driver gate runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from ml_data_wrangler_spark.plans import registry
+from tests.oracle_harness import compare, duckdb_connection, run_oracle
+
+
+@pytest.fixture(scope="module")
+def qname():
+    return "qd17_similarity_triangles"
+
+
+def test_scale_oracle_equals_sql_oracle(sf_dir, qname):
+    """numpy wedge-closure kernel must reproduce the SQL oracle
+    bit-for-bit where both are feasible."""
+    con = duckdb_connection(sf_dir)
+    sql = registry.oracle_sql()[qname]
+    py = registry.scale_oracles()[qname]
+    o_cols, o_rows = run_oracle(con, sql)
+    p_cols, p_rows = py(con)
+    assert len(p_rows) > 0  # fixture must exercise the kernel
+    assert compare(qname, p_cols, p_rows, o_cols, o_rows) == []
+
+
+def test_scale_oracle_small_buffer_flush(sf_dir, qname, monkeypatch):
+    """The chunked wedge buffer must produce identical results when it
+    flushes on every source node (exercises the accumulate path that
+    only multi-flush scale runs hit)."""
+    import ml_data_wrangler_spark.plans.dedup_queries as dq
+
+    con = duckdb_connection(sf_dir)
+    py = registry.scale_oracles()[qname]
+    base_cols, base_rows = py(con)
+    # re-run with a tiny flush threshold by patching the module-level
+    # constant the kernel reads
+    monkeypatch.setattr(dq, "_QD17_FLUSH_ROWS", 1)
+    small_cols, small_rows = py(con)
+    assert base_cols == small_cols
+    assert compare(qname, small_cols, small_rows, base_cols, base_rows) == []
+
+
+def test_scale_bound_registered(qname):
+    """The feasibility bound must sit ABOVE the driver-gate tiers
+    (sf0.1 = 5k documents) so the SQL oracle still gates them, and
+    BELOW the 6× tier (30k documents) so the sweep switches — the
+    round-6 sweep originally registered 50k from a misread table size
+    and the SQL oracle then ran (and spilled 80 GB) at the scale
+    tier."""
+    bounds = registry.oracle_scale_bounds()
+    tbl, max_rows = bounds[qname]
+    assert tbl == "documents"
+    assert 5_000 < max_rows < 30_000

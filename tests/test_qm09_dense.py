@@ -72,9 +72,12 @@ def test_scale_oracle_equals_sql_oracle(sf_dir, qname):
 
 def test_scale_bound_registered(qname):
     """The feasibility bound must exist and sit ABOVE the driver-gate
-    tiers (sf0.1 = 30k documents) so the SQL oracle still gates them,
-    and BELOW the 6× tier (180k documents) so the sweep switches."""
+    tiers (sf0.1 = 5k documents) so the SQL oracle still gates them,
+    and BELOW the 6× tier (30k documents) so the sweep switches — the
+    round-6 sweep originally registered 50k from a misread table size
+    and the SQL oracle then ran (and spilled 80 GB) at the scale
+    tier."""
     bounds = registry.oracle_scale_bounds()
     tbl, max_rows = bounds[qname]
     assert tbl == "documents"
-    assert 30_000 < max_rows < 180_000
+    assert 5_000 < max_rows < 30_000
