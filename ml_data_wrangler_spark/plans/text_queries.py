@@ -957,19 +957,26 @@ def qt18(spark, sf_dir):
     )
 
 
+# BM25's linear term-frequency prologue (tokens → per-(doc, token)
+# tf), shared verbatim between the SQL oracle CTE and the Python
+# scale-oracle kernel so the two can never drift on the input
+# definition — only the query×posting fan-out differs between them.
+_BM25_BTF_CTES = f"""bdt AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+),
+btf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bdt GROUP BY doc_id, token
+)"""
+
+
 def bm25_sql_cte(top: int) -> str:
     """WITH-body fragment (no leading WITH) ending in relation
     ``btop(query_id, cand_id, rnk, s)``: BM25 (k1 = 1.2, b = 0.75)
     top-``top`` candidates per query doc (doc_id % 20 == 0), ranked on
     the EXACT micro-quantized integer score. Shared by qt19's oracle
     and qv20's hybrid-fusion oracle."""
-    return f"""bdt AS (
-  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
-),
-btf AS (
-  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM bdt GROUP BY doc_id, token
-),
+    return f"""{_BM25_BTF_CTES},
 bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
 bdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY token),
 bcorp AS (
@@ -1006,6 +1013,92 @@ btop AS (
     FROM bscore
   ) WHERE rnk <= {top}
 )"""
+
+
+def bm25_topk_py(con, top: int) -> list[tuple[int, int, int, int]]:
+    """Scale-tier BM25 kernel shared by qt19's and qv20's Python
+    scale-oracles: (query_id, cand_id, rnk, s) rows of the exact
+    micro-quantized top-``top``, same value definition as
+    :func:`bm25_sql_cte`.
+
+    Why this exists: the SQL CTE's scoring step fans every query
+    token out to its posting list — on the fixture's dense ~31-token
+    vocabulary (df ≈ 0.78·N) that is Θ(|Q|·N) ≈ 1e9 join rows into a
+    |Q|·N-key aggregate at the 6× tier, which the row engine can only
+    aggregate by spilling the partitioned input (measured: 40-80 GB
+    of temp; two sweep deaths from transient disk headroom). The
+    matrix formulation needs none of that: DuckDB computes the linear
+    tf prologue (the SQL oracle's own CTEs via _BM25_BTF_CTES), the
+    query-independent per-posting weight w_u = ROUND(idf·sat·1e6) is
+    built per (doc, token) exactly as in SQL (idf rounded HALF-AWAY
+    to 6 decimals first, float64 factor order preserved), and the
+    score matrix is one N×V @ V×|Q| GEMM — integer-exact in float64
+    because w_u ≤ ~2.3e7 and ≤ V terms sum, far under 2^53. A pair is
+    a candidate iff it SHARES ≥ 1 token (presence GEMM, counts ≤ V,
+    float32-exact), not iff s > 0 — zero-weight matches still rank.
+    Top-``top`` per query by (s DESC, cand_id), like the SQL window."""
+    import numpy as np
+
+    pdf = con.execute(
+        "WITH " + _BM25_BTF_CTES + "\nSELECT doc_id, token, tf FROM btf"
+    ).df()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    if len(pdf) == 0:
+        return []
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.float64)
+    docs, dinv = np.unique(doc, return_inverse=True)
+    toks, tinv = np.unique(pdf["token"].to_numpy(), return_inverse=True)
+    nd, nv = len(docs), len(toks)
+    dl = np.bincount(dinv, weights=tf, minlength=nd)
+    df_t = np.bincount(tinv, minlength=nv).astype(np.float64)
+    avgdl = dl.sum() / n_docs
+    # ROUND(ln(1 + (n-df+0.5)/(df+0.5)), 6): always ≥ 0, so half-away
+    # == half-up
+    idf = np.floor(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * 1e6 + 0.5) / 1e6
+    # per-posting weight, float64 factor order identical to the SQL:
+    # idf * ((tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl)))), then
+    # ROUND(w * 1e6) to BIGINT (positive → half-up)
+    w = idf[tinv] * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl[dinv] / avgdl))))
+    w_u = np.floor(w * 1e6 + 0.5)
+    W = np.zeros((nd, nv), dtype=np.float64)
+    W[dinv, tinv] = w_u
+    P = np.zeros((nd, nv), dtype=np.float32)
+    P[dinv, tinv] = 1.0
+    q_rows = np.flatnonzero(docs % 20 == 0)
+    if len(q_rows) == 0:
+        return []
+    S = (W @ P[q_rows].T.astype(np.float64)).astype(np.int64)
+    M = (P @ P[q_rows].T) > 0.0
+    out: list[tuple[int, int, int, int]] = []
+    for j, qi in enumerate(q_rows):
+        m = M[:, j].copy()
+        m[qi] = False  # c.doc_id <> query_id
+        cand = np.flatnonzero(m)
+        if len(cand) == 0:
+            continue
+        s = S[cand, j]
+        order = np.lexsort((docs[cand], -s))
+        for r, k in enumerate(order[:top], 1):
+            out.append((int(docs[qi]), int(docs[cand[k]]), r, int(s[k])))
+    return out
+
+
+def _qt19_scale_oracle(con):
+    """Scale-tier oracle for qt19 (see :func:`bm25_topk_py` for why
+    the SQL fan-out is infeasible on a row engine at the 6× tier):
+    same output shape as the SQL oracle — bm25 = ROUND(s/1e6, 6) + 0,
+    ordered by (query_id, rnk)."""
+    rows = bm25_topk_py(con, 3)
+    cols = ["query_id", "rnk", "cand_id", "bm25"]
+    import math
+
+    out = [
+        (q, r, c, math.floor((s / 1e6) * 1e6 + 0.5) / 1e6 + 0.0)
+        for (q, c, r, s) in rows
+    ]
+    out.sort(key=lambda t: (t[0], t[1]))
+    return cols, out
 
 
 def bm25_rankings(spark, sf_dir, top: int):
@@ -1140,6 +1233,14 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
 FROM btop
 ORDER BY query_id, rnk
 """,
+    scale_oracle=_qt19_scale_oracle,
+    # the SQL scoring fan-out is Θ(|Q|·N) join rows into a |Q|·N-key
+    # aggregate on the dense fixture vocabulary — ~1e9 rows / 45M
+    # groups at the 6× tier (30k docs), which the row engine only
+    # aggregates by spilling 40-80 GB of partitioned input (died twice
+    # on transient disk headroom in full sweeps). sf0.1 (5k docs) runs
+    # comfortably; 10k is the same measured edge as qm09/qd17.
+    oracle_scale_bound=("documents", 10_000),
 )
 def qt19(spark, sf_dir):
     """Okapi BM25 top-3 retrieval: every 20th document queries the

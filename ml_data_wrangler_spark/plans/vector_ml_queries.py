@@ -629,16 +629,26 @@ def qv18(spark, sf_dir):
 
 
 def _qv19_topk_sql(d: int) -> str:
+    # MATERIALIZED + innermost-computed sim: top64 is referenced by all
+    # four overlap joins, and without the pin the engine may inline the
+    # |Q|×|C| scoring window per reference; computing ROUND(cos, 6)
+    # in the innermost subquery also keeps the window's sort input to
+    # three scalar columns instead of two 64-dim vectors per row
+    # (qv21's oracle trap — the unpinned form OOM-died at the 6× tier)
     cos = _SQL_COS.format(a=f"qv[1:{d}]", b=f"c.v[1:{d}]")
     return f"""
-top{d} AS (
+top{d} AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, c.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            ROW_NUMBER() OVER (
-             PARTITION BY q.query_id
-             ORDER BY ROUND({cos}, 6) DESC, c.vec_id
+             PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id
            ) AS rn
-    FROM q JOIN c ON c.vec_id <> q.query_id
+    FROM (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({cos}, 6) AS sim
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    )
   ) WHERE rn <= 3
 )"""
 
@@ -745,6 +755,81 @@ def qv19(spark, sf_dir):
     )
 
 
+def _qv20_scale_oracle(con):
+    """Scale-tier oracle for qv20: the BM25 half reuses qt19's numpy
+    kernel (see :func:`bm25_topk_py` for why the SQL fan-out is
+    row-engine-infeasible at the 6× tier); the vector half recomputes
+    the exact-cosine top-20 with the per-DIMENSION accumulation order
+    (one fused multiply-add per dimension across all pairs) so every
+    float64 dot product folds left-to-right exactly like the engines'
+    sequential list_dot_product / aggregate fold — pairwise-blocked
+    BLAS summation could differ by 1 ulp before the 1e-6 rounding.
+    The RRF fusion itself is a two-term scalar sum over the two
+    bounded top-20 relations, reproduced verbatim."""
+    import math
+
+    import numpy as np
+
+    from ml_data_wrangler_spark.plans.text_queries import bm25_topk_py
+
+    btop = {(q, c): r for (q, c, r, _s) in bm25_topk_py(con, 20)}
+    pdf = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings ORDER BY vec_id"
+    ).df()
+    cols = ["query_id", "fused_rank", "cand_id", "text_rank", "vec_rank", "rrf"]
+    vtop: dict[tuple[int, int], int] = {}
+    if len(pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy())
+        n, dim = mat.shape
+        qsel = np.flatnonzero(ids % 20 == 0)
+        # sequential per-dimension folds (DuckDB/Spark accumulation
+        # order) for dots and squared norms
+        nrm_sq = np.zeros(n)
+        for d in range(dim):
+            nrm_sq += mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm_sq)
+        for qi in qsel:
+            dot = np.zeros(n)
+            qv = mat[qi]
+            for d in range(dim):
+                dot += qv[d] * mat[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (nrm[qi] * nrm)
+            cos_u = np.where(
+                cos >= 0,
+                np.floor(cos * 1e6 + 0.5),
+                np.ceil(cos * 1e6 - 0.5),
+            )
+            key = np.where(np.isnan(cos_u), np.inf, cos_u)
+            key[qi] = -np.inf  # vc.vec_id <> query_id
+            order = np.lexsort((ids, -key))
+            for r, k in enumerate(order[:20], 1):
+                if key[k] == -np.inf:
+                    break
+                vtop[(int(ids[qi]), int(ids[k]))] = r
+    fused = []
+    for (q, c) in set(btop) | set(vtop):
+        tr = btop.get((q, c))
+        vr = vtop.get((q, c))
+        rrf_raw = (1.0 / (60 + tr) if tr is not None else 0.0) + (
+            1.0 / (60 + vr) if vr is not None else 0.0
+        )
+        rrf = math.floor(rrf_raw * 1e6 + 0.5) / 1e6 + 0.0
+        fused.append((q, c, tr, vr, rrf))
+    fused.sort(key=lambda t: (t[0], -t[4], t[1]))
+    out = []
+    fr = 0
+    prev_q = None
+    for (q, c, tr, vr, rrf) in fused:
+        fr = fr + 1 if q == prev_q else 1
+        prev_q = q
+        if fr <= 3:
+            out.append((q, fr, c, tr, vr, rrf))
+    return cols, out
+
+
 @query(
     "qv20_hybrid_rrf_fusion",
     oracle=f"""
@@ -783,6 +868,11 @@ FROM (
 ) WHERE fr <= 3
 ORDER BY query_id, fused_rank
 """,
+    scale_oracle=_qv20_scale_oracle,
+    # the BM25 half shares qt19's Θ(|Q|·N) SQL fan-out (40-80 GB of
+    # aggregate input spill at the 6× tier — died in the full sweep);
+    # same measured feasibility edge as qt19/qm09/qd17
+    oracle_scale_bound=("documents", 10_000),
 )
 def qv20(spark, sf_dir):
     """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
