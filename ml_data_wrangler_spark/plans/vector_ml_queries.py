@@ -694,8 +694,13 @@ def qv19(spark, sf_dir):
     All four neighbor sets are EXACT brute force over sliced arrays
     (rounded-sim + id tiebreak, qv01's total order), so every number
     hash-matches the oracle — no sampling, no probabilistic floor.
-    Shape at scale: the query side broadcasts once per d; slicing is
-    map-side; only (query, neighbor) pairs move after ranking."""
+    Shape at scale: the query side broadcasts ONCE and all four
+    prefix sims come out of ONE scoring pass over the |Q|×|C| join
+    (pinned, since the base-d window plus the four rank windows all
+    consume it) — widening the sweep adds a rank window per d, never
+    another rescoring join; only (query, neighbor) pairs move after
+    ranking. Measured at the 6× tier: 5 scoring joins → 1 cut the
+    Spark side ~2×."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -704,26 +709,45 @@ def qv19(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    def topk(d: int):
-        sim = F.round(
-            cosine_similarity(
-                F.slice("qv", 1, d), F.slice(F.col("v"), 1, d)
-            ),
-            6,
+    dims = (8, 16, 32, 64)
+    # repartition the corpus side BEFORE the broadcast fan-out
+    # (optimizer trap #10's corollary): the parquet scan is 1-2
+    # partitions, so without this the single fused scoring stage runs
+    # 1-2 tasks — the old five-join plan hid that by running five
+    # such single-task stages in parallel
+    scored = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            *[
+                F.round(
+                    cosine_similarity(
+                        F.slice("qv", 1, d), F.slice(F.col("v"), 1, d)
+                    ),
+                    6,
+                ).alias(f"sim{d}")
+                for d in dims
+            ],
         )
-        w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+        .localCheckpoint()
+    )
+
+    def topk(d: int):
+        w = W.partitionBy("query_id").orderBy(F.desc(f"sim{d}"), "vec_id")
         return (
-            emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", sim.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3)
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
         )
 
-    base = topk(64)
+    # the full-width reference set joins against every sweep point —
+    # pin the 3·|Q|-row relation rather than re-rank per consumer
+    base = topk(64).localCheckpoint()
     nq = q.agg(F.count("*").alias("n_queries"))
     parts = []
-    for d in (8, 16, 32, 64):
+    for d in dims:
         ov = (
             topk(d)
             .join(base, ["query_id", "neighbor_id"])
