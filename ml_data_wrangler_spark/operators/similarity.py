@@ -49,7 +49,14 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(
+    # repartition the corpus side BEFORE the broadcast fan-out
+    # (optimizer trap #10's corollary): a small parquet scan is 1-2
+    # partitions, and the fused score stage would otherwise run 1-2
+    # tasks while 30 cores idle — measured 4.6× on qv19's sibling
+    # plan at the 6× tier. The shuffle moves only the pre-fan-out
+    # corpus (tiny relative to the |q|×|c| scoring it parallelizes).
+    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(spark_parallelism).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col)).alias("cnorm"),
