@@ -336,11 +336,20 @@ def qd09(spark, sf_dir):
     c = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = c.alias("a"), c.alias("b")
+    # broadcast the build side and repartition the probe side BEFORE
+    # the fan-out: a shuffle equi-join on `label` caps parallelism at
+    # the label cardinality (10 tasks), and the probe's parquet scan
+    # is 1-2 partitions — either way the |block|² cosine scoring ran
+    # nearly serial (trap #10 corollary + the never-shuffle-join-on-a-
+    # low-cardinality-key rule; measured 261s → 30s spark at 6×)
+    a = c.repartition(
+        spark.sparkContext.defaultParallelism
+    ).alias("a")
+    b = c.alias("b")
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
