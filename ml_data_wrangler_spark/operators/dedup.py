@@ -785,11 +785,18 @@ def minhash_raw_signatures(documents: DataFrame, k: int = 3, n_hashes: int = 128
     lets qd10 pin the agreement estimator and qd15 pin banding
     refinement as HARD oracle booleans. The shingle array is projected
     once per row before the seed loop (Catalyst would otherwise
-    re-derive it per seed — the qd10 measurement)."""
+    re-derive it per seed — the qd10 measurement). The input is
+    repartitioned to session parallelism first: signature construction
+    is n_hashes × |shingles| hash-mins per row, and the upstream is
+    typically a 1-2-partition parquet scan or a broadcast semi-join
+    preserving it — without the repartition the whole stage runs 1-2
+    tasks (trap #10 corollary; the shuffle moves only raw docs)."""
     from ml_data_wrangler_spark.functions.text import tokenize
 
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.select("doc_id", tokenize(F.col("text")).alias("l"))
+        documents.repartition(parallelism)
+        .select("doc_id", tokenize(F.col("text")).alias("l"))
         .where(F.size("l") >= k)
         .select(
             "doc_id", F.array_distinct(_shingles_from_tokens(F.col("l"), k)).alias("shingles")
