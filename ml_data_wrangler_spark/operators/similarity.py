@@ -96,9 +96,14 @@ def ivf_index(
 ):
     """Fit the IVF structure: (assigned corpus, centroid DataFrame).
 
-    The assigned corpus is repartitioned by cluster_id — on a real
-    cluster this co-locates each posting list so a probe reads few
-    partitions.
+    The assigned corpus is repartitioned by (cluster_id, shard) where
+    shard sub-divides each posting list so all cores stay busy: pure
+    cluster_id partitioning yields only n_clusters non-empty
+    partitions (8 here), capping every downstream probe/scoring stage
+    at 8 tasks regardless of core count. A probe still reads only its
+    clusters' shards — n_splits partitions per probed cluster — so
+    the few-partitions-per-probe locality story survives at cluster
+    scale, with n_clusters × n_splits ≈ session parallelism.
 
     Index-build cost knobs: IVF needs centroids good enough to BUCKET,
     not an optimal clustering — nprobe cushions centroid error — so
@@ -121,8 +126,17 @@ def ivf_index(
         maxIter=max_iter,
     )
     model = km.fit(feat)
-    assigned = model.transform(feat).drop("_features").repartition("cluster_id")
     spark = corpus.sparkSession
+    n_splits = max(1, spark.sparkContext.defaultParallelism // n_clusters)
+    assigned = (
+        model.transform(feat)
+        .drop("_features")
+        .withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_splits))
+        )
+        .repartition(n_clusters * n_splits, "cluster_id", "_shard")
+        .drop("_shard")
+    )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         schema="cluster_id int, centroid array<double>",
@@ -154,7 +168,13 @@ def ivf_search(
     )
     from ml_data_wrangler_spark.functions.vectors import dot, l2_norm
 
-    cand = routed.withColumn("qnorm", l2_norm(F.col("qvec"))).join(
+    # broadcast the routed query side: an equi-join on cluster_id
+    # otherwise shuffles BOTH sides onto n_clusters hash keys, capping
+    # the scoring stage's parallelism at n_clusters tasks (8 here —
+    # trap #10's low-cardinality-key corollary). Broadcasting keeps
+    # the corpus side's partitioning, so scoring parallelism follows
+    # the posting-list layout the index build chose.
+    cand = F.broadcast(routed.withColumn("qnorm", l2_norm(F.col("qvec")))).join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
