@@ -37,39 +37,40 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries the driver's correctness gate already recorded (the driver
-# snapshots ~50 queries per round in registration order). Listing them
-# lets queries() order NEVER-YET-GATED queries first, so the union of
-# per-round gate files converges on full coverage of the registry
-# (213 queries as of round 5). Union of CORRECTNESS_r01/r02/r03/r04
-# (r04 folded at the start of round 5, per the round-4 verdict item 1:
-# 49 hash-PASS + qv07 rows-only-by-design, zero failures).
-_GATED_PASS = frozenset(
+# Queries the driver's correctness gate already recorded, grouped by
+# the round whose CORRECTNESS_r{N}.json first gated them (the driver
+# snapshots ~50 queries per round in queries() order). As of r06 the
+# union covers the full 213-query registry with zero value mismatches
+# ever recorded, so the steady-state gate order is a re-verification
+# rotation: oldest-gated names order FIRST so each round's snapshot
+# re-checks the queries whose last driver verification is most stale.
+# Any future never-gated query would still jump the whole rotation.
+_GATED_ROUNDS: list[list[str]] = [
     # r01 ∪ r02
     [f"q{i:02d}" for i in range(1, 33)]
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
     + ["qj01", "qj02", "qj03"]
-    + [f"qw{i:02d}" for i in range(1, 9)]
+    + [f"qw{i:02d}" for i in range(1, 9)],
     # r03
-    + [f"qc{i:02d}" for i in range(1, 7)]
+    [f"qc{i:02d}" for i in range(1, 7)]
     + ["qd01", "qd02", "qd06", "qd07", "qd08"]
     + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
     + ["qm01", "qm02", "qm03", "qm04", "qm07"]
     + [f"qs{i:02d}" for i in range(1, 7)]
     + [f"qt{i:02d}" for i in range(1, 8)]
     + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
-    + [f"qx{i:02d}" for i in range(1, 6)]
+    + [f"qx{i:02d}" for i in range(1, 6)],
     # r04 (CORRECTNESS_r04.json: 49 hash-PASS + qv07 rows-only)
-    + ["q33", "qw09"]
+    ["q33", "qw09"]
     + [f"qc{i:02d}" for i in range(7, 15)]  # qc11 unused (dupe removed)
     + ["qd03", "qd04", "qd05", "qd09", "qd10", "qd11"]
     + [f"qe{i:02d}" for i in range(8, 21)]
-    + [f"qm{i:02d}" for i in range(5, 13)]
+    + [f"qm{i:02d}" for i in range(5, 13) if i != 7]  # qm07 gated r03
     + ["qs07"]
     + [f"qt{i:02d}" for i in range(8, 16)]
-    + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
+    + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"],
     # r05 (CORRECTNESS_r05.json: 50 hash-PASS, 0 rows-only, 0 errors)
-    + ["qc15", "qc16", "qc17", "qc18", "qc20"]
+    ["qc15", "qc16", "qc17", "qc18", "qc20"]
     + ["qd12", "qd13", "qd14", "qd16", "qd18"]
     + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
        "qe32", "qe34", "qe35", "qe36", "qe38"]
@@ -78,21 +79,14 @@ _GATED_PASS = frozenset(
     + ["qs08", "qs09", "qs10", "qs11"]
     + ["qt16", "qt17", "qt18"]
     + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
-    + ["qw11", "qx06", "qx07"]
-)
+    + ["qw11", "qx06", "qx07"],
+    # r06 (CORRECTNESS_r06.json: 49 hash-PASS + qm03 rows-only — the
+    # 16 final never-driver-gated names; 213/213 coverage complete)
+    ["q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
+     "qe39", "qm16", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"],
+]
 
-
-# The 16 remaining never-driver-gated queries, each JUDGE
-# hash-verified at sf0.01 TWICE (round-4 and round-5 verdicts, 0
-# failures both times). They order FIRST in queries() so the ~50-slot
-# r06 driver snapshot gates them and completes 213/213 driver
-# coverage of the registry.
-_JUDGE_VERIFIED = frozenset(
-    [
-        "q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
-        "qe39", "qm16", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22",
-    ]
-)
+_GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)
 
 
 def _short(name: str) -> str:
@@ -100,17 +94,18 @@ def _short(name: str) -> str:
 
 
 def _gate_order(names: list[str]) -> list[str]:
-    """Never-externally-verified queries first (family-interleaved by
-    the registry), judge-spot-verified-but-never-driver-gated ones
-    after them, driver-gated ones last."""
-    fresh = [
-        n
-        for n in names
-        if _short(n) not in _GATED_PASS and _short(n) not in _JUDGE_VERIFIED
-    ]
-    judge = [n for n in names if _short(n) in _JUDGE_VERIFIED]
-    seen = [n for n in names if _short(n) in _GATED_PASS]
-    return fresh + judge + seen
+    """Never-driver-gated queries first (family-interleaved by the
+    registry); gated queries follow in re-verification rotation —
+    oldest gate round first, registry order within a round."""
+    rank = {
+        short: i for i, rnd in enumerate(_GATED_ROUNDS) for short in rnd
+    }
+    fresh = [n for n in names if _short(n) not in rank]
+    seen = sorted(
+        (n for n in names if _short(n) in rank),
+        key=lambda n: (rank[_short(n)], names.index(n)),
+    )
+    return fresh + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -174,12 +174,12 @@ def test_bench_tiers_resolve_in_registry():
 
 
 def test_gate_lists_have_no_stale_names():
-    """__spark_entry__'s _GATED_PASS/_JUDGE_VERIFIED short names drive
-    the driver-gate ordering; a stale or misspelled entry silently
+    """__spark_entry__'s _GATED_ROUNDS short names drive the
+    driver-gate ordering; a stale or misspelled entry silently
     re-gates green queries (wasting ~1 of the ~50 snapshot slots per
     bad name) or buries a fresh one. Every listed short name must
-    match exactly one registry query, and the two sets must be
-    disjoint."""
+    match exactly one registry query, and no name may appear in two
+    rounds (the rotation rank would be ambiguous)."""
     import __spark_entry__ as e
 
     from ml_data_wrangler_spark.plans import registry
@@ -189,14 +189,20 @@ def test_gate_lists_have_no_stale_names():
     # qc11 was removed as a near-duplicate during round 4 but stays in
     # _GATED_PASS harmlessly (documented inline); no other exceptions.
     known_removed = {"qc11"}
-    stale = sorted(
-        (e._GATED_PASS | e._JUDGE_VERIFIED) - set(shorts) - known_removed
-    )
+    stale = sorted(e._GATED_PASS - set(shorts) - known_removed)
     assert not stale, f"gate-list names with no registry query: {stale}"
-    assert not e._GATED_PASS & e._JUDGE_VERIFIED
+    all_round_names = [n for rnd in e._GATED_ROUNDS for n in rnd]
+    assert len(all_round_names) == len(set(all_round_names)), (
+        "a short name appears in more than one _GATED_ROUNDS entry"
+    )
     # the gate ordering must be a permutation of the registry
     ordered = list(e.queries())
     assert sorted(ordered) == sorted(registry.queries())
+    # steady-state rotation: with full coverage, the r01/r02 names
+    # (stalest driver verification) must front the next snapshot
+    rank = {s: i for i, rnd in enumerate(e._GATED_ROUNDS) for s in rnd}
+    head_ranks = [rank[e._short(n)] for n in ordered[:30]]
+    assert head_ranks == sorted(head_ranks) and head_ranks[0] == 0
 
 
 def test_gate_fold_is_complete():
