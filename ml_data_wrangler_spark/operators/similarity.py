@@ -100,10 +100,14 @@ def ivf_index(
     shard sub-divides each posting list so all cores stay busy: pure
     cluster_id partitioning yields only n_clusters non-empty
     partitions (8 here), capping every downstream probe/scoring stage
-    at 8 tasks regardless of core count. A probe still reads only its
-    clusters' shards — n_splits partitions per probed cluster — so
-    the few-partitions-per-probe locality story survives at cluster
-    scale, with n_clusters × n_splits ≈ session parallelism.
+    at 8 tasks regardless of core count. Sharding restores
+    n_clusters × n_splits ≈ session parallelism. Note the locality
+    caveat: repartition() hash-partitions, so distinct (cluster,
+    shard) keys can collide into one partition and a partition can
+    hold rows of several clusters — a probe touches APPROXIMATELY
+    n_splits partitions per probed cluster, not exactly (results
+    unaffected; swap to repartitionByRange on (cluster_id, _shard)
+    if strict per-cluster partition pruning ever matters).
 
     Index-build cost knobs: IVF needs centroids good enough to BUCKET,
     not an optimal clustering — nprobe cushions centroid error — so
@@ -554,7 +558,10 @@ def allpairs_cosine_topk_dense(
     Semantics matched to the relational dual (and its SQL oracle):
     a pair exists iff it shares ≥ 1 pruned-vocab term (shared > 0 —
     NOT dot > 0: co-occurring zero-weight terms still create the
-    pair); doc_a < doc_b; cosine = round(dot / (nrm_a·nrm_b), 6)
+    pair, so the presence matrix is built from ENTRY MEMBERSHIP, not
+    wt ≠ 0 — a term with df = n_docs has wt = round(tf·ln(1), 6) = 0
+    yet still counts toward `shared` in the SQL dual's COUNT(*));
+    doc_a < doc_b; cosine = round(dot / (nrm_a·nrm_b), 6)
     rounded HALF-UP (floor(x·1e6 + 0.5)/1e6 — numpy's np.round is
     half-to-even, which would diverge from Spark/DuckDB ROUND);
     ties broken by (doc_a, doc_b); NaN cosines (zero norms) rank
@@ -589,14 +596,16 @@ def allpairs_cosine_topk_dense(
     n = len(rows)
     ids = np.empty(n, dtype=np.int64)
     mat = np.zeros((n, dim), dtype=np.float64)
+    # presence from entry membership (wt = 0 entries still co-occur)
+    pres = np.zeros((n, dim), dtype=np.float32)
     nrm = np.empty(n, dtype=np.float64)
     for i, r in enumerate(rows):
         ids[i] = r["id"]
         nrm[i] = r["nrm"]
         for e in r["ent"]:
             mat[i, e["idx"]] = e["wt"]
-    bin_mat = (mat != 0.0).astype(np.float32)
-    bc = spark.sparkContext.broadcast((ids, mat, bin_mat, nrm))
+            pres[i, e["idx"]] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat, pres, nrm))
 
     def score(batches):
         all_ids, m, mb, all_nrm = bc.value
@@ -610,11 +619,13 @@ def allpairs_cosine_topk_dense(
                 a_ids = part["id"].to_numpy()
                 a_nrm = part["nrm"].to_numpy()
                 a = np.zeros((c, dim), dtype=np.float64)
+                a_pres = np.zeros((c, dim), dtype=np.float32)
                 for i, ent in enumerate(part["ent"]):
                     for e in ent:
                         a[i, e["idx"]] = e["wt"]
+                        a_pres[i, e["idx"]] = 1.0
                 dot = a @ m.T
-                shared = ((a != 0.0).astype(np.float32) @ mb.T).astype(np.int64)
+                shared = (a_pres @ mb.T).astype(np.int64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dot / (a_nrm[:, None] * all_nrm[None, :])
                 # HALF-UP to 6 decimals (cosines are ≥ 0: weights are

@@ -243,9 +243,20 @@ QM09_DENSE_VOCAB_CAP = 1024
 QM09_DENSE_CELL_CAP = 200_000_000
 
 # qm09's linear relational prologue (tokens → tf → df → rounded
-# tf-idf weights), shared verbatim between the SQL oracle and the
-# Python scale-oracle so the two can never drift on the value
-# definition — only the quadratic pair kernel differs between them.
+# tf-idf weights → INTEGER MICROUNIT weights), shared verbatim
+# between the SQL oracle and the Python scale-oracle so the two can
+# never drift on the value definition — only the quadratic pair
+# kernel differs between them. The microunit step (wu = wt·1e6, an
+# exact integer since wt is ROUND(..., 6)) makes every downstream sum
+# order-independent: Σ wu_a·wu_b and Σ wu² are integer-exact on any
+# engine in any order, so cosine = dotu / (√n2u_a · √n2u_b) — the
+# 1e-12 unit factors cancel — is three deterministic IEEE ops on
+# identical integers. The previous natural-unit SUM(a.wt*b.wt)
+# float fold was order-dependent across engines (GEMM vs sequential),
+# and the measured fixture margin to the 6th-decimal rounding
+# boundary was shrinking with scale (7.7e-8 at sf0.01 → 2.7e-9 at
+# sf0.1, over ALL pairs): round-6 ADVICE, made exact rather than
+# documented-as-lucky.
 _QM09_W_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
@@ -258,7 +269,8 @@ WITH tok AS (
   SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
 ), w AS (
   SELECT doc_id, tf.token, df,
-         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt
+         CAST(ROUND(ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) * 1e6)
+              AS BIGINT) AS wu
   FROM tf CROSS JOIN n JOIN dfc ON tf.token = dfc.token
 )"""
 
@@ -280,29 +292,39 @@ def _qm09_scale_oracle(con):
     import numpy as np
 
     w_rows = con.execute(
-        _QM09_W_SQL + "\nSELECT doc_id, token, df, wt FROM w"
+        _QM09_W_SQL + "\nSELECT doc_id, token, df, wu FROM w"
     ).fetchall()
     cols = ["doc_a", "doc_b", "shared", "cosine"]
     if not w_rows:
         return cols, []
     vocab = sorted({tok for _, tok, dfv, _ in w_rows if dfv >= 2})
     idx = {tok: i for i, tok in enumerate(vocab)}
-    by_doc: dict[int, list[tuple[int, float]]] = {}
-    norm_sq: dict[int, float] = {}
-    for doc, tok, dfv, wt in w_rows:
-        norm_sq[doc] = norm_sq.get(doc, 0.0) + wt * wt
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    # exact integer Σ wu² per doc (Python int — no float fold), then
+    # one round-to-nearest cast + sqrt, matching the SQL oracle's
+    # CAST(SUM(wu*wu) AS DOUBLE) bit-for-bit
+    norm_u2: dict[int, int] = {}
+    for doc, tok, dfv, wu in w_rows:
+        norm_u2[doc] = norm_u2.get(doc, 0) + wu * wu
         if dfv >= 2:
-            by_doc.setdefault(doc, []).append((idx[tok], wt))
+            by_doc.setdefault(doc, []).append((idx[tok], wu))
     if not by_doc:
         return cols, []
     ids = np.array(sorted(by_doc), dtype=np.int64)
     n, dim = len(ids), len(vocab)
+    # microunit weights are integers ≤ ~1.2e7, so the float64 GEMM is
+    # integer-exact (dim · max_wu² « 2^53) — identical to SQL's SUM
     mat = np.zeros((n, dim), dtype=np.float64)
+    # presence from entry membership, NOT wu != 0: a df = n_docs term
+    # has wu = 0 but still counts in the SQL kernel's COUNT(*)
+    # shared-term tally (mirrors the engine fix in
+    # operators/similarity.py:allpairs_cosine_topk_dense)
+    bin_mat = np.zeros((n, dim), dtype=np.float32)
     for i, doc in enumerate(ids):
-        for j, wt in by_doc[int(doc)]:
-            mat[i, j] = wt
-    nrm = np.sqrt(np.array([norm_sq[int(d)] for d in ids]))
-    bin_mat = (mat != 0.0).astype(np.float32)
+        for j, wu in by_doc[int(doc)]:
+            mat[i, j] = float(wu)
+            bin_mat[i, j] = 1.0
+    nrm = np.sqrt(np.array([float(norm_u2[int(d)]) for d in ids]))
     winners: list[tuple[float, int, int, int, float]] = []
     chunk = 512
     for lo in range(0, n, chunk):
@@ -343,11 +365,12 @@ def _qm09_scale_oracle(con):
     "qm09_tfidf_doc_pairs",
     oracle=_QM09_W_SQL
     + """, norms AS (
-  SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+  SELECT doc_id, sqrt(CAST(SUM(wu * wu) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
 ), dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS shared,
-         SUM(a.wt * b.wt) AS dot
+         CAST(SUM(a.wu * b.wu) AS DOUBLE) AS dot
   FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
   WHERE a.df >= 2
   GROUP BY a.doc_id, b.doc_id
@@ -402,11 +425,16 @@ def qm09(spark, sf_dir):
     variants for corpora where approximate pair generation is the
     right trade.
 
-    Float discipline: weights rounded to 6 decimals BEFORE any
-    product (identical on both engines), the final cosine rounded to
+    Float discipline: weights rounded to 6 decimals then lifted to
+    INTEGER MICROUNITS before any product, so dots and norms are
+    exact integer sums on every engine in any order (see the
+    _QM09_W_SQL comment — the natural-unit float fold was
+    order-dependent across engines and its fixture margin to the
+    rounding boundary shrank with scale); the final cosine rounded to
     6 HALF-UP on both paths, (cosine, doc_a, doc_b) total order; a
     pair exists iff it shares ≥ 1 df≥2 term (shared > 0, not
-    dot > 0 — zero-weight co-occurrences still create the pair)."""
+    dot > 0 — zero-weight co-occurrences still create the pair,
+    presence built from entry membership)."""
     from ml_data_wrangler_spark.operators.similarity import (
         allpairs_cosine_topk_dense,
     )
@@ -419,6 +447,14 @@ def qm09(spark, sf_dir):
     n = t(spark, sf_dir, "documents").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
+    # integer microunit weights: wt = round(tf·ln(N/df), 6) is a 1e-6
+    # multiple, so wu = round(wt·1e6) is an exact int64 — every
+    # downstream Σ wu·wu (norms) and Σ wu_a·wu_b (dots) is then
+    # integer-exact and ORDER-INDEPENDENT on any engine; the 1e-12
+    # unit factors cancel in cosine = dotu / (√n2u_a·√n2u_b). Bound:
+    # dim · max_wu² must stay « 2^53 for the GEMM path's float64
+    # products to be exact — pinned at the fixture tiers by
+    # tests/test_qm09_dense.py::test_microunit_exactness_bound.
     w = (
         tf.crossJoin(F.broadcast(n))
         .join(F.broadcast(dfc), "token")
@@ -427,8 +463,15 @@ def qm09(spark, sf_dir):
             "token",
             "df",
             F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("wt"),
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("wu"),
         )
     )
     # dispatch scalars: both model-sized aggregates (vocab width and
@@ -453,13 +496,23 @@ def qm09(spark, sf_dir):
             )
         )
         norms = w.groupBy("doc_id").agg(
-            F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+            F.sqrt(
+                F.sum(F.col("wu") * F.col("wu")).cast("double")
+            ).alias("nrm")
         )
         entries = (
             w.where(F.col("df") >= 2)
             .join(idx_df, "token")
             .join(norms, "doc_id")
-            .select("doc_id", "idx", "wt", "nrm")
+            # cosine is unit-invariant: microunit weights with the
+            # matching microunit norm give the same ratio, but the
+            # GEMM sums become integer-exact (order-independent)
+            .select(
+                "doc_id",
+                "idx",
+                F.col("wu").cast("double").alias("wt"),
+                "nrm",
+            )
         )
         return allpairs_cosine_topk_dense(entries, dim=len(vocab), k=20)
     # sparse/Zipfian regime: inverted-index pair join. Norm attached
@@ -472,14 +525,18 @@ def qm09(spark, sf_dir):
 
     w2 = w.withColumn(
         "nrm",
-        F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(W.partitionBy("doc_id"))),
+        F.sqrt(
+            F.sum(F.col("wu") * F.col("wu"))
+            .over(W.partitionBy("doc_id"))
+            .cast("double")
+        ),
     ).where(F.col("df") >= 2)
     a = w2.select(
-        "token", F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa"),
+        "token", F.col("doc_id").alias("doc_a"), F.col("wu").alias("wa"),
         F.col("nrm").alias("na"),
     )
     b = w2.select(
-        "token", F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb"),
+        "token", F.col("doc_id").alias("doc_b"), F.col("wu").alias("wb"),
         F.col("nrm").alias("nb"),
     )
     return (
@@ -488,7 +545,9 @@ def qm09(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("shared"),
-            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            # exact int64 sum of microunit products (≤ dim · max_wu²
+            # « int64 range at the dispatch caps) — order-independent
+            F.sum(F.col("wa") * F.col("wb")).alias("dotu"),
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
         )
@@ -496,7 +555,9 @@ def qm09(spark, sf_dir):
             "doc_a",
             "doc_b",
             "shared",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            F.round(
+                F.col("dotu").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
