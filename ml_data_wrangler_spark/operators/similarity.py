@@ -524,6 +524,7 @@ def allpairs_cosine_topk_dense(
     k: int = 20,
     id_col: str = "doc_id",
     chunk: int = 128,
+    max_broadcast_cells: int = 200_000_000,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs over a SMALL dense
     vocabulary, without ever materializing the O(n²) pair keyspace.
@@ -567,12 +568,22 @@ def allpairs_cosine_topk_dense(
     ties broken by (doc_a, doc_b); NaN cosines (zero norms) rank
     HIGHEST, matching both engines' NaN-is-largest total order.
 
-    At 100 TB: this path is gated by the caller to the small-dense
-    regime where the matrix broadcast fits (n·dim bounded); beyond it
-    the corpus is block-partitioned and the same two GEMMs run per
-    block pair (the qv08 tiered/blocked pattern) — the selection
-    logic is unchanged because top-k-of-chunk-local-top-k stays
-    exact under any partitioning of the doc_a axis.
+    At 100 TB: when n·dim ≤ ``max_broadcast_cells`` the whole matrix
+    broadcasts once (single-pass fast path). Beyond the cap the
+    corpus is split into contiguous id-RANGE blocks of ≤ cap cells
+    and the same two GEMMs run once per block: round j broadcasts
+    block j's matrix and scans only the rows with id < max(block j)
+    (no smaller id can pair into the block — the triangular prune
+    roughly halves total scan work), emitting tile-local top-k.
+    Exactness is the same argument tile-wise: each doc_b lives in
+    exactly ONE block, so every pair is scored exactly once, and a
+    global top-k pair beats all but < k pairs everywhere — in
+    particular inside its own (chunk × block) tile. Peak executor
+    memory is one block's matrix regardless of n; per-round winners
+    (O(tasks·k) rows) are drained to the driver so only one broadcast
+    is ever live. The driver holds the sorted id list (8 bytes/doc)
+    and n/B winner batches — model-sized at any corpus this dense
+    regime applies to.
     """
     import numpy as np
     import pandas as pd
@@ -584,80 +595,116 @@ def allpairs_cosine_topk_dense(
             F.collect_list(F.struct("idx", "wt")).alias("ent"),
             F.first("nrm").alias("nrm"),
         )
-        # consumed twice (driver collect for the broadcast matrix +
-        # the distributed chunk scan); pin so the weight subtree runs
-        # once. Model-sized: n rows of ≤ dim sparse entries.
+        # consumed several times (driver collect(s) for the broadcast
+        # matrix blocks + the distributed chunk scans); pin so the
+        # weight subtree runs once. Model-sized: n rows of ≤ dim
+        # sparse entries.
         .localCheckpoint()
     )
-    rows = vecs.collect()
     out_schema = "doc_a long, doc_b long, shared long, cosine double"
-    if not rows:
-        return spark.createDataFrame([], out_schema)
-    n = len(rows)
-    ids = np.empty(n, dtype=np.int64)
-    mat = np.zeros((n, dim), dtype=np.float64)
-    # presence from entry membership (wt = 0 entries still co-occur)
-    pres = np.zeros((n, dim), dtype=np.float32)
-    nrm = np.empty(n, dtype=np.float64)
-    for i, r in enumerate(rows):
-        ids[i] = r["id"]
-        nrm[i] = r["nrm"]
-        for e in r["ent"]:
-            mat[i, e["idx"]] = e["wt"]
-            pres[i, e["idx"]] = 1.0
-    bc = spark.sparkContext.broadcast((ids, mat, pres, nrm))
 
-    def score(batches):
-        all_ids, m, mb, all_nrm = bc.value
-        nn = all_ids.shape[0]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            for lo in range(0, len(pdf), chunk):
-                part = pdf.iloc[lo : lo + chunk]
-                c = len(part)
-                a_ids = part["id"].to_numpy()
-                a_nrm = part["nrm"].to_numpy()
-                a = np.zeros((c, dim), dtype=np.float64)
-                a_pres = np.zeros((c, dim), dtype=np.float32)
-                for i, ent in enumerate(part["ent"]):
-                    for e in ent:
-                        a[i, e["idx"]] = e["wt"]
-                        a_pres[i, e["idx"]] = 1.0
-                dot = a @ m.T
-                shared = (a_pres @ mb.T).astype(np.int64)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dot / (a_nrm[:, None] * all_nrm[None, :])
-                # HALF-UP to 6 decimals (cosines are ≥ 0: weights are
-                # tf·ln(N/df) ≥ 0); NaN passes through floor unchanged
-                cos = np.floor(cos * 1e6 + 0.5) / 1e6
-                valid = (a_ids[:, None] < all_ids[None, :]) & (shared > 0)
-                # selection key: NaN must outrank every finite cosine
-                # (Spark and DuckDB both order NaN above +inf)
-                key = np.where(np.isnan(cos), np.inf, cos)
-                key = np.where(valid, key, -1.0)
-                flat = key.ravel()
-                nv = int(valid.sum())
-                if nv == 0:
+    def pack(block_rows):
+        """(ids, weight matrix, presence matrix, norms) for a block.
+        Presence comes from entry MEMBERSHIP (wt = 0 entries still
+        co-occur)."""
+        nb = len(block_rows)
+        ids = np.empty(nb, dtype=np.int64)
+        mat = np.zeros((nb, dim), dtype=np.float64)
+        pres = np.zeros((nb, dim), dtype=np.float32)
+        nrm = np.empty(nb, dtype=np.float64)
+        for i, r in enumerate(block_rows):
+            ids[i] = r["id"]
+            nrm[i] = r["nrm"]
+            for e in r["ent"]:
+                mat[i, e["idx"]] = e["wt"]
+                pres[i, e["idx"]] = 1.0
+        return ids, mat, pres, nrm
+
+    def make_score(bc):
+        def score(batches):
+            all_ids, m, mb, all_nrm = bc.value
+            for pdf in batches:
+                if pdf.empty:
                     continue
-                if nv > k:
-                    top = np.argpartition(-flat, k - 1)[:k]
-                    kth = flat[top].min()
-                    cand = np.flatnonzero(flat >= kth)
-                else:
-                    cand = np.flatnonzero(key.ravel() > -1.0)
-                ca, cb = np.unravel_index(cand, key.shape)
-                order = np.lexsort((all_ids[cb], a_ids[ca], -flat[cand]))
-                sel = cand[order[:k]]
-                sa, sb = np.unravel_index(sel, key.shape)
-                yield pd.DataFrame(
-                    {
-                        "doc_a": a_ids[sa],
-                        "doc_b": all_ids[sb],
-                        "shared": shared[sa, sb],
-                        "cosine": cos[sa, sb],
-                    }
-                )
+                for lo in range(0, len(pdf), chunk):
+                    part = pdf.iloc[lo : lo + chunk]
+                    c = len(part)
+                    a_ids = part["id"].to_numpy()
+                    a_nrm = part["nrm"].to_numpy()
+                    a = np.zeros((c, dim), dtype=np.float64)
+                    a_pres = np.zeros((c, dim), dtype=np.float32)
+                    for i, ent in enumerate(part["ent"]):
+                        for e in ent:
+                            a[i, e["idx"]] = e["wt"]
+                            a_pres[i, e["idx"]] = 1.0
+                    dot = a @ m.T
+                    shared = (a_pres @ mb.T).astype(np.int64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dot / (a_nrm[:, None] * all_nrm[None, :])
+                    # HALF-UP to 6 decimals (cosines are ≥ 0: weights
+                    # are tf·ln(N/df) ≥ 0); NaN floors through as NaN
+                    cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                    valid = (a_ids[:, None] < all_ids[None, :]) & (shared > 0)
+                    # selection key: NaN must outrank every finite
+                    # cosine (Spark and DuckDB order NaN above +inf)
+                    key = np.where(np.isnan(cos), np.inf, cos)
+                    key = np.where(valid, key, -1.0)
+                    flat = key.ravel()
+                    nv = int(valid.sum())
+                    if nv == 0:
+                        continue
+                    if nv > k:
+                        top = np.argpartition(-flat, k - 1)[:k]
+                        kth = flat[top].min()
+                        cand = np.flatnonzero(flat >= kth)
+                    else:
+                        cand = np.flatnonzero(flat > -1.0)
+                    ca, cb = np.unravel_index(cand, key.shape)
+                    order = np.lexsort((all_ids[cb], a_ids[ca], -flat[cand]))
+                    sel = cand[order[:k]]
+                    sa, sb = np.unravel_index(sel, key.shape)
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": a_ids[sa],
+                            "doc_b": all_ids[sb],
+                            "shared": shared[sa, sb],
+                            "cosine": cos[sa, sb],
+                        }
+                    )
 
-    winners = vecs.mapInPandas(score, schema=out_schema)
+        return score
+
+    id_rows = vecs.select("id").orderBy("id").collect()
+    if not id_rows:
+        return spark.createDataFrame([], out_schema)
+    n = len(id_rows)
+
+    if n * dim <= max_broadcast_cells:
+        # fast path: one broadcast of the whole matrix, one scan
+        bc = spark.sparkContext.broadcast(pack(vecs.collect()))
+        winners = vecs.mapInPandas(make_score(bc), schema=out_schema)
+        return winners.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(k)
+
+    # blocked path: contiguous id-range blocks of ≤ cap cells; each
+    # round broadcasts ONE block and scans the rows that can own a
+    # pair into it (id < block max). Winners are drained per round so
+    # a single block matrix is the peak memory at any n.
+    sorted_ids = [r["id"] for r in id_rows]
+    rows_per_block = max(1, max_broadcast_cells // dim)
+    winner_rows: list = []
+    for start in range(0, n, rows_per_block):
+        block = sorted_ids[start : start + rows_per_block]
+        lo_id, hi_id = block[0], block[-1]
+        block_rows = vecs.where(
+            (F.col("id") >= lo_id) & (F.col("id") <= hi_id)
+        ).collect()
+        bc = spark.sparkContext.broadcast(pack(block_rows))
+        row_side = vecs.where(F.col("id") < hi_id)
+        winner_rows.extend(
+            row_side.mapInPandas(make_score(bc), schema=out_schema).collect()
+        )
+        bc.destroy()
+    if not winner_rows:
+        return spark.createDataFrame([], out_schema)
+    winners = spark.createDataFrame(winner_rows, out_schema)
     return winners.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(k)

@@ -234,11 +234,14 @@ def qm08(spark, sf_dir):
     return tfidf(t(spark, sf_dir, "documents"), top_n=3)
 
 
-# qm09 physical-strategy dispatch bounds (module-level so tests can
-# monkeypatch them to force the sparse postings path and assert the
-# two regimes produce identical values on the same data): the dense
-# GEMM path requires the pruned vocab to be narrow AND the dense
-# matrix to be model-sized (broadcastable).
+# qm09 physical-strategy knobs (module-level so tests can monkeypatch
+# them to force the sparse postings path / the blocked GEMM rounds and
+# assert the regimes produce identical values on the same data): the
+# dense GEMM path requires the pruned vocab to be narrow; the CELL cap
+# bounds each broadcast — matrices above it run the operator's blocked
+# id-range rounds (one block broadcast live at a time) instead of
+# falling back to the postings self-join, which is exactly the plan
+# that dies on dense vocabularies at scale.
 QM09_DENSE_VOCAB_CAP = 1024
 QM09_DENSE_CELL_CAP = 200_000_000
 
@@ -416,14 +419,18 @@ def qm09(spark, sf_dir):
       top-k winners — the same vectorized dual already proven against
       the relational plan by qv07/qv11.
 
-    The dispatch is decided by two model-sized scalars (pruned-vocab
-    width ≤ 1024 and matrix cells n·V ≤ 2e8, i.e. the dense matrix
-    broadcasts like a model table); the fixture resolves to the GEMM
-    path at every SF, so the sf0.01 driver gate hash-verifies exactly
-    the code that runs at the scale tier. qm12 (max-df capped) and
-    qm16 (stopword-pruned) remain the registry's candidate-tier
-    variants for corpora where approximate pair generation is the
-    right trade.
+    The dispatch is decided by ONE model-sized scalar (pruned-vocab
+    width ≤ 1024); the cell cap n·V ≤ 2e8 is the operator's PER-BLOCK
+    broadcast budget, not a dispatch bound — above it the GEMM runs
+    blocked id-range rounds (one block matrix live at a time), so the
+    dense regime never falls back to the postings plan that dies at
+    scale. The fixture resolves to the single-broadcast GEMM at every
+    SF, so the sf0.01 driver gate hash-verifies exactly the code that
+    runs at the scale tier, and the blocked rounds are pinned
+    value-identical by test (tests/test_qm09_dense.py). qm12 (max-df
+    capped) and qm16 (stopword-pruned) remain the registry's
+    candidate-tier variants for corpora where approximate pair
+    generation is the right trade.
 
     Float discipline: weights rounded to 6 decimals then lifted to
     INTEGER MICROUNITS before any product, so dots and norms are
@@ -474,8 +481,12 @@ def qm09(spark, sf_dir):
             .alias("wu"),
         )
     )
-    # dispatch scalars: both model-sized aggregates (vocab width and
-    # doc count), one cheap job each at plan-construction time
+    # dispatch scalar: the pruned vocab width (one model-sized
+    # aggregate job at plan-construction time). The cell cap no
+    # longer gates the dispatch — the GEMM operator block-partitions
+    # itself above it (per-block broadcast ≤ QM09_DENSE_CELL_CAP), so
+    # the dense regime never falls back to the postings self-join
+    # that dies on dense vocabularies at scale.
     vocab = [
         r["token"]
         for r in dfc.where(F.col("df") >= 2)
@@ -483,13 +494,9 @@ def qm09(spark, sf_dir):
         .orderBy("token")
         .collect()
     ]
-    n_docs_val = t(spark, sf_dir, "documents").count()
     import ml_data_wrangler_spark.plans.ml_queries as _self
 
-    if (
-        0 < len(vocab) <= _self.QM09_DENSE_VOCAB_CAP
-        and n_docs_val * len(vocab) <= _self.QM09_DENSE_CELL_CAP
-    ):
+    if 0 < len(vocab) <= _self.QM09_DENSE_VOCAB_CAP:
         idx_df = F.broadcast(
             spark.createDataFrame(
                 [(tkn, i) for i, tkn in enumerate(vocab)], "token string, idx int"
@@ -514,7 +521,12 @@ def qm09(spark, sf_dir):
                 "nrm",
             )
         )
-        return allpairs_cosine_topk_dense(entries, dim=len(vocab), k=20)
+        return allpairs_cosine_topk_dense(
+            entries,
+            dim=len(vocab),
+            k=20,
+            max_broadcast_cells=_self.QM09_DENSE_CELL_CAP,
+        )
     # sparse/Zipfian regime: inverted-index pair join. Norm attached
     # to every posting row via a doc-keyed window, so the pair
     # aggregation carries it along (F.first) — this avoids a separate

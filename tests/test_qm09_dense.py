@@ -130,6 +130,27 @@ def test_universal_token_creates_pairs(spark, tmp_path, qname):
     assert compare(qname, p_cols, p_rows, o_cols, o_rows) == []
 
 
+def test_blocked_gemm_equals_single_broadcast(spark, sf_dir, qname, monkeypatch):
+    """Above the broadcast cell cap the operator must run blocked
+    id-range rounds (round-6 verdict item 5: the docstring promised
+    the variant but the code fell back to the postings plan — exactly
+    the plan that dies on dense vocabularies at scale). Shrink the cap
+    so the fixture needs many blocks and assert the blocked rounds are
+    value-identical to the single-broadcast run AND the SQL oracle."""
+    import ml_data_wrangler_spark.plans.ml_queries as mq
+
+    cols_fast, rows_fast = _run(spark, sf_dir, qname)
+    # sf0.001 = 100 docs × 31-token vocab = 3100 cells; cap 500 → 16
+    # docs per block → 7 rounds (and uneven final block)
+    monkeypatch.setattr(mq, "QM09_DENSE_CELL_CAP", 500)
+    cols_blk, rows_blk = _run(spark, sf_dir, qname)
+    assert cols_fast == cols_blk
+    assert compare(qname, cols_blk, rows_blk, cols_fast, rows_fast) == []
+    con = duckdb_connection(sf_dir)
+    o_cols, o_rows = run_oracle(con, registry.oracle_sql()[qname])
+    assert compare(qname, cols_blk, rows_blk, o_cols, o_rows) == []
+
+
 def test_microunit_exactness_bound(sf_dir):
     """qm09's order-independence argument requires the microunit
     GEMM/sums to be integer-exact in float64/int64: dim · max_wu²
