@@ -270,16 +270,42 @@ def minhash_near_dup_pairs(
     At scale the banded join keys bound candidate generation — this is
     the structure that replaces qd02's exact index when the corpus no
     longer fits a full self-join.
+
+    The input is repartitioned to session parallelism first (trap #10
+    corollary, same as minhash_raw_signatures): the upstream is
+    typically a 1-split parquet scan, and MLlib's approxSimilarityJoin
+    BROADCASTS the small exploded hash side — so without the
+    repartition the entire explode→join→distance pipeline runs as ONE
+    task on the scan partitioning (measured at the 6× tier: a single
+    103 s task inside qd03; stage-level evidence in ROUND_NOTES r07).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(F.col("text"))
-    docs = (
-        documents.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= k)
-        .select("doc_id", _shingles_from_tokens(F.col("toks"), k).alias("shingles"))
-        .where(F.size("shingles") > 0)
+    # WHEN-guard + localCheckpoint, not WHERE filters: a filter on a
+    # derived column is pushed through the Repartition into the scan
+    # (trap #2), dragging tokenize+shingle+HashingTF+MinHash UDF
+    # evaluation into the 1-split scan task — and the self-join's two
+    # plan branches each carry a copy (measured at 6×: two concurrent
+    # single tasks of 29.9 s each). The guard leaves nothing to push;
+    # the checkpoint runs the shingling once, post-exchange, in
+    # `parallelism` tasks, and is a hard barrier for MLlib's own
+    # isnotnull(hashes) filter.
+    prepped = (
+        documents.repartition(parallelism)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("toks") >= k, _shingles_from_tokens(F.col("toks"), k)
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("shingles"),
+        )
+        .localCheckpoint()
     )
+    docs = prepped.where(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )

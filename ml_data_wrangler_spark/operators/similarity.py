@@ -211,10 +211,20 @@ def lsh_ann_pairs(
 ) -> DataFrame:
     """Approximate near-neighbor PAIRS on L2-normalized vectors via
     BucketedRandomProjectionLSH (random hyperplane projections).
-    Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2."""
+    Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2.
+
+    The corpus is repartitioned to session parallelism first (trap
+    #10 corollary): MLlib's approxSimilarityJoin broadcasts the small
+    exploded hash side, so the explode→join→distance pipeline
+    inherits the input's partitioning — on a 1-split parquet scan the
+    whole quadratic-ish candidate/verify work runs as ONE task
+    (measured at the 6× tier: a 328 s single task inside qv06 and a
+    247 s single task inside qv08; stage histograms in ROUND_NOTES
+    r07)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
 
-    feat = _to_ml_vector(corpus, vec_col, "_raw")
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    feat = _to_ml_vector(corpus.repartition(parallelism), vec_col, "_raw")
     norm = Normalizer(inputCol="_raw", outputCol="_features", p=2.0)
     feat = norm.transform(feat)
     lsh = BucketedRandomProjectionLSH(

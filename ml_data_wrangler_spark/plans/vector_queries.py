@@ -241,13 +241,27 @@ def qv06(spark, sf_dir):
         F.floor(F.col("vec_id") / 2000).cast("long").alias("sub"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    # SALT the ground-truth self-join: `sub` has only ~N/2000 distinct
+    # values (6 at the 6× tier), so a bare equi-join on it caps the
+    # quadratic scoring at 6 reduce tasks (measured: two 5-task stages
+    # of 214 s max each — trap #10's low-cardinality-key corollary).
+    # Side a carries one deterministic salt, side b is replicated to
+    # every salt value; each (a, b) pair still meets exactly once, on
+    # key (sub, salt_a). Keys: subs × parallelism.
+    n_salt = spark.sparkContext.defaultParallelism
+    a = c.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
+    ).alias("a")
+    b = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
     exact = (
         a.hint("shuffle_hash")
         .join(
             b.hint("shuffle_hash"),
             (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
