@@ -284,7 +284,20 @@ def blocked_cosine_pairs(
             / F.lit(block_cap)
         ),
     )
-    a, b = c.alias("a"), c.alias("b")
+    # SALT the self-join: (_blk, _sub) has only Σ⌈|block|/cap⌉
+    # distinct values (≈6 per label family at the 6× tier), so a bare
+    # equi-join caps the quadratic scoring at that many reduce tasks
+    # (measured: one 6-task stage, 39.6 s max task, was the whole
+    # query). Side a carries one deterministic salt, side b is
+    # replicated to every salt; each (a, b) pair still meets exactly
+    # once, on (_blk, _sub, salt_a).
+    n_salt = corpus.sparkSession.sparkContext.defaultParallelism
+    a = c.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    ).alias("a")
+    b = c.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
     # shuffle-hash: array-typed relations must never broadcast on an
     # underestimated size
@@ -294,6 +307,7 @@ def blocked_cosine_pairs(
             b.hint("shuffle_hash"),
             (F.col("a._blk") == F.col("b._blk"))
             & (F.col("a._sub") == F.col("b._sub"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(sim >= sim_threshold)

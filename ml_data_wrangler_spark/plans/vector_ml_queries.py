@@ -932,8 +932,12 @@ def qv20(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     wv = W.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    # repartition the corpus BEFORE the broadcast fan-out (trap #10):
+    # the |Q|×|C| cosine scoring otherwise pipelines on the 1-split
+    # scan partitioning (measured at 6×: one 125.9 s task)
     vtop = (
-        emb.join(F.broadcast(vq), F.col("vec_id") != F.col("query_id"))
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(vq), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
@@ -1272,7 +1276,10 @@ def qv22(spark, sf_dir):
         dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
         6,
     )
-    scored = c.join(
+    # repartition the corpus BEFORE the broadcast fan-out (trap #10):
+    # the |Q|×|C| scoring otherwise pipelines on the 1-split scan
+    # partitioning (measured at 6×: one 70.2 s task)
+    scored = c.repartition(spark.sparkContext.defaultParallelism).join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
