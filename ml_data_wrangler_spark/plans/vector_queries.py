@@ -229,12 +229,16 @@ def qv06(spark, sf_dir):
 
     The exact ground-truth side is NOT an unbounded all-pairs θ-join:
     both sides carry an id-block key floor(vec_id/2000) and equi-join
-    on it (ShuffledHashJoin — arrays never broadcast). vec_ids are
-    dense, so every test SF (≤2000 vectors) falls in ONE sub-block —
-    exact all-pairs, oracle unchanged — while at 100 TB the ground
-    truth becomes a deterministic id-block sample with Σ N·2000 total
-    comparisons (linear), each block an independent reducer. Sampled
-    ground truth is exactly how you measure ANN recall at scale."""
+    on it, SALTED (the block key alone has ~N/2000 distinct values,
+    which would cap the quadratic scoring at that many reduce tasks —
+    measured at the 6× tier before the salt: two 5-task stages at
+    214 s max task; ShuffledHashJoin — arrays never broadcast).
+    vec_ids are dense, so every test SF (≤2000 vectors) falls in ONE
+    sub-block — exact all-pairs, oracle unchanged — while at 100 TB
+    the ground truth becomes a deterministic id-block sample with
+    Σ N·2000 total comparisons (linear), spread across blocks × salts
+    reducers. Sampled ground truth is exactly how you measure ANN
+    recall at scale."""
     emb = t(spark, sf_dir, "embeddings")
     c = emb.select(
         "vec_id",
