@@ -431,6 +431,9 @@ def brute_force_topk_vectorized(
         corpus.select(
             F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
         )
+        # repartition before the scoring map (trap #10): a 1-split
+        # scan would otherwise run the whole |C|×|Q| GEMM as one task
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(score, schema="query_id long, neighbor_id long, sim double")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", F.round("sim", 6))
