@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.text import tokenize
+from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 
 
 def _shingles_from_tokens(toks, k: int):
@@ -128,9 +129,12 @@ def ngram_jaccard_pairs(
     # isnotnull(size(<shingle expr>)) filter constant-folds away
     # instead of being pushed into the scan (where it would evaluate
     # the whole tokenize→shingle expression once more, single-task).
-    raw = documents.select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
-    ).repartition(parallelism)
+    raw = ensure_parallelism(
+        documents.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        parallelism,
+    )
 
     # explode_outer + post-filter instead of plain explode: explode's
     # implicit `size(arr) > 0` filter is pushed below the exchange by
@@ -293,7 +297,7 @@ def minhash_near_dup_pairs(
     # `parallelism` tasks, and is a hard barrier for MLlib's own
     # isnotnull(hashes) filter.
     prepped = (
-        documents.repartition(parallelism)
+        ensure_parallelism(documents, parallelism)
         .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
@@ -677,9 +681,12 @@ def containment_pairs(
         F.size("toks") >= k,
         F.array_distinct(_shingles_from_tokens(F.col("toks"), k)),
     ).otherwise(F.array().cast("array<string>"))
-    raw = documents.select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
-    ).repartition(parallelism)
+    raw = ensure_parallelism(
+        documents.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        parallelism,
+    )
     pre = (
         raw.select("doc_id", toks.alias("toks"))
         .select("doc_id", shingles.alias("sh"))
@@ -762,9 +769,12 @@ def duplicate_spans(
     grams = F.when(
         F.size("toks") >= k, _shingles_from_tokens(F.col("toks"), k)
     ).otherwise(F.array().cast("array<string>"))
-    raw = documents.select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
-    ).repartition(parallelism)
+    raw = ensure_parallelism(
+        documents.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        parallelism,
+    )
     pos = (
         raw.select("doc_id", toks.alias("toks"))
         .select("doc_id", grams.alias("g"))
@@ -819,9 +829,8 @@ def minhash_raw_signatures(documents: DataFrame, k: int = 3, n_hashes: int = 128
     tasks (trap #10 corollary; the shuffle moves only raw docs)."""
     from ml_data_wrangler_spark.functions.text import tokenize
 
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.repartition(parallelism)
+        ensure_parallelism(documents)
         .select("doc_id", tokenize(F.col("text")).alias("l"))
         .where(F.size("l") >= k)
         .select(

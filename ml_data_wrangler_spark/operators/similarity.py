@@ -55,8 +55,9 @@ def brute_force_topk(
     # tasks while 30 cores idle — measured 4.6× on qv19's sibling
     # plan at the 6× tier. The shuffle moves only the pre-fan-out
     # corpus (tiny relative to the |q|×|c| scoring it parallelizes).
-    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(spark_parallelism).select(
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col)).alias("cnorm"),
@@ -223,8 +224,9 @@ def lsh_ann_pairs(
     r07)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
 
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    feat = _to_ml_vector(corpus.repartition(parallelism), vec_col, "_raw")
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
+    feat = _to_ml_vector(ensure_parallelism(corpus), vec_col, "_raw")
     norm = Normalizer(inputCol="_raw", outputCol="_features", p=2.0)
     feat = norm.transform(feat)
     lsh = BucketedRandomProjectionLSH(
@@ -290,8 +292,14 @@ def blocked_cosine_pairs(
     # (measured: one 6-task stage, 39.6 s max task, was the whole
     # query). Side a carries one deterministic salt, side b is
     # replicated to every salt; each (a, b) pair still meets exactly
-    # once, on (_blk, _sub, salt_a).
-    n_salt = corpus.sparkSession.sparkContext.defaultParallelism
+    # once, on (_blk, _sub, salt_a). The salt factor is ADAPTIVE —
+    # ceil(P / distinct keys), so at cluster scale (key count ≥ cores)
+    # it collapses to 1 and the b-side replication vanishes exactly
+    # when it would be expensive; the deciding count is one linear
+    # pass, negligible next to the Σ|block|·cap scoring it sizes.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    n_keys = max(1, c.select("_blk", "_sub").distinct().count())
+    n_salt = max(1, -(-par // n_keys))
     a = c.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
     ).alias("a")
@@ -427,13 +435,17 @@ def brute_force_topk_vectorized(
             }
             yield pd.DataFrame(out)
 
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
     scored = (
-        corpus.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+        # parallelize the scoring map (trap #10): a 1-split scan
+        # would otherwise run the whole |C|×|Q| GEMM as one task
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
-        # repartition before the scoring map (trap #10): a 1-split
-        # scan would otherwise run the whole |C|×|Q| GEMM as one task
-        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(score, schema="query_id long, neighbor_id long, sim double")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", F.round("sim", 6))

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 from ml_data_wrangler_spark.operators.similarity import (
     brute_force_topk,
     ivf_index,
@@ -716,7 +717,7 @@ def qv19(spark, sf_dir):
     # 1-2 tasks — the old five-join plan hid that by running five
     # such single-task stages in parallel
     scored = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(emb)
         .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -936,7 +937,7 @@ def qv20(spark, sf_dir):
     # the |Q|×|C| cosine scoring otherwise pipelines on the 1-split
     # scan partitioning (measured at 6×: one 125.9 s task)
     vtop = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(emb)
         .join(F.broadcast(vq), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1279,7 +1280,7 @@ def qv22(spark, sf_dir):
     # repartition the corpus BEFORE the broadcast fan-out (trap #10):
     # the |Q|×|C| scoring otherwise pipelines on the 1-split scan
     # partitioning (measured at 6×: one 70.2 s task)
-    scored = c.repartition(spark.sparkContext.defaultParallelism).join(
+    scored = ensure_parallelism(c).join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",

@@ -251,8 +251,14 @@ def qv06(spark, sf_dir):
     # of 214 s max each — trap #10's low-cardinality-key corollary).
     # Side a carries one deterministic salt, side b is replicated to
     # every salt value; each (a, b) pair still meets exactly once, on
-    # key (sub, salt_a). Keys: subs × parallelism.
-    n_salt = spark.sparkContext.defaultParallelism
+    # key (sub, salt_a). The salt factor is ADAPTIVE — ceil(P / subs),
+    # so keys ≈ parallelism: at cluster scale sub-cardinality (N/2000)
+    # already exceeds the core count and the salt collapses to 1,
+    # making the b-side replication (N·salt rows) vanish exactly when
+    # it would be expensive. One model-sized count job decides it.
+    par = spark.sparkContext.defaultParallelism
+    n_subs = max(1, -(-emb.count() // 2000))
+    n_salt = max(1, -(-par // n_subs))
     a = c.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
     ).alias("a")

@@ -442,3 +442,28 @@ def test_capped_tfidf_no_uncapped_blowup(spark, sf_dir, q):
     plan = _plan(q["qm12_tfidf_pairs_capped"](spark, sf_dir))
     assert "pythonUDF" not in plan.lower()
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar-N only
+
+
+def test_ensure_parallelism_is_conditional(spark):
+    """ensure_parallelism must repartition a below-parallelism input
+    up to session parallelism AND leave an already-parallel input
+    untouched — the unconditional repartition(cores) it replaces would
+    coalesce a many-partition scan into multi-GB tasks at cluster
+    scale and pay a full extra shuffle (round-7 scale-correctness
+    review of the trap-#10 fix family)."""
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    boosted = ensure_parallelism(small)
+    assert boosted.rdd.getNumPartitions() == par
+    assert boosted.count() == 1000
+
+    wide = spark.range(1000).repartition(par + 7)
+    kept = ensure_parallelism(wide)
+    # untouched: same object, no extra exchange on top
+    assert kept is wide
+    # explicit floor above the current width still repartitions
+    wider = ensure_parallelism(wide, par + 50)
+    assert wider.rdd.getNumPartitions() == par + 50
