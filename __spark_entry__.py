@@ -38,19 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's correctness gate already recorded, grouped by
-# the round whose CORRECTNESS_r{N}.json first gated them (the driver
+# the round whose CORRECTNESS_r{N}.json LAST verified them (the driver
 # snapshots ~50 queries per round in queries() order). As of r06 the
 # union covers the full 213-query registry with zero value mismatches
 # ever recorded, so the steady-state gate order is a re-verification
-# rotation: oldest-gated names order FIRST so each round's snapshot
-# re-checks the queries whose last driver verification is most stale.
-# Any future never-gated query would still jump the whole rotation.
+# rotation: stalest-verified names order FIRST so each round's
+# snapshot re-checks the queries whose last driver verification is
+# oldest, and each round's fold MOVES the re-verified names to the
+# end of this list (r07 re-gated the r01∪r02 block, so that block now
+# holds the newest rank). tests/test_quality_contract.py asserts the
+# newest CORRECTNESS file's names hold the newest rank, so a stalled
+# rotation is a red test. Any future never-gated query would still
+# jump the whole rotation.
 _GATED_ROUNDS: list[list[str]] = [
-    # r01 ∪ r02
-    [f"q{i:02d}" for i in range(1, 33)]
-    + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
-    + ["qj01", "qj02", "qj03"]
-    + [f"qw{i:02d}" for i in range(1, 9)],
     # r03
     [f"qc{i:02d}" for i in range(1, 7)]
     + ["qd01", "qd02", "qd06", "qd07", "qd08"]
@@ -84,6 +84,12 @@ _GATED_ROUNDS: list[list[str]] = [
     # 16 final never-driver-gated names; 213/213 coverage complete)
     ["q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
      "qe39", "qm16", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"],
+    # r07 re-verification (CORRECTNESS_r07.json: 50/50 hash-PASS —
+    # the r01∪r02 block, re-gated green on current testdata)
+    [f"q{i:02d}" for i in range(1, 33)]
+    + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
+    + ["qj01", "qj02", "qj03"]
+    + [f"qw{i:02d}" for i in range(1, 9)],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

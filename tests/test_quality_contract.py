@@ -198,11 +198,48 @@ def test_gate_lists_have_no_stale_names():
     # the gate ordering must be a permutation of the registry
     ordered = list(e.queries())
     assert sorted(ordered) == sorted(registry.queries())
-    # steady-state rotation: with full coverage, the r01/r02 names
-    # (stalest driver verification) must front the next snapshot
+    # steady-state rotation: with full coverage, the stalest-verified
+    # names (rank 0 — the r03 block since the r07 fold) must front the
+    # next snapshot
     rank = {s: i for i, rnd in enumerate(e._GATED_ROUNDS) for s in rnd}
     head_ranks = [rank[e._short(n)] for n in ordered[:30]]
     assert head_ranks == sorted(head_ranks) and head_ranks[0] == 0
+
+
+def test_gate_rotation_advances():
+    """The steady-state re-verification rotation must actually rotate
+    (round-7 verdict item 1): _gate_order ranks by the static
+    _GATED_ROUNDS index, so if a round's re-verified names are not
+    MOVED to the newest rank, the next snapshot re-checks the same ~50
+    queries forever and the other blocks go stale. Tripwire: the
+    newest CORRECTNESS_r*.json's green names must hold exactly the
+    newest rotation rank (red test = fold pending, same discipline as
+    test_gate_fold_is_complete)."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    gate_files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    newest = max(
+        gate_files,
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    with open(newest) as fh:
+        results = json.load(fh)
+    green = {
+        e._short(n)
+        for n, res in results.items()
+        if res.get("err") is None and res.get("rows_match")
+    }
+    assert green == set(e._GATED_ROUNDS[-1]), (
+        f"rotation stalled: {os.path.basename(newest)}'s green names must "
+        "be the newest _GATED_ROUNDS entry — move the re-verified names "
+        "to the end of the list in __spark_entry__.py"
+    )
 
 
 def test_gate_fold_is_complete():
