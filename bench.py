@@ -19,6 +19,17 @@ Two tiers, each with its own same-box baseline in BASELINE.md:
 Per-query time = wall time of plan construction + full materialization
 (count-style action that forces every row). A JVM warm-up query runs
 first so JIT/codegen overhead isn't attributed to the first query.
+
+Round 8: the warm-up additionally fits a 4-row MLlib LDA once, because
+MLlib's first fit in a session pays ~4-5 s of one-time class loading
+(breeze + netlib-BLAS JNI probe + OnlineLDAOptimizer codegen) that was
+being attributed to whichever query hit MLlib first — measured on this
+box: qm04 9.8 s as the session's first LDA vs 4.0 s warm, identical
+plans. That cost is per-JVM, not per-query (amortized to zero on a
+long-lived cluster), so charging it to qm04 misstated the query's
+cost. NOTE for cross-round comparisons: this lowers tier 1 by ~4-5 s
+relative to rounds ≤7 for warm-up reasons, not code reasons —
+BASELINE.md records the same-commit before/after pair.
 """
 
 from __future__ import annotations
@@ -74,6 +85,21 @@ HEAVY = [
 ]
 
 
+def _warm_mllib(spark) -> None:
+    """One-time MLlib init (class loading, netlib-BLAS probe, LDA
+    optimizer codegen) on a 4-row literal dataframe — see module
+    docstring. ~2-3 s of warm-up wall, charged to no query."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.linalg import Vectors
+
+    tiny = spark.createDataFrame(
+        [(Vectors.dense([1.0, 2.0, 1.0]),) for _ in range(4)], ["bow"]
+    )
+    model = LDA(k=2, maxIter=1, seed=0, featuresCol="bow",
+                optimizer="online").fit(tiny)
+    model.describeTopics(2).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -87,6 +113,7 @@ def main() -> None:
     # warm-up: exercise parquet reader, shuffle, codegen paths once
     warm = queries["q01_pricing_summary"]
     warm(spark, sf_dir).count()
+    _warm_mllib(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + HEAVY:

@@ -7,6 +7,11 @@ Spark event log on and prints, per query, every stage's task count and
 total executor run time, so heavy lines are pinned with MEASURED task
 histograms instead of narrative.
 
+Since round 8 the event-log parsing lives in tests/stage_audit.py and
+the parity sweep itself (tests/run_parity.py) prints a per-query
+parallelism verdict for heavy lines; this script remains the
+full-histogram drill-down for investigating a flagged query.
+
 Usage:
     PYTHONPATH=/root/repo python scripts/audit_stage_parallelism.py \
         SF_DIR --only q1,q2 [--min-task-sec 1.0]
@@ -20,8 +25,8 @@ parallelism are flagged SERIAL.
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
 import sys
 import time
 
@@ -45,6 +50,7 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     from ml_data_wrangler_spark.plans import registry
+    from tests.stage_audit import event_log_conf, serial_stages, stages_by_group
 
     queries = registry.queries()
     if only:
@@ -52,11 +58,8 @@ def main() -> int:
         if unknown:
             sys.exit(f"unknown --only names: {', '.join(unknown)}")
 
-    import shutil
-
     event_dir = "/tmp/spark-events-audit"
     shutil.rmtree(event_dir, ignore_errors=True)
-    os.makedirs(event_dir, exist_ok=True)
 
     from ml_data_wrangler_spark.session import get_spark
 
@@ -66,10 +69,7 @@ def main() -> int:
         cpus=cpus,
         shuffle_partitions=max(cpus, 8),
         driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": f"file://{event_dir}",
-        },
+        extra_conf=event_log_conf(event_dir),
     )
     sc = spark.sparkContext
 
@@ -88,95 +88,20 @@ def main() -> int:
     app_id = sc.applicationId
     spark.stop()
 
-    # parse the event log: job -> group, job -> stage ids, stage
-    # metrics. Spark 4 writes a rolling v2 DIRECTORY
-    # (eventlog_v2_<app>/events_*_<app>); older versions a flat file.
-    flat = os.path.join(event_dir, app_id)
-    if os.path.isfile(flat):
-        log_files = [flat]
-    else:
-        v2 = os.path.join(event_dir, f"eventlog_v2_{app_id}")
-        log_files = sorted(
-            os.path.join(v2, f)
-            for f in os.listdir(v2)
-            if f.startswith("events_")
-        )
-    job_group: dict[int, str] = {}
-    job_stages: dict[int, list[int]] = {}
-    stage_info: dict[int, dict] = {}
-    task_time: dict[int, float] = {}
-    task_max: dict[int, float] = {}
-    task_n: dict[int, int] = {}
-
-    def _events():
-        import io
-        import subprocess
-
-        for path in log_files:
-            if path.endswith(".zstd"):
-                # Spark compresses rolling event logs with zstd
-                proc = subprocess.Popen(
-                    ["zstd", "-dc", path], stdout=subprocess.PIPE
-                )
-                yield from io.TextIOWrapper(proc.stdout)
-                proc.wait()
-            else:
-                with open(path) as fh:
-                    yield from fh
-
-    for line in _events():
-            ev = json.loads(line)
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                job_group[jid] = (ev.get("Properties") or {}).get(
-                    "spark.jobGroup.id", ""
-                )
-                job_stages[jid] = [
-                    s["Stage ID"] for s in ev.get("Stage Infos", [])
-                ]
-            elif kind == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stage_info[si["Stage ID"]] = si
-            elif kind == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                run = (ev.get("Task Metrics") or {}).get(
-                    "Executor Run Time", 0
-                ) / 1000.0
-                task_time[sid] = task_time.get(sid, 0.0) + run
-                task_max[sid] = max(task_max.get(sid, 0.0), run)
-                task_n[sid] = task_n.get(sid, 0) + 1
-
-    stage_to_group: dict[int, str] = {}
-    for jid, stages in job_stages.items():
-        for sid in stages:
-            stage_to_group.setdefault(sid, job_group.get(jid, ""))
-
-    by_group: dict[str, list[int]] = {}
-    for sid in stage_info:
-        by_group.setdefault(stage_to_group.get(sid, "?"), []).append(sid)
-
+    by_group = stages_by_group(event_dir, app_id)
     for group in sorted(by_group):
         if only is not None and group not in only:
             continue
         print(f"\n=== {group} (wall {walls.get(group, float('nan')):.1f}s) ===")
-        sids = sorted(
-            by_group[group], key=lambda s: -task_time.get(s, 0.0)
-        )
-        for sid in sids:
-            si = stage_info[sid]
-            n_tasks = task_n.get(sid, si.get("Number of Tasks", 0))
-            run = task_time.get(sid, 0.0)
-            if run < 0.05:
+        flagged = {s.stage_id for s in serial_stages(by_group[group], cpus, min_task_sec)}
+        for s in by_group[group]:
+            if s.run_sec < 0.05:
                 continue
-            flag = ""
-            if run >= min_task_sec and n_tasks < max(2, cpus // 2):
-                flag = "  <-- SERIAL"
-            name_head = si.get("Stage Name", "")[:70]
+            flag = "  <-- SERIAL" if s.stage_id in flagged else ""
             print(
-                f"  stage {sid:4d} tasks={n_tasks:3d} "
-                f"run={run:8.1f}s max_task={task_max.get(sid, 0.0):7.1f}s "
-                f"{name_head}{flag}",
+                f"  stage {s.stage_id:4d} tasks={s.n_tasks:3d} "
+                f"run={s.run_sec:8.1f}s max_task={s.max_task_sec:7.1f}s "
+                f"{s.name[:70]}{flag}",
                 flush=True,
             )
     return 0

@@ -19,11 +19,25 @@ Embeddings: replica 1 identical, replicas >= 2 offset by 0.0005*k in
 every dimension (near-identical direction, distinct vectors).
 
 Pure DuckDB; run: python scripts/make_scale_data.py [R] [out_dir]
+        [--tables t1,t2] [--multi-file]
+
+--tables restricts scaling to the named tables; the rest are copied
+from SRC at 1× (round-8 step-up tier: documents/embeddings at 12-20×
+for the dedup/ANN/BM25/GEMM families — relational scaling was settled
+at 6×, so replicating lineitem again would only slow the sweep).
+--multi-file writes each scaled table as a DIRECTORY of one parquet
+file per replica instead of one big file. That is the layout a real
+cluster reads (a 100 TB table is tens of thousands of files), and it
+is the regime the round-7 deactivation logic needs to be verified in:
+the scan arrives ≥R splits wide, so ensure_parallelism must NO-OP
+rather than repartition (Spark and the DuckDB-glob oracle handle a
+.parquet directory natively — see oracle_harness.duckdb_connection).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -81,23 +95,53 @@ def replica_sql(rep: int) -> dict[str, str]:
 
 
 def main() -> None:
-    r = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.scale/sf0.{r}"
+    argv = list(sys.argv[1:])
+    multi_file = "--multi-file" in argv
+    if multi_file:
+        argv.remove("--multi-file")
+    scale_tables: set[str] | None = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        scale_tables = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    r = int(argv[0]) if argv else 6
+    out = argv[1] if len(argv) > 1 else f"/root/repo/.scale/sf0.{r}"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
-    for t in ["region", "nation"]:
-        con.execute(
-            f"COPY (SELECT * FROM {t}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
-        print(f"{t}: copied", flush=True)
-    for t in replica_sql(0):
-        union = " UNION ALL ".join(replica_sql(k)[t] for k in range(r))
-        con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
-        print(f"{t}: {n} rows", flush=True)
+    growing = list(replica_sql(0))
+    unknown = (scale_tables or set()) - set(growing)
+    if unknown:
+        sys.exit(f"--tables names not scalable: {', '.join(sorted(unknown))}")
+    copy_1x = ["region", "nation"] + (
+        [t for t in growing if t not in scale_tables] if scale_tables else []
+    )
+    for t in copy_1x:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"{t}: copied 1x", flush=True)
+    for t in growing:
+        if scale_tables and t not in scale_tables:
+            continue
+        dest = f"{out}/{t}.parquet"
+        if multi_file:
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(dest)
+            for k in range(r):
+                con.execute(
+                    f"COPY ({replica_sql(k)[t]}) TO "
+                    f"'{dest}/part-{k:05d}.parquet' (FORMAT PARQUET)"
+                )
+            n = con.execute(
+                f"SELECT COUNT(*) FROM '{dest}/*.parquet'"
+            ).fetchone()[0]
+            print(f"{t}: {n} rows in {r} files", flush=True)
+        else:
+            union = " UNION ALL ".join(replica_sql(k)[t] for k in range(r))
+            con.execute(f"COPY ({union}) TO '{dest}' (FORMAT PARQUET)")
+            n = con.execute(f"SELECT COUNT(*) FROM '{dest}'").fetchone()[0]
+            print(f"{t}: {n} rows", flush=True)
     print(f"wrote {out}", flush=True)
 
 

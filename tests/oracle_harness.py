@@ -48,9 +48,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         f"SET memory_limit = '{os.environ.get('DUCKDB_MEMORY_LIMIT', '24GB')}'"
     )
     for name in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        # scale tiers write big tables as DIRECTORIES of part files
+        # (multi-split scans — the realistic cluster layout); Spark
+        # reads those natively, DuckDB needs the glob form
+        path = f"{sf_dir}/{name}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
     return con
 
 

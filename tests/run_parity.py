@@ -1,11 +1,20 @@
 """Standalone parity runner (same checks as test_oracle_parity, with
 per-query timing) — usage:
 python tests/run_parity.py [sf_dir] [--only name1,name2,...] [--sig N]
+        [--audit-wall W] [--audit-stage S] [--audit-strict]
 
 --sig N rounds floats to N significant digits before hashing — for
 scale smokes above the gate tiers only, where DuckDB's decimal→double
 cast drifts 1 ulp on ≥16-significant-digit sums (see oracle_harness
-docstring). The driver-gate mirror (no flag) stays bit-exact."""
+docstring). The driver-gate mirror (no flag) stays bit-exact.
+
+Every sweep also runs under the Spark event log and ends with a
+per-query PARALLELISM VERDICT for heavy lines (spark wall ≥ W seconds,
+default 10): any stage burning ≥ S executor-seconds (default 5) at
+fewer than half the session's cores prints as SERIAL (the trap-#10/#11
+signature — see tests/stage_audit.py). Flag-only by default so the
+gate mirror's exit code stays a pure correctness signal;
+--audit-strict makes SERIAL lines fail the run (scale sweeps)."""
 
 from __future__ import annotations
 
@@ -37,6 +46,11 @@ def main() -> int:
 
     only_arg = _flag_arg("--only")
     only: set[str] | None = set(only_arg.split(",")) if only_arg else None
+    audit_wall = float(_flag_arg("--audit-wall") or "10.0")
+    audit_stage = float(_flag_arg("--audit-stage") or "5.0")
+    audit_strict = "--audit-strict" in argv
+    if audit_strict:
+        argv.remove("--audit-strict")
     sig_arg = _flag_arg("--sig")
     sig: int | None = None
     if sig_arg is not None:
@@ -65,12 +79,18 @@ def main() -> int:
     # smokes above sf0.1 override via SPARK_GRAFT_CPUS / _MEMORY
     import os
 
+    import tempfile
+
+    from tests.stage_audit import event_log_conf, stages_by_group, verdict_lines
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 8))
+    event_dir = tempfile.mkdtemp(prefix="parity-events-")
     spark = get_spark(
         app_name="parity",
         cpus=cpus,
         shuffle_partitions=max(cpus, 8),
         driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        extra_conf=event_log_conf(event_dir),
     )
     con = duckdb_connection(sf_dir)
     oracles = registry.oracle_sql()
@@ -89,14 +109,17 @@ def main() -> int:
             over_bound.add(qname)
     failures = 0
     ran = 0
+    spark_walls: dict[str, float] = {}
     for name in sorted(queries):
         if only is not None and name not in only:
             continue
         ran += 1
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.time()
         try:
             cols, rows = run_spark_query(spark, queries[name], sf_dir)
             t_spark = time.time() - t0
+            spark_walls[name] = t_spark
             if name in over_bound and name in scale_oracles:
                 o_cols, o_rows = scale_oracles[name](con)
                 problems = compare(name, cols, rows, o_cols, o_rows, sig=sig)
@@ -133,7 +156,41 @@ def main() -> int:
             # heap is large, so organic GC may never run)
             spark.sparkContext._jvm.System.gc()
     print(f"\n{failures} failures / {ran} queries", flush=True)
-    return 1 if failures else 0
+
+    # parallelism verdicts for heavy lines (event log flushes on stop)
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    serial_count = 0
+    try:
+        lines = verdict_lines(
+            stages_by_group(event_dir, app_id),
+            spark_walls,
+            cpus,
+            min_wall_sec=audit_wall,
+            min_stage_sec=audit_stage,
+        )
+        serial_count = sum(1 for ln in lines if ": SERIAL " in ln)
+        for ln in lines:
+            print(ln, flush=True)
+        if lines:
+            print(
+                f"\n{serial_count} serial-stage flags / "
+                f"{len(spark_walls)} queries (wall>={audit_wall:g}s, "
+                f"stage>={audit_stage:g}s, cpus={cpus})",
+                flush=True,
+            )
+    except Exception:
+        print("audit: event-log parse failed:", flush=True)
+        traceback.print_exc()
+    finally:
+        import shutil
+
+        shutil.rmtree(event_dir, ignore_errors=True)
+    if failures:
+        return 1
+    if audit_strict and serial_count:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
