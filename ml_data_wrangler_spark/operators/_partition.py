@@ -35,3 +35,22 @@ def ensure_parallelism(
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def adaptive_salt(parallelism: int, n_keys: int) -> int:
+    """Salt factor for a shuffle join on a low-cardinality key:
+    ``ceil(parallelism / n_keys)``, floored at 1.
+
+    A bare equi-join on a key with fewer distinct values than cores
+    caps its reduce side at that many tasks (trap #10's corollary —
+    measured round 7: qv06's 6-value sub-block key ran the quadratic
+    ground truth as two 5-task stages of 214 s max). Salting side a
+    with one deterministic value in [0, salt) and exploding side b to
+    all salt values restores parallelism; making the factor INVERSELY
+    proportional to key cardinality means it collapses to exactly 1 —
+    and the b-side replication vanishes — once natural keys saturate
+    the cluster, which is precisely the regime where replication
+    would be quadratic waste. Both directions are pinned by unit test
+    and, since round 8, asserted on real multi-split scale data
+    (tests/test_scale_deactivation.py)."""
+    return max(1, -(-parallelism // max(1, n_keys)))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+from ml_data_wrangler_spark.operators._partition import adaptive_salt
 
 
 def brute_force_topk(
@@ -299,7 +300,7 @@ def blocked_cosine_pairs(
     # pass, negligible next to the Σ|block|·cap scoring it sizes.
     par = corpus.sparkSession.sparkContext.defaultParallelism
     n_keys = max(1, c.select("_blk", "_sub").distinct().count())
-    n_salt = max(1, -(-par // n_keys))
+    n_salt = adaptive_salt(par, n_keys)
     a = c.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
     ).alias("a")

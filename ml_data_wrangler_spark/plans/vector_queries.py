@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
+from ml_data_wrangler_spark.operators._partition import adaptive_salt
 from ml_data_wrangler_spark.operators.similarity import (
     brute_force_topk,
     ivf_index,
@@ -258,7 +259,7 @@ def qv06(spark, sf_dir):
     # it would be expensive. One model-sized count job decides it.
     par = spark.sparkContext.defaultParallelism
     n_subs = max(1, -(-emb.count() // 2000))
-    n_salt = max(1, -(-par // n_subs))
+    n_salt = adaptive_salt(par, n_subs)
     a = c.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
     ).alias("a")

@@ -1,0 +1,130 @@
+"""Round-7's parallelism fixes must DEACTIVATE in the wide regime —
+asserted on REAL multi-split scale data, not just unit fixtures
+(round-7 verdict item 2).
+
+The step-up tier (.scale/docs16x, scripts/make_scale_data.py 16
+--tables documents,embeddings --multi-file) writes documents and
+embeddings as 16-file directories, so their scans arrive ≥ cores wide
+(Spark bin-packs the files to ``bytesPerCore``; a forced-small
+``maxPartitionBytes`` makes them strictly exceed the cores — the
+100 TB shape). In that regime:
+
+  * ``ensure_parallelism`` must be a no-op on the scans (the same
+    helper that widens a 1-split sf0.1 scan — an unconditional
+    repartition here would COALESCE the multi-split scan and pay an
+    extra full shuffle);
+  * the adaptive join salts must collapse to 1, computed from the
+    REAL key cardinalities the two salted call sites derive
+    (qv06's vec_id sub-blocks, blocked_cosine_pairs' (_blk, _sub)
+    distinct count) — b-side replication must vanish exactly when
+    natural keys saturate the cores.
+
+Skips when the step-up tier hasn't been generated (it is
+.gitignore'd build output, ~17 MB)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DOCS16X = "/root/repo/.scale/docs16x"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(DOCS16X, "documents.parquet")),
+    reason="step-up scale tier not generated (scripts/make_scale_data.py)",
+)
+
+
+@pytest.fixture(scope="module")
+def scale_spark(spark):
+    """The shared test session, provided its parallelism does not
+    exceed the step-up tier's file count (the regime under test:
+    input splits ≥ cores). The conftest default is 8 ≤ 16."""
+    par = spark.sparkContext.defaultParallelism
+    if par > 16:
+        pytest.skip(f"session parallelism {par} > 16 files — not the wide regime")
+    return spark
+
+
+def test_ensure_parallelism_noops_on_multisplit_scan(scale_spark):
+    """Two real wide regimes over the 16-file scans:
+
+    1. default conf — Spark's own file bin-packing sizes the scan to
+       ``bytesPerCore``, so it already arrives ≥ cores wide;
+    2. forced-small ``maxPartitionBytes`` — splits strictly EXCEED the
+       core count (the 100 TB shape, where a repartition would
+       coalesce).
+
+    In both, the trap-#10 fix must leave the scan untouched."""
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    par = scale_spark.sparkContext.defaultParallelism
+    for table in ("documents", "embeddings"):
+        df = read_table(scale_spark, DOCS16X, table)
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts >= par, (
+            f"{table}: {n_parts} splits < {par} cores — not the wide regime"
+        )
+        # the exact call shape of the qd03/qv08/qv20 fix family
+        assert ensure_parallelism(df) is df, (
+            f"{table}: ensure_parallelism repartitioned a {n_parts}-split "
+            "scan — the fix is pessimizing the wide regime"
+        )
+
+    before = scale_spark.conf.get("spark.sql.files.maxPartitionBytes")
+    scale_spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+    try:
+        df = read_table(scale_spark, DOCS16X, "documents")
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts > par, f"expected > {par} splits, got {n_parts}"
+        assert ensure_parallelism(df) is df
+    finally:
+        scale_spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+
+def test_qv06_salt_collapses_to_one_on_real_counts(scale_spark):
+    """qv06's ground-truth self-join salt (plans/vector_queries.py):
+    n_subs = ceil(count/2000) = 16 at this tier ≥ parallelism → 1."""
+    from ml_data_wrangler_spark.operators._partition import adaptive_salt
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    emb = read_table(scale_spark, DOCS16X, "embeddings")
+    par = scale_spark.sparkContext.defaultParallelism
+    n_subs = max(1, -(-emb.count() // 2000))
+    assert n_subs >= par, f"tier invariant broken: {n_subs} subs < {par} cores"
+    assert adaptive_salt(par, n_subs) == 1
+    # and the sf0.1 regime still salts (the other direction, real data)
+    emb_small = read_table(scale_spark, "/root/testdata/sf0.1", "embeddings")
+    n_small = max(1, -(-emb_small.count() // 2000))
+    assert adaptive_salt(par, n_small) > 1
+
+
+def test_blocked_pairs_salt_collapses_on_real_keys(scale_spark):
+    """blocked_cosine_pairs' (_blk, _sub) key count at the step-up
+    tier — derived exactly as the operator derives it (id-ranked
+    sub-blocks of ≤1000 per label) — saturates the cores, so its
+    adaptive salt must be 1."""
+    from ml_data_wrangler_spark.operators._partition import adaptive_salt
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    emb = read_table(scale_spark, DOCS16X, "embeddings")
+    par = scale_spark.sparkContext.defaultParallelism
+    n_keys = (
+        emb.select(
+            "label",
+            F.floor(
+                (F.row_number().over(
+                    W.partitionBy("label").orderBy("vec_id")
+                ) - 1) / F.lit(1000)
+            ).alias("_sub"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_keys >= par, f"tier invariant broken: {n_keys} keys < {par} cores"
+    assert adaptive_salt(par, n_keys) == 1
