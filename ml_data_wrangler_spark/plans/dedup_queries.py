@@ -134,9 +134,11 @@ def qd06(spark, sf_dir):
     )
 
 
-@query(
-    "qd07_neardup_clusters",
-    oracle=f"""
+# qd07's linear-ish prologue (tokens → 3-gram shingles → exact-Jaccard
+# ≥ 0.6 edge list), shared verbatim between the SQL oracle and the
+# Python scale-oracle so the two can never drift on the GRAPH — only
+# the transitive-closure kernel differs (recursive SQL vs union-find).
+_QD07_JAC_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, {SQL_TOKS} AS l FROM documents
 ), sh AS (
@@ -155,7 +157,50 @@ WITH RECURSIVE toks AS (
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
   WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-), edges AS (
+)"""
+
+
+def _qd07_scale_oracle(con):
+    """Scale-tier oracle for qd07: the SQL oracle's recursive
+    transitive closure materializes Σ|component|² reachability rows —
+    at the 16× duplicate-heavy tier (665k edges, dup cliques fused
+    across sources) that took 843 s against a 61 s Spark side, pure
+    oracle cost. Beyond the registered bound the oracle changes
+    ALGORITHM, not semantics: DuckDB still computes the edge list
+    (the SQL oracle's own CTEs, textually shared via _QD07_JAC_SQL)
+    and a union-find labels every document with its component's
+    minimum doc_id — the same value `LEAST(u, MIN(v))` selects from
+    the closure."""
+    pairs = con.execute(
+        _QD07_JAC_SQL + "\nSELECT doc_a, doc_b FROM jac"
+    ).fetchall()
+    all_ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id so the root IS the cluster label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return ["doc_id", "cluster_id"], [
+        (int(d), int(find(int(d)))) for d in all_ids
+    ]
+
+
+@query(
+    "qd07_neardup_clusters",
+    oracle=_QD07_JAC_SQL
+    + """, edges AS (
   SELECT doc_a AS u, doc_b AS v FROM jac
   UNION
   SELECT doc_b, doc_a FROM jac
@@ -169,6 +214,8 @@ WITH RECURSIVE toks AS (
 SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """,
+    scale_oracle=_qd07_scale_oracle,
+    oracle_scale_bound=("documents", 40_000),
 )
 def qd07(spark, sf_dir):
     """Near-dup CLUSTER ASSIGNMENT: exact 3-gram Jaccard ≥ 0.6 pairs →
