@@ -31,18 +31,32 @@ _SQL_COS = (
 
 @query(
     "qv01_knn_bruteforce",
+    # the |Q|x|C| scoring is MATERIALIZED to scalars before the window:
+    # letting the window's ORDER BY recompute the cosine keeps both
+    # 64-dim arrays alive in the (unspillable) window pin — at the 16x
+    # tier (1600x32000 pairs) that OOM-killed DuckDB at its 24 GB cap,
+    # while the scalarized stream is ~30 bytes/row (same trap as
+    # qv19/qv21, ROUND_NOTES r07). Norms hoisted per vector: identical
+    # float ops (sqrt, then multiply, then divide), so values are
+    # bit-identical to the inline form the gate tiers hashed.
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 20 = 0)
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS n
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM c WHERE vec_id % 20 = 0),
+scored AS MATERIALIZED (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv, c.v) / (qn * c.n), 6) AS sim
+  FROM q JOIN c ON c.vec_id <> q.query_id
+)
 SELECT query_id, neighbor_id, sim, rank
 FROM (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) AS sim,
+  SELECT query_id, neighbor_id, sim,
          CAST(ROW_NUMBER() OVER (
-             PARTITION BY query_id
-             ORDER BY ROUND({_SQL_COS.format(a="qv", b="c.v")}, 6) DESC, c.vec_id
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
          ) AS BIGINT) AS rank
-  FROM q JOIN c ON c.vec_id <> q.query_id
+  FROM scored
 )
 WHERE rank <= 5
 """,
