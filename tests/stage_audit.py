@@ -23,7 +23,6 @@ from __future__ import annotations
 import io
 import json
 import os
-import subprocess
 from dataclasses import dataclass
 
 
@@ -47,7 +46,12 @@ class StageStats:
 
 def _event_lines(event_dir: str, app_id: str):
     """Yield event-log JSON lines; handles Spark 4's rolling v2
-    directory (events_*, optionally .zstd) and the flat v1 file."""
+    directory (events_*, optionally .zstd) and the flat v1 file.
+
+    zstd decompression goes through pyarrow (always present in this
+    image) — long sessions roll compressed segments and the box has
+    no zstd CLI, which silently cost round 8 its first full-sweep
+    audit section."""
     flat = os.path.join(event_dir, app_id)
     if os.path.isfile(flat):
         log_files = [flat]
@@ -60,9 +64,10 @@ def _event_lines(event_dir: str, app_id: str):
         )
     for path in log_files:
         if path.endswith(".zstd"):
-            proc = subprocess.Popen(["zstd", "-dc", path], stdout=subprocess.PIPE)
-            yield from io.TextIOWrapper(proc.stdout)
-            proc.wait()
+            import pyarrow as pa
+
+            with pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd") as zs:
+                yield from io.TextIOWrapper(zs, encoding="utf-8")
         else:
             with open(path) as fh:
                 yield from fh

@@ -102,8 +102,15 @@ sys.path.insert(0, sys.argv[2])
 from tests.stage_audit import event_log_conf, stages_by_group, verdict_lines
 from ml_data_wrangler_spark.session import get_spark
 
+# compressed rolling logs: the layout long sweeps actually produce
+# (the box has no zstd CLI — decompression must work in-process)
+conf = event_log_conf(event_dir) | {
+    "spark.eventLog.rolling.enabled": "true",
+    "spark.eventLog.compress": "true",
+    "spark.eventLog.compression.codec": "zstd",
+}
 spark = get_spark(app_name="audit-fixture", cpus=4, shuffle_partitions=4,
-                  driver_memory="2g", extra_conf=event_log_conf(event_dir))
+                  driver_memory="2g", extra_conf=conf)
 sc = spark.sparkContext
 from pyspark.sql import functions as F
 
