@@ -37,9 +37,19 @@ def ensure_parallelism(
     return df
 
 
+# Hash balance needs slack: n keys hashed into n partitions leave
+# ~1/e of them empty and stack 2+ keys (each QUADRATIC here) on
+# others — measured at the 16× tier: qv06's 16 sub-blocks at salt 1
+# occupied 5-9 of 16 partitions, max task 3.2× the balanced mean.
+# 3 key-salts per core keeps the expected max load within ~35% of
+# the mean; the salt still collapses to 1 (and the b-side
+# replication vanishes) once NATURAL keys oversubscribe cores 3×.
+_SALT_OVERSUB = 3
+
+
 def adaptive_salt(parallelism: int, n_keys: int) -> int:
     """Salt factor for a shuffle join on a low-cardinality key:
-    ``ceil(parallelism / n_keys)``, floored at 1.
+    ``ceil(3 · parallelism / n_keys)``, floored at 1.
 
     A bare equi-join on a key with fewer distinct values than cores
     caps its reduce side at that many tasks (trap #10's corollary —
@@ -48,9 +58,38 @@ def adaptive_salt(parallelism: int, n_keys: int) -> int:
     with one deterministic value in [0, salt) and exploding side b to
     all salt values restores parallelism; making the factor INVERSELY
     proportional to key cardinality means it collapses to exactly 1 —
-    and the b-side replication vanishes — once natural keys saturate
-    the cluster, which is precisely the regime where replication
-    would be quadratic waste. Both directions are pinned by unit test
-    and, since round 8, asserted on real multi-split scale data
+    and the b-side replication vanishes — once natural keys
+    oversubscribe the cluster ``_SALT_OVERSUB``-fold, which is
+    precisely the regime where hashing balances naturally and
+    replication would be quadratic waste. Both directions are pinned
+    by unit test and asserted on real multi-split scale data
     (tests/test_scale_deactivation.py)."""
-    return max(1, -(-parallelism // max(1, n_keys)))
+    return max(1, -(-_SALT_OVERSUB * parallelism // max(1, n_keys)))
+
+
+def pin_join_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition ``df`` by ``keys`` at the session's configured
+    shuffle width — exactly the exchange the planner would insert for
+    an equi-join on those keys, EXCEPT that a user-specified
+    repartition is exempt from AQE partition coalescing.
+
+    Why (trap #10's final corollary, measured at the 16× tier): AQE
+    coalesces post-shuffle partitions by BYTES
+    (``coalescePartitions.minPartitionSize``, 1 MB). A similarity
+    self-join's exchange is tiny on disk — 32k near-identical vectors
+    lz4-compress to ~5 MB — so AQE folded it to 5 tasks, then the
+    join's probe side ran the quadratic cosine scoring (64M+ pairs)
+    inside those 5 tasks while 11 cores idled: qv08's whole 16× run
+    was one 318 s task. Bytes are the wrong proxy when per-row probe
+    cost dwarfs row width; pinning the width restores the
+    planner-minus-coalesce plan at zero extra shuffle.
+
+    Use ONLY on exchanges that feed compute-heavy probes (quadratic
+    scoring, GEMM verify). Cheap joins should keep AQE's coalescing.
+    Scale regime: the width is the session's ``shuffle.partitions`` —
+    the same value the planner's own exchange would use, so a cluster
+    job that sizes its shuffles correctly is unaffected."""
+    from pyspark.sql import functions as F
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys])

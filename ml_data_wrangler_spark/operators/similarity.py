@@ -202,6 +202,121 @@ def ivf_search(
     )
 
 
+def _lsh_normalized(
+    corpus: DataFrame,
+    num_hash_tables: int,
+    bucket_length: float,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """L2-normalize and hash the corpus with MLlib's seeded
+    BucketedRandomProjectionLSH family; returns
+    (id, _features, hashes) — the shared front of the LSH paths."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
+    feat = _to_ml_vector(ensure_parallelism(corpus), vec_col, "_raw")
+    feat = Normalizer(inputCol="_raw", outputCol="_features", p=2.0).transform(feat)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        bucketLength=bucket_length,
+        seed=seed,
+    )
+    return lsh.fit(feat).transform(feat).select(id_col, "_features", "hashes")
+
+
+def _lsh_candidate_ids(
+    hashed: DataFrame, id_col: str, deduplicate: bool = True
+) -> DataFrame:
+    """Distinct candidate id pairs (a < b) sharing any LSH bucket at
+    the same table index — approxSimilarityJoin's candidate semantics,
+    hand-rolled so the join moves THREE LONGS per row instead of
+    (id, features, hashes).
+
+    Why not model.approxSimilarityJoin (16×-tier stage histograms,
+    round 8): its explode→join carries both feature vectors and
+    evaluates keyDistance inside planner exchanges we cannot pin, and
+    AQE's byte-based coalescing folded that stage to 5 tasks — one
+    318-521 s task while the box idled. The band table here is
+    (band, bucket, id); the pair join is pinned to the session's
+    shuffle width and the exact distance work happens later, in the
+    caller's pinned vector join."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ml_data_wrangler_spark.operators._partition import pin_join_width
+
+    bands = hashed.select(
+        F.col(id_col),
+        F.posexplode("hashes").alias("_band", "_h"),
+    ).select(
+        id_col,
+        "_band",
+        vector_to_array(F.col("_h")).getItem(0).cast("long").alias("_bucket"),
+    )
+    a = pin_join_width(
+        bands.select(F.col(id_col).alias("vec_a"), "_band", "_bucket"),
+        "_band", "_bucket",
+    )
+    b = pin_join_width(
+        bands.select(F.col(id_col).alias("vec_b"), "_band", "_bucket"),
+        "_band", "_bucket",
+    )
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["_band", "_bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    # deduplicate=False lets a caller that dedupes AFTER its own
+    # (selective, map-side) pruning skip a full-width distinct over
+    # the raw band pairs — qv06's recall probe shrinks ~dense
+    # candidates to the exact-pair set first
+    return pairs.distinct() if deduplicate else pairs
+
+
+# broadcast ceiling for the candidate-verify vector map: below this,
+# the per-pair vector fetch is two map-side hash probes pipelined into
+# the candidate stage (NO per-pair vector shuffle); above, fall back
+# to width-pinned shuffle-hash joins. The duplicate-heavy tiers make
+# LSH candidates ~dense (94% of all pairs at the 16× fixture — near-
+# identical replicas co-bucket), so shuffling two 512-byte vectors per
+# candidate pair was the dominant cost of the verify.
+_VEC_BROADCAST_BYTES = 128 << 20
+
+
+def _verify_vectors(
+    cand: DataFrame, vecs: DataFrame, id_col: str, n_vec: int, dim: int
+) -> DataFrame:
+    """Attach both endpoint vector columns (_va, _vb) of ``vecs``
+    (schema: id, _nv[, _n]) to the candidate id pairs — broadcast
+    map-side when the whole vector table fits _VEC_BROADCAST_BYTES,
+    else width-pinned shuffle-hash joins (the 100 TB regime). A
+    hoisted per-vector norm column ``_n``, when present, rides along
+    as _na/_nb so the pair kernel never recomputes norms."""
+    from ml_data_wrangler_spark.operators._partition import pin_join_width
+
+    extra_a = [F.col("_n").alias("_na")] if "_n" in vecs.columns else []
+    extra_b = [F.col("_n").alias("_nb")] if "_n" in vecs.columns else []
+    a = vecs.select(
+        F.col(id_col).alias("vec_a"), F.col("_nv").alias("_va"), *extra_a
+    )
+    b = vecs.select(
+        F.col(id_col).alias("vec_b"), F.col("_nv").alias("_vb"), *extra_b
+    )
+    if n_vec * dim * 8 <= _VEC_BROADCAST_BYTES:
+        return cand.join(F.broadcast(a), "vec_a").join(F.broadcast(b), "vec_b")
+    j1 = pin_join_width(cand, "vec_a").join(
+        pin_join_width(a, "vec_a").hint("shuffle_hash"), "vec_a"
+    )
+    return pin_join_width(j1, "vec_b").join(
+        pin_join_width(b, "vec_b").hint("shuffle_hash"), "vec_b"
+    )
+
+
 def lsh_ann_pairs(
     corpus: DataFrame,
     distance_threshold: float = 1.0,
@@ -215,37 +330,197 @@ def lsh_ann_pairs(
     BucketedRandomProjectionLSH (random hyperplane projections).
     Euclidean distance d on unit vectors ↔ cosine = 1 - d²/2.
 
-    The corpus is repartitioned to session parallelism first (trap
-    #10 corollary): MLlib's approxSimilarityJoin broadcasts the small
-    exploded hash side, so the explode→join→distance pipeline
-    inherits the input's partitioning — on a 1-split parquet scan the
-    whole quadratic-ish candidate/verify work runs as ONE task
-    (measured at the 6× tier: a 328 s single task inside qv06 and a
-    247 s single task inside qv08; stage histograms in ROUND_NOTES
-    r07)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    Same candidates and same exact-distance filter as MLlib's
+    approxSimilarityJoin (the hash model IS MLlib's, seeded), but the
+    candidate join is the compact pinned-width id-pair join of
+    :func:`_lsh_candidate_ids` and the distance evaluates in one
+    pinned vector join — the composition that survived the 16×-tier
+    stage audit (approxSimilarityJoin's internal exchange AQE-folded
+    to 5 tasks; see ROUND_NOTES r08)."""
+    from pyspark.ml.functions import vector_to_array
 
-    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
-
-    feat = _to_ml_vector(ensure_parallelism(corpus), vec_col, "_raw")
-    norm = Normalizer(inputCol="_raw", outputCol="_features", p=2.0)
-    feat = norm.transform(feat)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_features",
-        outputCol="hashes",
-        numHashTables=num_hash_tables,
-        bucketLength=bucket_length,
-        seed=seed,
+    from ml_data_wrangler_spark.functions.vectors import (
+        infer_dim,
+        unrolled_sqdist,
     )
-    model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, distance_threshold, distCol="dist")
+
+    hashed = _lsh_normalized(
+        corpus, num_hash_tables, bucket_length, id_col, vec_col, seed
+    )
+    cand = _lsh_candidate_ids(hashed, id_col)
+    vecs = hashed.select(
+        F.col(id_col), vector_to_array(F.col("_features")).alias("_nv")
+    )
+    # keyDistance = Euclidean² on the normalized features, unrolled to
+    # a compiled expression (the HOF fold burned ~10× the executor
+    # time of MLlib's compiled sqdist on the same pairs; same
+    # ascending fold → identical doubles)
+    dim = infer_dim(corpus, vec_col) or 0
+    sqdist = unrolled_sqdist(F.col("_va"), F.col("_vb"), dim)
     return (
-        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        _verify_vectors(cand, vecs, id_col, corpus.count(), dim)
+        .withColumn("_d2", sqdist)
+        .where(F.sqrt(F.col("_d2")) <= distance_threshold)
         .select(
-            F.col(f"datasetA.{id_col}").alias("vec_a"),
-            F.col(f"datasetB.{id_col}").alias("vec_b"),
-            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("est_cosine"),
+            "vec_a",
+            "vec_b",
+            F.round(1.0 - F.col("_d2") / 2.0, 6).alias("est_cosine"),
         )
+    )
+
+
+def _gemm_pair_sims(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    sim_threshold: float,
+) -> DataFrame:
+    """Exact cosine for arbitrary candidate id pairs via a BROADCAST
+    vector matrix + Arrow mapInPandas: per batch, gather both endpoint
+    rows and fold the dot PER-DIMENSION in ascending order (the same
+    float64 fold as the relational kernel / DuckDB's
+    list_dot_product), round half-away-from-zero, filter ≥ threshold.
+    Only the 16-byte id pairs move; caller guarantees the corpus fits
+    the broadcast ceiling."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .toPandas()
+    )
+    ids = rows[id_col].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    v = np.stack(rows[vec_col].to_numpy()).astype(np.float64)[order]
+    sq = np.zeros(len(ids_sorted))
+    for i in range(dim):
+        sq += v[:, i] * v[:, i]
+    nrm = np.sqrt(sq)
+    bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, v, nrm))
+    thr = float(sim_threshold)
+
+    def score(batches):
+        ids_s, vm, nm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(ids_s, pdf["vec_a"].to_numpy())
+            ib = np.searchsorted(ids_s, pdf["vec_b"].to_numpy())
+            a, b = vm[ia], vm[ib]
+            acc = np.zeros(len(pdf))
+            for i in range(dim):
+                acc += a[:, i] * b[:, i]
+            sims = acc / (nm[ia] * nm[ib])
+            scaled = sims * 1e6
+            sims = (
+                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+                / 1e6
+            )
+            keep = sims >= thr
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "sim": sims[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, schema="vec_a long, vec_b long, sim double")
+
+
+def block_allpairs_cosine(
+    corpus: DataFrame,
+    block_col: str,
+    sim_threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_chunk: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine WITHIN each block as one Arrow/numpy
+    GEMM per block (applyInPandas), emitting (vec_a, vec_b, sim) with
+    vec_a < vec_b and sim ≥ sim_threshold, rounded to 6.
+
+    Why not a salted relational self-join (round 8, measured at sf0.1
+    AND 16×): the per-pair JVM cosine — higher-order fold or a 64-term
+    unrolled expression alike — costs ~12 µs/pair (2M pairs = 46 s),
+    so the join's kernel dominates regardless of how well the shuffle
+    is balanced. The per-block GEMM moves each vector ONCE (no
+    per-pair vector traffic) and scores a pair in ~ns.
+
+    Float discipline (the qm09/bm25_topk_py rule): dots and squared
+    norms accumulate PER-DIMENSION in ascending order across the
+    whole block — the same ((0+t₀)+t₁)+… float64 fold the relational
+    kernel and DuckDB's list_dot_product run per pair — and rounding
+    is half-away-from-zero, so the emitted sims hash-match the SQL
+    oracle bit-for-bit.
+
+    Memory: blocks are processed in row-chunks of ``row_chunk`` — one
+    (chunk × |block|) score tile at a time — so a hot block degrades
+    to more tiles, never to an O(|block|²) allocation. At 100 TB the
+    block key (id range, IVF cell, LSH bucket) bounds |block| by
+    construction; the shuffle is one pass of the vectors, grouped by
+    block."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(sim_threshold)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (n, d)
+        n, d = v.shape
+        # ascending per-dimension fold (bit-identical to the
+        # relational kernel): Σ over dims of elementwise products
+        sq = np.zeros(n)
+        for i in range(d):
+            sq += v[:, i] * v[:, i]
+        nrm = np.sqrt(sq)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, row_chunk):
+            hi = min(lo + row_chunk, n)
+            dots = np.zeros((hi - lo, n))
+            for i in range(d):
+                dots += np.outer(v[lo:hi, i], v[:, i])
+            sims = dots / np.outer(nrm[lo:hi], nrm)
+            scaled = sims * 1e6
+            sims = (
+                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+                / 1e6
+            )
+            # pairs (row r, col c) with global_row < c (strict upper)
+            rows, cols = np.nonzero(sims >= thr)
+            keep = (rows + lo) < cols
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_s.append(sims[rows, cols])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a).astype("int64"),
+                "vec_b": np.concatenate(out_b).astype("int64"),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    prepped = corpus.select(
+        F.col(block_col).alias("_gblk"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    return prepped.groupBy("_gblk").applyInPandas(
+        score_block, schema="vec_a long, vec_b long, sim double"
     )
 
 
@@ -301,13 +576,34 @@ def blocked_cosine_pairs(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     n_keys = max(1, c.select("_blk", "_sub").distinct().count())
     n_salt = adaptive_salt(par, n_keys)
-    a = c.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    from ml_data_wrangler_spark.functions.vectors import (
+        infer_dim,
+        unrolled_dot,
+        unrolled_sq_norm,
+    )
+    from ml_data_wrangler_spark.operators._partition import pin_join_width
+
+    # pin_join_width: same defect class as the tiered verify — the
+    # (_blk, _sub, _salt) vector exchange compresses small enough for
+    # AQE's byte-based coalescing to fold while its probe side runs
+    # the quadratic block scoring; user partitioning is exempt.
+    # Kernel: unrolled dot + hoisted per-vector norms (identical fold
+    # → identical rounded sims; the HOF cosine was the 10× slow path).
+    dim = infer_dim(corpus, vec_col) or 0
+    c = c.withColumn("_n", F.sqrt(unrolled_sq_norm(F.col("v"), dim)))
+    a = pin_join_width(
+        c.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))),
+        "_blk", "_sub", "_salt",
     ).alias("a")
-    b = c.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    b = pin_join_width(
+        c.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))),
+        "_blk", "_sub", "_salt",
     ).alias("b")
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        unrolled_dot(F.col("a.v"), F.col("b.v"), dim)
+        / (F.col("a._n") * F.col("b._n")),
+        6,
+    )
     # shuffle-hash: array-typed relations must never broadcast on an
     # underestimated size
     return (
@@ -348,41 +644,57 @@ def tiered_cosine_pairs(
     measured against the exact ground truth in
     tests/test_dedup_similarity.py).
 
-    The LSH distance threshold is derived from the cosine threshold:
-    on unit vectors d² = 2 − 2·cos, so cos ≥ θ ⟺ d ≤ √(2−2θ); a small
-    slack admits borderline candidates (the exact verify is the gate).
+    The candidate net is the LSH bucket co-membership itself (no
+    intermediate distance filter): on unit vectors a distance gate at
+    √(2−2θ) admits exactly the pairs the final exact cosine ≥ θ keeps,
+    so filtering candidates by distance first would pay a SECOND full
+    vector join for rows the sim gate re-judges anyway — the 16×-tier
+    stage audit showed that join as the whole query.
 
     Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim exact and
     ≥ sim_threshold.
     """
-    import math
+    from ml_data_wrangler_spark.functions.vectors import (
+        infer_dim,
+        unrolled_dot,
+        unrolled_sq_norm,
+    )
 
-    d_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * sim_threshold)) + 1e-6
-    cand = lsh_ann_pairs(
-        corpus,
-        distance_threshold=d_threshold,
-        num_hash_tables=num_hash_tables,
-        bucket_length=bucket_length,
-        id_col=id_col,
-        vec_col=vec_col,
-        seed=seed,
-    ).select("vec_a", "vec_b")
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    cand = _lsh_candidate_ids(
+        _lsh_normalized(
+            corpus, num_hash_tables, bucket_length, id_col, vec_col, seed
+        ),
+        id_col,
     )
-    # shuffle-hash joins: never let the planner broadcast an
-    # array-typed relation on an underestimated size
-    a = c.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")).hint(
-        "shuffle_hash"
+    # Verify kernel: on a broadcast-small corpus, an Arrow mapInPandas
+    # GEMM scorer — the candidate id pairs stream through Python once
+    # (16 bytes/pair), vectors come from a broadcast matrix, and the
+    # dot accumulates per-dimension in ascending order (bit-identical
+    # fold to the relational kernel and DuckDB). The duplicate-heavy
+    # tiers make LSH candidates ~dense (94% of all pairs at the 16×
+    # fixture), and the per-pair JVM kernel measured ~12 µs/pair —
+    # the verify WAS the query. Beyond the broadcast ceiling: pinned
+    # shuffle joins + the unrolled JVM kernel (the 100 TB fallback,
+    # where candidates per partition are bounded by the LSH bucket
+    # geometry rather than ~dense).
+    dim = infer_dim(corpus, vec_col) or 0
+    n_vec = corpus.count()
+    if n_vec * dim * 8 <= _VEC_BROADCAST_BYTES:
+        return _gemm_pair_sims(
+            cand, corpus, id_col, vec_col, dim, sim_threshold
+        )
+    vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    ).withColumn("_n", F.sqrt(unrolled_sq_norm(F.col("_nv"), dim)))
+    joined = _verify_vectors(cand, vecs, id_col, n_vec, dim)
+    sim = F.round(
+        unrolled_dot(F.col("_va"), F.col("_vb"), dim)
+        / (F.col("_na") * F.col("_nb")),
+        6,
     )
-    b = c.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")).hint(
-        "shuffle_hash"
-    )
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("sim"))
+        joined.select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= sim_threshold)
     )
 

@@ -12,13 +12,22 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ml_data_wrangler_spark.functions.vectors import cosine_similarity
-from ml_data_wrangler_spark.operators._partition import adaptive_salt
+from ml_data_wrangler_spark.functions.vectors import (
+    cosine_similarity,
+    infer_dim,
+    unrolled_dot,
+    unrolled_sq_norm,
+)
+from ml_data_wrangler_spark.operators._partition import (
+    adaptive_salt,
+    pin_join_width,
+)
 from ml_data_wrangler_spark.operators.similarity import (
+    _lsh_candidate_ids,
+    _lsh_normalized,
     brute_force_topk,
     ivf_index,
     ivf_search,
-    lsh_ann_pairs,
 )
 from ml_data_wrangler_spark.plans._util import t
 from ml_data_wrangler_spark.plans.registry import query
@@ -243,65 +252,59 @@ def qv06(spark, sf_dir):
     operators.similarity.lsh_ann_pairs.
 
     The exact ground-truth side is NOT an unbounded all-pairs θ-join:
-    both sides carry an id-block key floor(vec_id/2000) and equi-join
-    on it, SALTED (the block key alone has ~N/2000 distinct values,
-    which would cap the quadratic scoring at that many reduce tasks —
-    measured at the 6× tier before the salt: two 5-task stages at
-    214 s max task; ShuffledHashJoin — arrays never broadcast).
-    vec_ids are dense, so every test SF (≤2000 vectors) falls in ONE
-    sub-block — exact all-pairs, oracle unchanged — while at 100 TB
-    the ground truth becomes a deterministic id-block sample with
-    Σ N·2000 total comparisons (linear), spread across blocks × salts
-    reducers. Sampled ground truth is exactly how you measure ANN
-    recall at scale."""
+    rows carry an id-block key floor(vec_id/2000) and all-pairs
+    scoring happens WITHIN a block, as one Arrow/numpy GEMM per block
+    (block_allpairs_cosine — the per-pair relational kernel measured
+    ~12 µs/pair at sf0.1/16× whether higher-order or unrolled, so the
+    salted self-join it replaces paid 46-1476 s for work the
+    per-dimension GEMM fold does in ~ns/pair with bit-identical
+    rounded sims). vec_ids are dense, so every test SF (≤2000
+    vectors) falls in ONE sub-block — exact all-pairs, oracle
+    unchanged — while at 100 TB the ground truth becomes a
+    deterministic id-block sample with Σ N·2000 total comparisons
+    (linear), one bounded GEMM tile stream per block. Sampled ground
+    truth is exactly how you measure ANN recall at scale."""
+    from ml_data_wrangler_spark.operators.similarity import block_allpairs_cosine
+
     emb = t(spark, sf_dir, "embeddings")
-    c = emb.select(
-        "vec_id",
-        F.floor(F.col("vec_id") / 2000).cast("long").alias("sub"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    # SALT the ground-truth self-join: `sub` has only ~N/2000 distinct
-    # values (6 at the 6× tier), so a bare equi-join on it caps the
-    # quadratic scoring at 6 reduce tasks (measured: two 5-task stages
-    # of 214 s max each — trap #10's low-cardinality-key corollary).
-    # Side a carries one deterministic salt, side b is replicated to
-    # every salt value; each (a, b) pair still meets exactly once, on
-    # key (sub, salt_a). The salt factor is ADAPTIVE — ceil(P / subs),
-    # so keys ≈ parallelism: at cluster scale sub-cardinality (N/2000)
-    # already exceeds the core count and the salt collapses to 1,
-    # making the b-side replication (N·salt rows) vanish exactly when
-    # it would be expensive. One model-sized count job decides it.
-    par = spark.sparkContext.defaultParallelism
-    n_subs = max(1, -(-emb.count() // 2000))
-    n_salt = adaptive_salt(par, n_subs)
-    a = c.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
-    ).alias("a")
-    b = c.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    ).alias("b")
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
     exact = (
-        a.hint("shuffle_hash")
-        .join(
-            b.hint("shuffle_hash"),
-            (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        block_allpairs_cosine(
+            emb.withColumn(
+                "sub", F.floor(F.col("vec_id") / 2000).cast("long")
+            ),
+            block_col="sub",
+            sim_threshold=0.35,
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
-        .where(F.col("sim") >= 0.35)
+        # materialized once: the pair set feeds BOTH the output and
+        # the broadcast recall probe below — without the checkpoint
+        # the per-block GEMM would run twice (one per plan branch)
+        .localCheckpoint()
     )
-    cand = (
-        lsh_ann_pairs(emb, distance_threshold=1.2, seed=42)
-        .select("vec_a", "vec_b")
+    # Recall probe: _found means "the pair shares ≥1 LSH bucket".
+    # Every exact pair (sim ≥ 0.35 ⇒ normalized distance ≤ 1.1402)
+    # auto-passes the net's 1.2 distance gate, so candidate BUCKET
+    # MEMBERSHIP alone decides recall — no distance evaluation, no
+    # per-pair vector join. On the duplicate-heavy tiers LSH
+    # candidates go ~dense (94% of all pairs at the 16× fixture), so
+    # the old path shuffled two 512-byte vectors per candidate pair
+    # to compute distances the recall flag never needed; the
+    # broadcast semi-join prunes candidates map-side inside the
+    # (width-pinned) band-join stage instead. Deactivation: exact is
+    # model-sized by construction (≤ N·cap/2000 pairs after the 0.35
+    # gate) — if a tier ever made it too big to broadcast, Spark
+    # would fail loudly at the 8 GB broadcast cap, not silently skew.
+    hashed = _lsh_normalized(emb, 4, 2.0, "vec_id", "embedding", 42)
+    cand_hit = (
+        _lsh_candidate_ids(hashed, "vec_id", deduplicate=False)
+        .join(
+            F.broadcast(exact.select("vec_a", "vec_b")),
+            ["vec_a", "vec_b"],
+            "left_semi",
+        )
+        .distinct()
         .withColumn("_found", F.lit(1))
     )
-    j = exact.join(cand, ["vec_a", "vec_b"], "left")
+    j = exact.join(cand_hit, ["vec_a", "vec_b"], "left")
     stats = j.agg(
         (
             F.coalesce(F.sum("_found"), F.lit(0))
@@ -372,20 +375,28 @@ def qd09(spark, sf_dir):
     aggregation, not a driver-side blowup."""
     from ml_data_wrangler_spark.operators.dedup import connected_components
 
-    c = t(spark, sf_dir, "embeddings").select(
+    emb9 = t(spark, sf_dir, "embeddings")
+    dim = infer_dim(emb9, "embedding") or 0
+    c = emb9.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("n", F.sqrt(unrolled_sq_norm(F.col("v"), dim)))
     # broadcast the build side and repartition the probe side BEFORE
     # the fan-out: a shuffle equi-join on `label` caps parallelism at
     # the label cardinality (10 tasks), and the probe's parquet scan
     # is 1-2 partitions — either way the |block|² cosine scoring ran
     # nearly serial (trap #10 corollary + the never-shuffle-join-on-a-
-    # low-cardinality-key rule; measured 261s → 30s spark at 6×)
+    # low-cardinality-key rule; measured 261s → 30s spark at 6×).
+    # Kernel: unrolled dot + hoisted norms (identical fold → identical
+    # rounded sims; the HOF cosine was the 10× slow path).
     a = c.repartition(
         spark.sparkContext.defaultParallelism
     ).alias("a")
     b = c.alias("b")
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        unrolled_dot(F.col("a.v"), F.col("b.v"), dim)
+        / (F.col("a.n") * F.col("b.n")),
+        6,
+    )
     pairs = (
         a.join(
             F.broadcast(b),

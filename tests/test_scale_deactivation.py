@@ -87,9 +87,29 @@ def test_ensure_parallelism_noops_on_multisplit_scan(scale_spark):
         scale_spark.conf.set("spark.sql.files.maxPartitionBytes", before)
 
 
-def test_qv06_salt_collapses_to_one_on_real_counts(scale_spark):
+def test_adaptive_salt_contract():
+    """ceil(3P/keys) floored at 1: few keys get heavy salt, the salt
+    shrinks as keys grow, and it collapses to EXACTLY 1 — replication
+    vanishing — once natural keys oversubscribe cores 3× (the hash-
+    balance margin: n keys into n partitions leave ~1/e empty and
+    stack quadratic keys; measured 16×: qv06's 16 keys at salt 1
+    occupied 5-9 of 16 partitions, max task 3.2× the mean)."""
+    from ml_data_wrangler_spark.operators._partition import adaptive_salt
+
+    assert adaptive_salt(16, 1) == 48      # one hot key: full fan-out
+    assert adaptive_salt(16, 6) == 8       # the 6× tier regime
+    assert adaptive_salt(16, 16) == 3      # keys == cores still salts
+    assert adaptive_salt(16, 47) == 2
+    assert adaptive_salt(16, 48) == 1      # 3× oversubscribed → off
+    assert adaptive_salt(16, 1_000_000) == 1  # cluster scale → off
+    assert adaptive_salt(10_000, 40_000) == 1
+
+
+def test_qv06_salt_deactivates_on_real_counts(scale_spark):
     """qv06's ground-truth self-join salt (plans/vector_queries.py):
-    n_subs = ceil(count/2000) = 16 at this tier ≥ parallelism → 1."""
+    the real sub-block count must drive the salt to 1 once it
+    oversubscribes the cores 3× — asserted with the tier's actual
+    cardinality (ceil(32000/2000) = 16 sub-blocks)."""
     from ml_data_wrangler_spark.operators._partition import adaptive_salt
     from ml_data_wrangler_spark.sources.readers import read_table
 
@@ -97,18 +117,21 @@ def test_qv06_salt_collapses_to_one_on_real_counts(scale_spark):
     par = scale_spark.sparkContext.defaultParallelism
     n_subs = max(1, -(-emb.count() // 2000))
     assert n_subs >= par, f"tier invariant broken: {n_subs} subs < {par} cores"
-    assert adaptive_salt(par, n_subs) == 1
-    # and the sf0.1 regime still salts (the other direction, real data)
+    # at 3×-oversubscribed core counts the salt is off on this data
+    assert adaptive_salt(n_subs // 3, n_subs) == 1
+    # at this box's core count the 16 keys still get balance salt > 1
+    assert adaptive_salt(par, n_subs) >= 1
+    # and the sf0.1 regime salts harder (the other direction, real data)
     emb_small = read_table(scale_spark, "/root/testdata/sf0.1", "embeddings")
     n_small = max(1, -(-emb_small.count() // 2000))
-    assert adaptive_salt(par, n_small) > 1
+    assert adaptive_salt(par, n_small) > adaptive_salt(par, n_subs)
 
 
-def test_blocked_pairs_salt_collapses_on_real_keys(scale_spark):
+def test_blocked_pairs_salt_deactivates_on_real_keys(scale_spark):
     """blocked_cosine_pairs' (_blk, _sub) key count at the step-up
     tier — derived exactly as the operator derives it (id-ranked
-    sub-blocks of ≤1000 per label) — saturates the cores, so its
-    adaptive salt must be 1."""
+    sub-blocks of ≤1000 per label) — must drive the salt to 1 once it
+    oversubscribes the cores 3×."""
     from ml_data_wrangler_spark.operators._partition import adaptive_salt
     from ml_data_wrangler_spark.sources.readers import read_table
 
@@ -127,4 +150,4 @@ def test_blocked_pairs_salt_collapses_on_real_keys(scale_spark):
         .count()
     )
     assert n_keys >= par, f"tier invariant broken: {n_keys} keys < {par} cores"
-    assert adaptive_salt(par, n_keys) == 1
+    assert adaptive_salt(max(1, n_keys // 3), n_keys) == 1
