@@ -11,8 +11,14 @@ Three tiers:
     L2-normalized vectors (cosine ≈ monotone in euclidean distance on
     the unit sphere), constant-size bucket keys.
 
-All scoring is JVM-side (functions/vectors.py); no Python in the
-per-pair inner loop.
+Scoring kernels: top-k paths score JVM-side (functions/vectors.py);
+the all-pairs/verify paths (block_allpairs_cosine, _gemm_pair_sims)
+use Arrow-batched numpy GEMM with a per-dimension ascending float64
+fold — measured round 8: the per-pair JVM expression kernel costs
+~12 µs/pair (higher-order fold and 64-term unrolled alike), so on
+pair-dense inputs the GEMM is the difference between the join
+machinery mattering and not. The fold order keeps rounded sims
+bit-identical to the relational kernel and the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
-from ml_data_wrangler_spark.operators._partition import adaptive_salt
+
 
 
 def brute_force_topk(
@@ -433,7 +439,7 @@ def _gemm_pair_sims(
 
 def block_allpairs_cosine(
     corpus: DataFrame,
-    block_col: str,
+    block_col: str | list[str],
     sim_threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -514,12 +520,13 @@ def block_allpairs_cosine(
             }
         )
 
+    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
     prepped = corpus.select(
-        F.col(block_col).alias("_gblk"),
+        *[F.col(c) for c in block_cols],
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    return prepped.groupBy("_gblk").applyInPandas(
+    return prepped.groupBy(*block_cols).applyInPandas(
         score_block, schema="vec_a long, vec_b long, sim double"
     )
 
@@ -562,65 +569,20 @@ def blocked_cosine_pairs(
             / F.lit(block_cap)
         ),
     )
-    # SALT the self-join: (_blk, _sub) has only Σ⌈|block|/cap⌉
-    # distinct values (≈6 per label family at the 6× tier), so a bare
-    # equi-join caps the quadratic scoring at that many reduce tasks
-    # (measured: one 6-task stage, 39.6 s max task, was the whole
-    # query). Side a carries one deterministic salt, side b is
-    # replicated to every salt; each (a, b) pair still meets exactly
-    # once, on (_blk, _sub, salt_a). The salt factor is ADAPTIVE —
-    # ceil(P / distinct keys), so at cluster scale (key count ≥ cores)
-    # it collapses to 1 and the b-side replication vanishes exactly
-    # when it would be expensive; the deciding count is one linear
-    # pass, negligible next to the Σ|block|·cap scoring it sizes.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    n_keys = max(1, c.select("_blk", "_sub").distinct().count())
-    n_salt = adaptive_salt(par, n_keys)
-    from ml_data_wrangler_spark.functions.vectors import (
-        infer_dim,
-        unrolled_dot,
-        unrolled_sq_norm,
-    )
-    from ml_data_wrangler_spark.operators._partition import pin_join_width
-
-    # pin_join_width: same defect class as the tiered verify — the
-    # (_blk, _sub, _salt) vector exchange compresses small enough for
-    # AQE's byte-based coalescing to fold while its probe side runs
-    # the quadratic block scoring; user partitioning is exempt.
-    # Kernel: unrolled dot + hoisted per-vector norms (identical fold
-    # → identical rounded sims; the HOF cosine was the 10× slow path).
-    dim = infer_dim(corpus, vec_col) or 0
-    c = c.withColumn("_n", F.sqrt(unrolled_sq_norm(F.col("v"), dim)))
-    a = pin_join_width(
-        c.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))),
-        "_blk", "_sub", "_salt",
-    ).alias("a")
-    b = pin_join_width(
-        c.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))),
-        "_blk", "_sub", "_salt",
-    ).alias("b")
-    sim = F.round(
-        unrolled_dot(F.col("a.v"), F.col("b.v"), dim)
-        / (F.col("a._n") * F.col("b._n")),
-        6,
-    )
-    # shuffle-hash: array-typed relations must never broadcast on an
-    # underestimated size
-    return (
-        a.hint("shuffle_hash")
-        .join(
-            b.hint("shuffle_hash"),
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("a._sub") == F.col("b._sub"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .where(sim >= sim_threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            sim.alias("sim"),
-        )
+    # One GEMM per (_blk, _sub) group (block_allpairs_cosine): the
+    # salted relational self-join this replaces was join-balance
+    # machinery around a ~12 µs/pair JVM kernel — the per-dimension
+    # numpy fold scores the same pairs at ~ns each with bit-identical
+    # rounded sims, moves each vector once, and the ≤``block_cap``
+    # group size bounds every GEMM tile by construction. Parallelism
+    # = number of sub-blocks (N/cap at scale ≫ cores); no salt, no
+    # width pinning, nothing to deactivate.
+    return block_allpairs_cosine(
+        c,
+        block_col=["_blk", "_sub"],
+        sim_threshold=sim_threshold,
+        id_col=id_col,
+        vec_col="v",
     )
 
 

@@ -32,7 +32,7 @@ def salted_join(
     right: DataFrame,
     on: Sequence[str],
     how: str = "inner",
-    n_salts: int = 16,
+    n_salts: int | None = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join with the LEFT (big, skewed) side salted and the RIGHT
@@ -41,11 +41,23 @@ def salted_join(
     changes — the hot key's rows land on ``n_salts`` reducers instead
     of one.
 
+    ``n_salts=None`` sizes the salt adaptively from the join-key
+    cardinality (one distinct-count job):
+    ``adaptive_salt(parallelism, n_keys)`` = ceil(3P/keys), collapsing
+    to 1 — replication off — once natural keys oversubscribe the
+    cores 3× (operators/_partition.py; the hash-balance margin is
+    measured in its docstring).
+
     ``how`` supports inner/left (the salted-side-preserving joins).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     spark = left.sparkSession
+    if n_salts is None:
+        from ml_data_wrangler_spark.operators._partition import adaptive_salt
+
+        n_keys = max(1, left.select(*on).distinct().count())
+        n_salts = adaptive_salt(spark.sparkContext.defaultParallelism, n_keys)
     salt = F.floor(F.rand(seed) * n_salts).cast("int").alias("_salt")
     l_salted = left.withColumn("_salt", salt)
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))

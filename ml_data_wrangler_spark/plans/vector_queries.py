@@ -18,10 +18,6 @@ from ml_data_wrangler_spark.functions.vectors import (
     unrolled_dot,
     unrolled_sq_norm,
 )
-from ml_data_wrangler_spark.operators._partition import (
-    adaptive_salt,
-    pin_join_width,
-)
 from ml_data_wrangler_spark.operators.similarity import (
     _lsh_candidate_ids,
     _lsh_normalized,

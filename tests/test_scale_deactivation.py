@@ -13,11 +13,10 @@ embeddings as 16-file directories, so their scans arrive ≥ cores wide
     helper that widens a 1-split sf0.1 scan — an unconditional
     repartition here would COALESCE the multi-split scan and pay an
     extra full shuffle);
-  * the adaptive join salts must collapse to 1, computed from the
-    REAL key cardinalities the two salted call sites derive
-    (qv06's vec_id sub-blocks, blocked_cosine_pairs' (_blk, _sub)
-    distinct count) — b-side replication must vanish exactly when
-    natural keys saturate the cores.
+  * the adaptive join salt (sizing skew.salted_join's n_salts=None
+    path) must collapse to 1 on the tier's real key cardinalities —
+    b-side replication must vanish exactly when natural keys
+    oversubscribe the cores 3×.
 
 Skips when the step-up tier hasn't been generated (it is
 .gitignore'd build output, ~17 MB)."""
@@ -28,7 +27,6 @@ import os
 
 import pytest
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 DOCS16X = "/root/repo/.scale/docs16x"
@@ -105,11 +103,16 @@ def test_adaptive_salt_contract():
     assert adaptive_salt(10_000, 40_000) == 1
 
 
-def test_qv06_salt_deactivates_on_real_counts(scale_spark):
-    """qv06's ground-truth self-join salt (plans/vector_queries.py):
-    the real sub-block count must drive the salt to 1 once it
-    oversubscribes the cores 3× — asserted with the tier's actual
-    cardinality (ceil(32000/2000) = 16 sub-blocks)."""
+def test_salted_join_adaptive_sizing_deactivates_on_real_counts(scale_spark):
+    """skew.salted_join(n_salts=None) sizes its salt with
+    adaptive_salt from the REAL join-key cardinality. At the step-up
+    tier's id-block cardinality (ceil(32000/2000) = 16 keys) the salt
+    must vanish once natural keys oversubscribe the cores 3×, and the
+    sf0.1 regime (1 key) must salt harder — asserted on the actual
+    table counts, both directions. (qv04/qv06's similarity scoring
+    moved off salted self-joins entirely in round 8 — one GEMM per
+    id-block via applyInPandas needs no shuffle-balance machinery —
+    so the salt's production call site is the general skew join.)"""
     from ml_data_wrangler_spark.operators._partition import adaptive_salt
     from ml_data_wrangler_spark.sources.readers import read_table
 
@@ -119,7 +122,7 @@ def test_qv06_salt_deactivates_on_real_counts(scale_spark):
     assert n_subs >= par, f"tier invariant broken: {n_subs} subs < {par} cores"
     # at 3×-oversubscribed core counts the salt is off on this data
     assert adaptive_salt(n_subs // 3, n_subs) == 1
-    # at this box's core count the 16 keys still get balance salt > 1
+    # at this box's core count the 16 keys still get balance salt ≥ 1
     assert adaptive_salt(par, n_subs) >= 1
     # and the sf0.1 regime salts harder (the other direction, real data)
     emb_small = read_table(scale_spark, "/root/testdata/sf0.1", "embeddings")
@@ -127,27 +130,22 @@ def test_qv06_salt_deactivates_on_real_counts(scale_spark):
     assert adaptive_salt(par, n_small) > adaptive_salt(par, n_subs)
 
 
-def test_blocked_pairs_salt_deactivates_on_real_keys(scale_spark):
-    """blocked_cosine_pairs' (_blk, _sub) key count at the step-up
-    tier — derived exactly as the operator derives it (id-ranked
-    sub-blocks of ≤1000 per label) — must drive the salt to 1 once it
-    oversubscribes the cores 3×."""
-    from ml_data_wrangler_spark.operators._partition import adaptive_salt
+def test_salted_join_adaptive_default_matches_explicit(scale_spark):
+    """salted_join(n_salts=None) must produce the same ROWS as the
+    unsalted join on real scale data (the salt is distribution-only),
+    wiring adaptive_salt's sizing into the production call site."""
+    from ml_data_wrangler_spark.operators.skew import salted_join
     from ml_data_wrangler_spark.sources.readers import read_table
 
-    emb = read_table(scale_spark, DOCS16X, "embeddings")
-    par = scale_spark.sparkContext.defaultParallelism
-    n_keys = (
-        emb.select(
-            "label",
-            F.floor(
-                (F.row_number().over(
-                    W.partitionBy("label").orderBy("vec_id")
-                ) - 1) / F.lit(1000)
-            ).alias("_sub"),
-        )
-        .distinct()
-        .count()
+    emb = read_table(scale_spark, DOCS16X, "embeddings").select(
+        "vec_id", (F.col("vec_id") % 16).alias("k")
     )
-    assert n_keys >= par, f"tier invariant broken: {n_keys} keys < {par} cores"
-    assert adaptive_salt(max(1, n_keys // 3), n_keys) == 1
+    dim = (
+        read_table(scale_spark, DOCS16X, "embeddings")
+        .select((F.col("vec_id") % 16).alias("k"))
+        .distinct()
+        .select("k", (F.col("k") * 10).alias("v"))
+    )
+    got = salted_join(emb, dim, ["k"], n_salts=None).groupBy().sum("v").collect()
+    want = emb.join(dim, "k").groupBy().sum("v").collect()
+    assert got == want
