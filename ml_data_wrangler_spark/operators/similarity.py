@@ -12,7 +12,7 @@ Three tiers:
     the unit sphere), constant-size bucket keys.
 
 Scoring kernels: top-k paths score JVM-side (functions/vectors.py);
-the all-pairs/verify paths (block_allpairs_cosine, _gemm_pair_sims)
+the all-pairs/verify paths (block_allpairs_cosine)
 use Arrow-batched numpy GEMM with a per-dimension ascending float64
 fold — measured round 8: the per-pair JVM expression kernel costs
 ~12 µs/pair (higher-order fold and 64-term unrolled alike), so on
@@ -232,7 +232,9 @@ def _lsh_normalized(
         bucketLength=bucket_length,
         seed=seed,
     )
-    return lsh.fit(feat).transform(feat).select(id_col, "_features", "hashes")
+    return lsh.fit(feat).transform(feat).select(
+        id_col, vec_col, "_features", "hashes"
+    )
 
 
 def _lsh_candidate_ids(
@@ -375,68 +377,6 @@ def lsh_ann_pairs(
     )
 
 
-def _gemm_pair_sims(
-    cand: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    sim_threshold: float,
-) -> DataFrame:
-    """Exact cosine for arbitrary candidate id pairs via a BROADCAST
-    vector matrix + Arrow mapInPandas: per batch, gather both endpoint
-    rows and fold the dot PER-DIMENSION in ascending order (the same
-    float64 fold as the relational kernel / DuckDB's
-    list_dot_product), round half-away-from-zero, filter ≥ threshold.
-    Only the 16-byte id pairs move; caller guarantees the corpus fits
-    the broadcast ceiling."""
-    import numpy as np
-    import pandas as pd
-
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .toPandas()
-    )
-    ids = rows[id_col].to_numpy()
-    order = np.argsort(ids)
-    ids_sorted = ids[order]
-    v = np.stack(rows[vec_col].to_numpy()).astype(np.float64)[order]
-    sq = np.zeros(len(ids_sorted))
-    for i in range(dim):
-        sq += v[:, i] * v[:, i]
-    nrm = np.sqrt(sq)
-    bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, v, nrm))
-    thr = float(sim_threshold)
-
-    def score(batches):
-        ids_s, vm, nm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ia = np.searchsorted(ids_s, pdf["vec_a"].to_numpy())
-            ib = np.searchsorted(ids_s, pdf["vec_b"].to_numpy())
-            a, b = vm[ia], vm[ib]
-            acc = np.zeros(len(pdf))
-            for i in range(dim):
-                acc += a[:, i] * b[:, i]
-            sims = acc / (nm[ia] * nm[ib])
-            scaled = sims * 1e6
-            sims = (
-                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
-                / 1e6
-            )
-            keep = sims >= thr
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "sim": sims[keep],
-                }
-            )
-
-    return cand.mapInPandas(score, schema="vec_a long, vec_b long, sim double")
-
-
 def block_allpairs_cosine(
     corpus: DataFrame,
     block_col: str | list[str],
@@ -479,6 +419,10 @@ def block_allpairs_cosine(
         ids = pdf[id_col].to_numpy()
         v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (n, d)
         n, d = v.shape
+        # bound the score tile at ~4M cells whatever the block size —
+        # a hot LSH bucket can hold half the corpus, and a fixed
+        # row_chunk × n tile would scale with it
+        chunk = max(128, min(row_chunk, 4_000_000 // max(n, 1)))
         # ascending per-dimension fold (bit-identical to the
         # relational kernel): Σ over dims of elementwise products
         sq = np.zeros(n)
@@ -486,8 +430,8 @@ def block_allpairs_cosine(
             sq += v[:, i] * v[:, i]
         nrm = np.sqrt(sq)
         out_a, out_b, out_s = [], [], []
-        for lo in range(0, n, row_chunk):
-            hi = min(lo + row_chunk, n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
             dots = np.zeros((hi - lo, n))
             for i in range(d):
                 dots += np.outer(v[lo:hi, i], v[:, i])
@@ -616,49 +560,43 @@ def tiered_cosine_pairs(
     Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim exact and
     ≥ sim_threshold.
     """
-    from ml_data_wrangler_spark.functions.vectors import (
-        infer_dim,
-        unrolled_dot,
-        unrolled_sq_norm,
-    )
+    from pyspark.ml.functions import vector_to_array
 
-    cand = _lsh_candidate_ids(
-        _lsh_normalized(
-            corpus, num_hash_tables, bucket_length, id_col, vec_col, seed
-        ),
-        id_col,
+    # Candidates = LSH bucket co-membership, and the verify runs
+    # WHERE the candidates already live: one block GEMM per
+    # (band, bucket) group over the RAW vectors, then distinct on the
+    # ≥θ survivors (a pair sharing k buckets is scored k times to the
+    # same rounded sim — same per-dimension fold on the same inputs —
+    # so distinct collapses the copies). Nothing else scales on the
+    # duplicate-heavy tiers, where candidates go ~dense (94% of all
+    # pairs at the 16× fixture): materializing candidate ID PAIRS as
+    # rows costs O(candidates) shuffle/Arrow traffic before any
+    # kernel runs (measured: 638 s for a broadcast mapInPandas
+    # scorer, 324 s for MLlib's inline keyDistance, both dominated by
+    # per-pair row handling), while the per-bucket GEMM moves each
+    # vector once per band and touches pairs only inside numpy tiles.
+    # Hot buckets stay memory-bounded via block_allpairs_cosine's
+    # adaptive tile chunking.
+    hashed = _lsh_normalized(
+        corpus, num_hash_tables, bucket_length, id_col, vec_col, seed
     )
-    # Verify kernel: on a broadcast-small corpus, an Arrow mapInPandas
-    # GEMM scorer — the candidate id pairs stream through Python once
-    # (16 bytes/pair), vectors come from a broadcast matrix, and the
-    # dot accumulates per-dimension in ascending order (bit-identical
-    # fold to the relational kernel and DuckDB). The duplicate-heavy
-    # tiers make LSH candidates ~dense (94% of all pairs at the 16×
-    # fixture), and the per-pair JVM kernel measured ~12 µs/pair —
-    # the verify WAS the query. Beyond the broadcast ceiling: pinned
-    # shuffle joins + the unrolled JVM kernel (the 100 TB fallback,
-    # where candidates per partition are bounded by the LSH bucket
-    # geometry rather than ~dense).
-    dim = infer_dim(corpus, vec_col) or 0
-    n_vec = corpus.count()
-    if n_vec * dim * 8 <= _VEC_BROADCAST_BYTES:
-        return _gemm_pair_sims(
-            cand, corpus, id_col, vec_col, dim, sim_threshold
-        )
-    vecs = corpus.select(
+    bands = hashed.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_nv"),
-    ).withColumn("_n", F.sqrt(unrolled_sq_norm(F.col("_nv"), dim)))
-    joined = _verify_vectors(cand, vecs, id_col, n_vec, dim)
-    sim = F.round(
-        unrolled_dot(F.col("_va"), F.col("_vb"), dim)
-        / (F.col("_na") * F.col("_nb")),
-        6,
+        F.col(vec_col).alias("_rawv"),
+        F.posexplode("hashes").alias("_band", "_h"),
+    ).select(
+        id_col,
+        "_rawv",
+        "_band",
+        vector_to_array(F.col("_h")).getItem(0).cast("long").alias("_bucket"),
     )
-    return (
-        joined.select("vec_a", "vec_b", sim.alias("sim"))
-        .where(F.col("sim") >= sim_threshold)
-    )
+    return block_allpairs_cosine(
+        bands,
+        block_col=["_band", "_bucket"],
+        sim_threshold=sim_threshold,
+        id_col=id_col,
+        vec_col="_rawv",
+    ).distinct()
 
 
 def brute_force_topk_vectorized(
