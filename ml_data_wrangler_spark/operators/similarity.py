@@ -464,12 +464,19 @@ def block_allpairs_cosine(
             }
         )
 
+    from ml_data_wrangler_spark.operators._partition import pin_join_width
+
     block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
     prepped = corpus.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    # pin the group exchange's width: the vector rows compress small
+    # enough for AQE's byte-based coalescing to fold the groupBy to a
+    # handful of tasks while each group runs a quadratic GEMM
+    # (measured 16×: 4 tasks for ~40 bucket groups)
+    prepped = pin_join_width(prepped, *block_cols)
     return prepped.groupBy(*block_cols).applyInPandas(
         score_block, schema="vec_a long, vec_b long, sim double"
     )
