@@ -226,11 +226,18 @@ def test_qw07_no_single_partition_window(spark, sf_dir, q):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_tiered_cosine_no_array_broadcast(spark, sf_dir, q):
-    """qv08's verify joins must be shuffled hash joins — array-typed
-    relations are never broadcast (Spark underestimates their size)."""
+def test_tiered_cosine_is_per_bucket_gemm(spark, sf_dir, q):
+    """qv08's verify runs as one numpy GEMM per (band, bucket) group
+    (round 8): the plan must carry the grouped-pandas operator and NO
+    join at all — every pre-GEMM shape (MLlib's approxSimilarityJoin,
+    pinned vector joins, a broadcast pair scorer) materialized
+    per-pair rows before the kernel and was measured 1.6-3× slower at
+    the 16× tier. Array-typed relations still never broadcast (there
+    is nothing left to broadcast)."""
     plan = _plan(q["qv08_tiered_cosine_pairs"](spark, sf_dir))
-    assert "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_interval_join_is_binned_not_nested_loop(spark, sf_dir, q):
