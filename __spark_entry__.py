@@ -45,27 +45,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation: stalest-verified names order FIRST so each round's
 # snapshot re-checks the queries whose last driver verification is
 # oldest, and each round's fold MOVES the re-verified names to the
-# end of this list (r07 re-gated the r01∪r02 block, so that block now
-# holds the newest rank). tests/test_quality_contract.py asserts the
+# end of this list (r08 re-gated the r03 block + qd03/qd04/qm05, so
+# that block now holds the newest rank and the r04 remainder fronts
+# the r09 snapshot). tests/test_quality_contract.py asserts the
 # newest CORRECTNESS file's names hold the newest rank, so a stalled
 # rotation is a red test. Any future never-gated query would still
 # jump the whole rotation.
 _GATED_ROUNDS: list[list[str]] = [
-    # r03
-    [f"qc{i:02d}" for i in range(1, 7)]
-    + ["qd01", "qd02", "qd06", "qd07", "qd08"]
-    + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
-    + ["qm01", "qm02", "qm03", "qm04", "qm07"]
-    + [f"qs{i:02d}" for i in range(1, 7)]
-    + [f"qt{i:02d}" for i in range(1, 8)]
-    + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
-    + [f"qx{i:02d}" for i in range(1, 6)],
-    # r04 (CORRECTNESS_r04.json: 49 hash-PASS + qv07 rows-only)
+    # r04 remainder (CORRECTNESS_r04.json: 49 hash-PASS + qv07
+    # rows-only; qd03/qd04/qm05 re-gated r08 and moved to that rank)
     ["q33", "qw09"]
     + [f"qc{i:02d}" for i in range(7, 15)]  # qc11 unused (dupe removed)
-    + ["qd03", "qd04", "qd05", "qd09", "qd10", "qd11"]
+    + ["qd05", "qd09", "qd10", "qd11"]
     + [f"qe{i:02d}" for i in range(8, 21)]
-    + [f"qm{i:02d}" for i in range(5, 13) if i != 7]  # qm07 gated r03
+    + [f"qm{i:02d}" for i in range(6, 13) if i != 7]  # qm05→r08, qm07→r08
     + ["qs07"]
     + [f"qt{i:02d}" for i in range(8, 16)]
     + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"],
@@ -90,6 +83,22 @@ _GATED_ROUNDS: list[list[str]] = [
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
     + ["qj01", "qj02", "qj03"]
     + [f"qw{i:02d}" for i in range(1, 9)],
+    # r08 re-verification (CORRECTNESS_r08.json: 44 hash-PASS + 6
+    # rows-only by design — qm03/qm04/qm07 LDA+coherence, qv05 IVF,
+    # qv08 tiered GEMM, qd08 raw SimHash. Rotation policy: a
+    # rows-only query counts as re-verified when it ran without
+    # value-comparable oracle (err == 'no_oracle') and produced rows,
+    # so the whole 50-name snapshot moves to this rank together —
+    # mirrored in tests/test_quality_contract.py's green predicate.
+    # The old r03 block plus qd03/qd04/qm05 from r04.)
+    [f"qc{i:02d}" for i in range(1, 7)]
+    + ["qd01", "qd02", "qd03", "qd04", "qd06", "qd07", "qd08"]
+    + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
+    + ["qm01", "qm02", "qm03", "qm04", "qm05", "qm07"]
+    + [f"qs{i:02d}" for i in range(1, 7)]
+    + [f"qt{i:02d}" for i in range(1, 8)]
+    + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
+    + [f"qx{i:02d}" for i in range(1, 6)],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

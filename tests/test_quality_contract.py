@@ -230,10 +230,24 @@ def test_gate_rotation_advances():
     )
     with open(newest) as fh:
         results = json.load(fh)
+    # Green = re-verified for rotation purposes (round-8 verdict items
+    # 1+ADVICE): an oracle-bearing query must hash-match (rows_match
+    # alone would let a value-mismatched query advance the rotation),
+    # while a rows-only query (err == 'no_oracle' — the model-based /
+    # non-SQL ops: LDA topics + coherence sweeps, IVF, tiered GEMM,
+    # raw SimHash) counts as green when it ran and produced rows,
+    # since rows-only IS the driver's recorded pass for those. Policy
+    # mirrored in __spark_entry__._GATED_ROUNDS' r08 comment.
     green = {
         e._short(n)
         for n, res in results.items()
-        if res.get("err") is None and res.get("rows_match")
+        if (
+            res.get("err") is None
+            and res.get("rows_match")
+            and res.get("schema_match")
+            and res.get("hash_match")
+        )
+        or (res.get("err") == "no_oracle" and (res.get("spark_rows") or 0) > 0)
     }
     assert green == set(e._GATED_ROUNDS[-1]), (
         f"rotation stalled: {os.path.basename(newest)}'s green names must "
