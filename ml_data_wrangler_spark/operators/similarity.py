@@ -295,16 +295,24 @@ def _lsh_candidate_ids(
 # candidate pair was the dominant cost of the verify.
 _VEC_BROADCAST_BYTES = 128 << 20
 
+# per-row bytes beyond the raw vector payload in a broadcast hash
+# relation: 8-byte id, optional 8-byte hoisted norm, array offsets,
+# UnsafeRow/object headers and the hash-map entry itself. dim·8 alone
+# undercounts the real broadcast severalfold on small dims (round-8
+# ADVICE), flipping the gate exactly where broadcast hurts most.
+_VEC_ROW_OVERHEAD_BYTES = 96
+
 
 def _verify_vectors(
     cand: DataFrame, vecs: DataFrame, id_col: str, n_vec: int, dim: int
 ) -> DataFrame:
     """Attach both endpoint vector columns (_va, _vb) of ``vecs``
     (schema: id, _nv[, _n]) to the candidate id pairs — broadcast
-    map-side when the whole vector table fits _VEC_BROADCAST_BYTES,
-    else width-pinned shuffle-hash joins (the 100 TB regime). A
-    hoisted per-vector norm column ``_n``, when present, rides along
-    as _na/_nb so the pair kernel never recomputes norms."""
+    map-side when the whole vector table (payload + per-row overhead)
+    fits _VEC_BROADCAST_BYTES, else width-pinned shuffle-hash joins
+    (the 100 TB regime). A hoisted per-vector norm column ``_n``,
+    when present, rides along as _na/_nb so the pair kernel never
+    recomputes norms."""
     from ml_data_wrangler_spark.operators._partition import pin_join_width
 
     extra_a = [F.col("_n").alias("_na")] if "_n" in vecs.columns else []
@@ -315,7 +323,7 @@ def _verify_vectors(
     b = vecs.select(
         F.col(id_col).alias("vec_b"), F.col("_nv").alias("_vb"), *extra_b
     )
-    if n_vec * dim * 8 <= _VEC_BROADCAST_BYTES:
+    if n_vec * (dim * 8 + _VEC_ROW_OVERHEAD_BYTES) <= _VEC_BROADCAST_BYTES:
         return cand.join(F.broadcast(a), "vec_a").join(F.broadcast(b), "vec_b")
     j1 = pin_join_width(cand, "vec_a").join(
         pin_join_width(a, "vec_a").hint("shuffle_hash"), "vec_a"
@@ -333,6 +341,7 @@ def lsh_ann_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_vec: int | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor PAIRS on L2-normalized vectors via
     BucketedRandomProjectionLSH (random hyperplane projections).
@@ -344,7 +353,11 @@ def lsh_ann_pairs(
     :func:`_lsh_candidate_ids` and the distance evaluates in one
     pinned vector join — the composition that survived the 16×-tier
     stage audit (approxSimilarityJoin's internal exchange AQE-folded
-    to 5 tasks; see ROUND_NOTES r08)."""
+    to 5 tasks; see ROUND_NOTES r08).
+
+    ``n_vec`` sizes the verify join's broadcast gate; pass it when
+    the caller already knows the corpus size to skip the one eager
+    count() job this otherwise pays per call."""
     from pyspark.ml.functions import vector_to_array
 
     from ml_data_wrangler_spark.functions.vectors import (
@@ -366,7 +379,9 @@ def lsh_ann_pairs(
     dim = infer_dim(corpus, vec_col) or 0
     sqdist = unrolled_sqdist(F.col("_va"), F.col("_vb"), dim)
     return (
-        _verify_vectors(cand, vecs, id_col, corpus.count(), dim)
+        _verify_vectors(
+            cand, vecs, id_col, corpus.count() if n_vec is None else n_vec, dim
+        )
         .withColumn("_d2", sqdist)
         .where(F.sqrt(F.col("_d2")) <= distance_threshold)
         .select(
@@ -377,6 +392,12 @@ def lsh_ann_pairs(
     )
 
 
+# tile side length for hot-block decomposition: 2048² ≈ 4.2M score
+# cells per task — the same ceiling the in-scorer chunk loop uses, so
+# one (ci, cj) tile pair is roughly one chunk iteration of work
+_TILE_ROWS = 2048
+
+
 def block_allpairs_cosine(
     corpus: DataFrame,
     block_col: str | list[str],
@@ -384,6 +405,7 @@ def block_allpairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     row_chunk: int = 4096,
+    tile_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine WITHIN each block as one Arrow/numpy
     GEMM per block (applyInPandas), emitting (vec_a, vec_b, sim) with
@@ -397,50 +419,91 @@ def block_allpairs_cosine(
     per-pair vector traffic) and scores a pair in ~ns.
 
     Float discipline (the qm09/bm25_topk_py rule): dots and squared
-    norms accumulate PER-DIMENSION in ascending order across the
-    whole block — the same ((0+t₀)+t₁)+… float64 fold the relational
-    kernel and DuckDB's list_dot_product run per pair — and rounding
-    is half-away-from-zero, so the emitted sims hash-match the SQL
-    oracle bit-for-bit.
+    norms accumulate PER-DIMENSION in ascending order — the same
+    ((0+t₀)+t₁)+… float64 fold the relational kernel and DuckDB's
+    list_dot_product run per pair — and rounding is half-away-from-
+    zero, matching the SQL oracle at every gated tier. (The rounding
+    emulation floor(x·1e6+0.5) re-rounds at the multiply and the add,
+    so a sim whose scaled fraction sits within 1 ulp of .5 could in
+    principle land 1e-6 off a decimal-path ROUND — an ulp-edge risk
+    that has never fired across sf0.01/sf0.1/16× gates, documented
+    rather than claimed away.)
 
-    Memory: blocks are processed in row-chunks of ``row_chunk`` — one
-    (chunk × |block|) score tile at a time — so a hot block degrades
-    to more tiles, never to an O(|block|²) allocation. At 100 TB the
-    block key (id range, IVF cell, LSH bucket) bounds |block| by
-    construction; the shuffle is one pass of the vectors, grouped by
-    block."""
+    Parallelism vs block size — two regimes, chosen by ``tile_rows``:
+
+    * ``tile_rows=None`` (default): one group per block. Correct when
+      the block key bounds |block| BY CONSTRUCTION (qv04's ≤cap
+      sub-blocks, qv06's fixed id-ranges) — the cheapest plan, one
+      shuffle of the vectors.
+    * ``tile_rows=k``: blocks are decomposed into (ci, cj) chunk-pair
+      TILES so no single task scores more than ~k² cells. LSH buckets
+      are NOT bounded by construction (94% of all pairs co-bucket on
+      the duplicate-heavy 16× fixture), and a hot bucket as one
+      applyInPandas group is one task — the round-8 audit flagged
+      qv08's 190 s max task inside a 205 s wall. Each row is hashed
+      to a chunk c = pmod(xxhash64(id), m) with m = ceil(|block|/k)
+      (a block-partitioned window count — deliberately NOT a
+      count-broadcast join, so the plan stays join-free) and emitted
+      once per tile involving its chunk (×m rows for hot blocks
+      only); a tile group scores cross-chunk pairs (ci < cj) or its
+      chunk's upper triangle (ci == cj), each pair landing in exactly
+      one tile. Deactivation: any block ≤ tile_rows has m = 1 — zero
+      duplication, group key degenerates to the block key — so the
+      only cost in the cool regime is the window's linear count pass.
+
+    Memory: groups are additionally processed in row-chunks bounding
+    any score tile at ~4M cells, so even a hash-skewed chunk degrades
+    to more iterations, never a bigger allocation. Every emitted sim
+    is the identical per-dimension fold on the identical (a, b)
+    inputs whichever tile or chunk scores it, so callers that
+    ``distinct()`` duplicate candidates (tiered_cosine_pairs' band
+    copies) collapse them unchanged."""
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     thr = float(sim_threshold)
 
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _round6(sims: "np.ndarray") -> "np.ndarray":
+        scaled = sims * 1e6
+        return (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            / 1e6
+        )
+
+    def _fold_norms(v: "np.ndarray") -> "np.ndarray":
+        # ascending per-dimension fold (bit-identical to the
+        # relational kernel): Σ over dims of elementwise products
+        sq = np.zeros(v.shape[0])
+        for i in range(v.shape[1]):
+            sq += v[:, i] * v[:, i]
+        return np.sqrt(sq)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def _score_triangle(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (n, d)
         n, d = v.shape
-        # bound the score tile at ~4M cells whatever the block size —
-        # a hot LSH bucket can hold half the corpus, and a fixed
-        # row_chunk × n tile would scale with it
+        # bound the score tile at ~4M cells whatever the group size
         chunk = max(128, min(row_chunk, 4_000_000 // max(n, 1)))
-        # ascending per-dimension fold (bit-identical to the
-        # relational kernel): Σ over dims of elementwise products
-        sq = np.zeros(n)
-        for i in range(d):
-            sq += v[:, i] * v[:, i]
-        nrm = np.sqrt(sq)
+        nrm = _fold_norms(v)
         out_a, out_b, out_s = [], [], []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             dots = np.zeros((hi - lo, n))
             for i in range(d):
                 dots += np.outer(v[lo:hi, i], v[:, i])
-            sims = dots / np.outer(nrm[lo:hi], nrm)
-            scaled = sims * 1e6
-            sims = (
-                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
-                / 1e6
-            )
+            sims = _round6(dots / np.outer(nrm[lo:hi], nrm))
             # pairs (row r, col c) with global_row < c (strict upper)
             rows, cols = np.nonzero(sims >= thr)
             keep = (rows + lo) < cols
@@ -449,13 +512,7 @@ def block_allpairs_cosine(
             out_b.append(ids[cols])
             out_s.append(sims[rows, cols])
         if not out_a:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
-                }
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a).astype("int64"),
@@ -463,6 +520,52 @@ def block_allpairs_cosine(
                 "sim": np.concatenate(out_s),
             }
         )
+
+    def _score_cross(pdf: pd.DataFrame, ti: int) -> pd.DataFrame:
+        # cross-chunk tile: every (a ∈ chunk ti, b ∈ chunk tj) pair,
+        # ordered by id at emission (chunks are hash residues, not id
+        # ranges). Same per-dimension fold per pair as the triangle
+        # path — a pair's sim is bit-identical wherever it is scored.
+        a_side = pdf["_c"].to_numpy() == ti
+        pa, pb = pdf[a_side], pdf[~a_side]
+        if not len(pa) or not len(pb):
+            return _empty()
+        ids_a = pa[id_col].to_numpy()
+        ids_b = pb[id_col].to_numpy()
+        va = np.stack(pa["_v"].to_numpy()).astype(np.float64)
+        vb = np.stack(pb["_v"].to_numpy()).astype(np.float64)
+        d = va.shape[1]
+        nb = len(ids_b)
+        nrm_a, nrm_b = _fold_norms(va), _fold_norms(vb)
+        chunk = max(128, min(row_chunk, 4_000_000 // max(nb, 1)))
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            dots = np.zeros((hi - lo, nb))
+            for i in range(d):
+                dots += np.outer(va[lo:hi, i], vb[:, i])
+            sims = _round6(dots / np.outer(nrm_a[lo:hi], nrm_b))
+            rows, cols = np.nonzero(sims >= thr)
+            ia, ib = ids_a[rows + lo], ids_b[cols]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_s.append(sims[rows, cols])
+        if not out_a:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a).astype("int64"),
+                "vec_b": np.concatenate(out_b).astype("int64"),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty()
+        if "_ti" in pdf.columns and pdf["_ti"].iat[0] != pdf["_tj"].iat[0]:
+            return _score_cross(pdf, pdf["_ti"].iat[0])
+        return _score_triangle(pdf)
 
     from ml_data_wrangler_spark.operators._partition import pin_join_width
 
@@ -472,12 +575,38 @@ def block_allpairs_cosine(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    # the emitted schema is (long, long, double): require an integral
+    # id up front — a string id would crash inside the pandas UDF at
+    # runtime and a float id would truncate silently
+    id_type = prepped.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"block_allpairs_cosine requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
+    group_cols = list(block_cols)
+    if tile_rows is not None:
+        from pyspark.sql import Window as W
+
+        bn = F.count("*").over(W.partitionBy(*[F.col(c) for c in block_cols]))
+        m = F.greatest(F.lit(1).cast("long"), F.ceil(bn / F.lit(int(tile_rows))))
+        prepped = (
+            prepped.withColumn("_m", m)
+            .withColumn("_c", F.pmod(F.xxhash64(F.col(id_col)), F.col("_m")))
+            .withColumn(
+                "_j", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_m") - 1))
+            )
+            .withColumn("_ti", F.least("_c", "_j"))
+            .withColumn("_tj", F.greatest("_c", "_j"))
+            .drop("_m", "_j")
+        )
+        group_cols += ["_ti", "_tj"]
     # pin the group exchange's width: the vector rows compress small
     # enough for AQE's byte-based coalescing to fold the groupBy to a
     # handful of tasks while each group runs a quadratic GEMM
     # (measured 16×: 4 tasks for ~40 bucket groups)
-    prepped = pin_join_width(prepped, *block_cols)
-    return prepped.groupBy(*block_cols).applyInPandas(
+    prepped = pin_join_width(prepped, *group_cols)
+    return prepped.groupBy(*group_cols).applyInPandas(
         score_block, schema="vec_a long, vec_b long, sim double"
     )
 
@@ -582,8 +711,15 @@ def tiered_cosine_pairs(
     # scorer, 324 s for MLlib's inline keyDistance, both dominated by
     # per-pair row handling), while the per-bucket GEMM moves each
     # vector once per band and touches pairs only inside numpy tiles.
-    # Hot buckets stay memory-bounded via block_allpairs_cosine's
-    # adaptive tile chunking.
+    # Hot buckets are NOT bounded by construction (the same 94%
+    # co-bucketing makes one bucket ≈ the corpus), so this caller
+    # passes tile_rows: a hot (band, bucket) group decomposes into
+    # (ci, cj) chunk-pair tiles of ≤ ~4M score cells each — the
+    # round-8 audit's 190 s single-task GEMM becomes ~bn²/tile² tasks
+    # — while buckets ≤ tile_rows keep m=1 (no duplication). A pair
+    # sharing k buckets is scored k times to the same rounded sim
+    # (identical per-dimension fold on identical inputs, tile-
+    # invariant), so the distinct below collapses the copies.
     hashed = _lsh_normalized(
         corpus, num_hash_tables, bucket_length, id_col, vec_col, seed
     )
@@ -603,6 +739,7 @@ def tiered_cosine_pairs(
         sim_threshold=sim_threshold,
         id_col=id_col,
         vec_col="_rawv",
+        tile_rows=_TILE_ROWS,
     ).distinct()
 
 

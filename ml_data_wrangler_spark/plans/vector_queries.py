@@ -270,6 +270,14 @@ def qv06(spark, sf_dir):
             ),
             block_col="sub",
             sim_threshold=0.35,
+            # 2000-row id-blocks as single groups cap the checkpoint
+            # stage at #blocks tasks and hash collisions stack
+            # quadratic keys (16× audit: 6 occupied tasks of 16 keys,
+            # 30 s serial run inside a 104 s wall — round-8 verdict
+            # item 3). tile_rows=1024 splits each block into 3 tile
+            # groups (m=2), tripling the group count; sims are
+            # tile-invariant so the oracle is unchanged.
+            tile_rows=1024,
         )
         # materialized once: the pair set feeds BOTH the output and
         # the broadcast recall probe below — without the checkpoint

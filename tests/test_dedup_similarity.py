@@ -200,6 +200,60 @@ def test_tiered_cosine_pairs_recall_and_precision(spark):
     assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_block_allpairs_tile_decomposition_is_value_neutral(spark):
+    """Hot-block tile decomposition (round-9 fix for qv08's
+    single-task GEMM): with tile_rows far below the block size, the
+    (ci, cj) tile groups must emit EXACTLY the same pair set with
+    bit-identical sims as the one-group-per-block plan — each pair
+    lands in exactly one tile and the per-dimension fold is
+    tile-invariant — and a block ≤ tile_rows must deactivate to m=1
+    (no row duplication, identical output)."""
+    import random
+
+    from ml_data_wrangler_spark.operators.similarity import block_allpairs_cosine
+
+    rng = random.Random(9)
+    rows = [
+        Row(
+            vec_id=i,
+            blk=i % 2,
+            embedding=[rng.uniform(-1, 1) for _ in range(8)],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def run(**kw):
+        return {
+            (r["vec_a"], r["vec_b"]): r["sim"]
+            for r in block_allpairs_cosine(
+                df, block_col="blk", sim_threshold=0.1, vec_col="embedding", **kw
+            ).collect()
+        }
+
+    base = run()
+    # 30-row blocks with tile_rows=7 → m=5 chunks → 15 tile groups/blk
+    tiled = run(tile_rows=7)
+    assert tiled == base and len(base) > 50
+    # deactivation: blocks (30 rows) ≤ tile_rows (64) → m=1
+    assert run(tile_rows=64) == base
+
+
+def test_block_allpairs_rejects_non_integral_ids(spark):
+    """The GEMM emits (long, long, double): a string id must fail
+    loudly at plan time, not crash inside the pandas UDF (round-8
+    ADVICE — float ids would otherwise truncate silently)."""
+    import pytest
+
+    from ml_data_wrangler_spark.operators.similarity import block_allpairs_cosine
+
+    df = spark.createDataFrame(
+        [Row(vec_id="a", blk=0, embedding=[1.0, 0.0])]
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        block_allpairs_cosine(df, block_col="blk", sim_threshold=0.5)
+
+
 def test_ivf_search_finds_same_cluster_neighbor(vectors):
     assigned, centroids = ivf_index(vectors, n_clusters=3, seed=7)
     res = ivf_search(assigned, centroids, vectors.where(F.col("vec_id") == 1),
