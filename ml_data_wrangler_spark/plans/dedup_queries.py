@@ -1135,21 +1135,22 @@ def qd17(spark, sf_dir):
     which qd07's connected components cannot distinguish: a clique
     and a path produce the same component.
 
-    Mechanism (new to the registry): DEGREE-ORDERED triangle
-    enumeration — each undirected edge is oriented from its
-    lower-(degree, id) endpoint to the higher, wedges are built only
-    between out-neighbors in that total order, and each triangle is
-    counted exactly once at its lowest-ordered apex. This is the
-    standard scalable formulation: wedge work is Σ out-deg², and
-    orientation caps out-degree at O(sqrt(|E|)) on any graph, so a
-    hub node never quadratically explodes (the naive a<b-id
-    orientation would put all of a hub's edges on one side).
+    Mechanism (new to the registry): DEGREE-ORDERED triangle counting
+    — each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher, and each triangle is counted exactly once
+    at its lowest-ordered apex via out-neighbor-list INTERSECTION per
+    edge (node-iterator+). This is the standard scalable formulation:
+    closure work is Σ out-deg², and orientation caps out-degree at
+    O(sqrt(|E|)) on any graph, so a hub node never quadratically
+    explodes (the naive a<b-id orientation would put all of a hub's
+    edges on one side).
 
     Everything is integer counting; the clustering coefficient
     2T/(d(d−1)) is the single rounded division. Shape at scale: the
     edge list comes from the same posting-list join as qd02 (or its
-    prefix/LSH duals at 100 TB); degree join broadcasts the bounded
-    node relation; wedge-close is two equi-joins on node keys."""
+    prefix/LSH duals at 100 TB); shuffled bytes are O(|E|) — the
+    wedge/triangle stream never crosses an exchange (the wedge-JOIN
+    dual spilled 80+ GB sorting 6.7B wedge rows at the 16× tier)."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", tokenize(F.col("text")).alias("toks"))
@@ -1202,49 +1203,67 @@ def qd17(spark, sf_dir):
     o = ed.select(
         F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
         F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    ).localCheckpoint()  # referenced by all three triangle join sides
-    x = o.alias("x")
-    y = o.alias("y")
-    z = o.alias("z")
-    tri = (
-        x.join(
-            y,
-            (F.col("y.src") == F.col("x.src"))
-            & (
-                (F.col("x.ddst") < F.col("y.ddst"))
-                | (
-                    (F.col("x.ddst") == F.col("y.ddst"))
-                    & (F.col("x.dst") < F.col("y.dst"))
-                )
-            ),
+    ).localCheckpoint()  # referenced by the edge side and both adjacency sides
+    # Wedge-close via ADJACENCY-LIST INTERSECTION (node-iterator+),
+    # not a wedge join (round 9): the x⋈y-on-src join materialized the
+    # full wedge stream (Σ out-deg² rows) THROUGH the z-join's
+    # shuffle — 354M wedges at 6×; the 16× tier (~19× more) exhausted
+    # 80 GB of spill disk sorting it (SCALE_SWEEP_r09_16x_qd17 first
+    # attempt). Here each oriented edge (u→v) instead fetches the two
+    # out-neighbor lists and closes its triangles as
+    # w ∈ N+(u) ∩ N+(v): a triangle with degree-ordered corners
+    # a<b<c is found exactly once, at edge (a,b) with w=c. The
+    # O(Σ out-deg²) work is unavoidable (it IS the triangle work) but
+    # it becomes array_intersect CPU inside task pipelines; shuffled
+    # bytes are O(|E|) — edges once, adjacency lists twice — and the
+    # degree orientation caps every list at O(√|E|) entries, so no
+    # row outgrows memory. Array-typed relations take shuffle_hash
+    # (never broadcast/SMJ-sort — trap #3).
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    closed = (
+        o.join(
+            adj.select("src", F.col("nbrs").alias("_nu")).hint("shuffle_hash"),
+            "src",
         )
         .join(
-            z,
-            (F.col("z.src") == F.col("x.dst"))
-            & (F.col("z.dst") == F.col("y.dst")),
+            adj.select(
+                F.col("src").alias("dst"), F.col("nbrs").alias("_nv")
+            ).hint("shuffle_hash"),
+            "dst",
         )
-        .select(
-            F.col("x.src").alias("u"),
-            F.col("x.dst").alias("v"),
-            F.col("y.dst").alias("w"),
-        )
+        .select("src", "dst", F.array_intersect("_nu", "_nv").alias("_ws"))
     )
-    # single consumption of the triangle stream: each triangle
-    # contributes its three corners through one explode, pipelined
-    # straight into a bounded-keyspace (≤ |nodes|) partial aggregate —
-    # the triangle list itself (|tri| can be ~1e9 at the 6× tier,
-    # ~24 GB as a checkpoint) is never materialized; the map-side
-    # combine collapses each task's corner stream to its distinct
-    # nodes before the shuffle. The total count is recovered exactly
-    # as Σ per-node triangles / 3 (each triangle has 3 corners), so
-    # no second pass over tri is needed either.
+    # single consumption of the closure stream: each edge row emits
+    # its corner credits — |ws| to u, |ws| to v, 1 to each w — through
+    # one explode, pipelined straight into a bounded-keyspace
+    # (≤ |nodes|) partial aggregate: the per-triangle rows are never
+    # shuffled, never sorted, never checkpointed; the map-side combine
+    # collapses each task's credit stream to its distinct nodes before
+    # the exchange. The total count is recovered exactly as
+    # Σ per-node triangles / 3 (each triangle credits 3 corners).
+    def _w_credit(w):
+        return F.struct(w.alias("node"), F.lit(1).cast("long").alias("c"))
+
+    nws = F.size("_ws").cast("long")
     pernode = (
-        tri.select(
-            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        closed.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("src").alias("node"), nws.alias("c")),
+                        F.struct(F.col("dst").alias("node"), nws.alias("c")),
+                    ),
+                    F.transform("_ws", _w_credit),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.node").alias("node"), F.col("e.c").alias("c"))
         .groupBy("node")
-        .agg(F.count("*").alias("triangles"))
+        .agg(F.sum("c").alias("triangles"))
+        # zero-credit corners (edges that close no triangle) sum to 0;
+        # drop them so pernode stays exactly the triangle-corner set
+        # the SQL oracle's unnest produces
+        .where(F.col("triangles") > 0)
         .localCheckpoint()  # read twice: total + final projection
     )
     total = pernode.agg(
