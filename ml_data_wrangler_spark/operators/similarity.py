@@ -814,6 +814,149 @@ def brute_force_topk_vectorized(
     )
 
 
+def brute_force_topk_fold(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_chunk: int = 4096,
+    max_broadcast_cells: int = 32_000_000,
+) -> DataFrame:
+    """Exact cosine top-k, ORACLE-GRADE: chunk-local fold-GEMM
+    scoring with values bit-identical to ``brute_force_topk``'s
+    relational kernel (same ascending per-dimension float64 fold from
+    a 0.0 accumulator, same half-away-from-zero 6-decimal rounding,
+    same (sim DESC, neighbor_id ASC) total order) — so a query pinned
+    to a SQL oracle hash can swap kernels without moving a value.
+
+    Why it exists (round 9, measured): ``brute_force_topk`` shuffles
+    the FULL |C|×|Q| scored stream into the rank window — at the 32×
+    tier that is 2.05e8 rows through a sort whose spill compounds the
+    per-pair JVM fold, measured 346.8 s = 10.05× over 16× on 4.1×
+    pair growth (SCALE_SWEEP_r09_32x_batch2.log; the stage audit says
+    parallel-ok — it is pure work growth, not imbalance). Here each
+    corpus chunk scores a (B, Q) tile with the same numpy
+    per-dimension accumulation ``block_allpairs_cosine`` uses and
+    emits only its chunk-local top-k per query; the window then
+    merges O(chunks × Q × k) rows, never the score matrix.
+
+    Chunk-local selection is done under the FINAL total order, so the
+    global merge is exact even with the duplicate-heavy tiers' wide
+    rounded-sim ties: rows are pre-sorted by neighbor id and a STABLE
+    argsort on the rounded sims inherits the id tie-break; any global
+    top-k row is within its chunk's top-k by the same order.
+
+    The query side is collected and broadcast (it is the ANN
+    ground-truth SAMPLE — 5% at every tier); ``max_broadcast_cells``
+    (float64 cells, default 256 MB) fails fast if a caller passes a
+    query side that should be a join, not a broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # same id contract as block_allpairs_cosine: the emitted schema is
+    # (long, long, double) — reject non-integral ids up front
+    for df_, col_ in ((corpus, id_col), (queries, id_col)):
+        id_type = df_.schema[col_].dataType
+        if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"brute_force_topk_fold requires an integral id column; "
+                f"{col_!r} is {id_type.simpleString()}"
+            )
+
+    def _round6(sims: "np.ndarray") -> "np.ndarray":
+        # half-away-from-zero — block_allpairs_cosine's rounding (same
+        # documented 1e-6 ulp-edge caveat)
+        scaled = sims * 1e6
+        return (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            / 1e6
+        )
+
+    def _fold_norms(v: "np.ndarray") -> "np.ndarray":
+        # ascending per-dimension fold — bit-identical to l2_norm()
+        sq = np.zeros(v.shape[0])
+        for i in range(v.shape[1]):
+            sq += v[:, i] * v[:, i]
+        return np.sqrt(sq)
+
+    spark = corpus.sparkSession
+    out_schema = "query_id long, neighbor_id long, sim double"
+    q_pdf = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()
+    if q_pdf.empty:
+        return spark.createDataFrame([], out_schema + ", rank long")
+    q_ids = q_pdf["qid"].to_numpy().astype("int64")
+    qm = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)  # (Q, D)
+    if qm.size > max_broadcast_cells:
+        raise ValueError(
+            f"query side too large to broadcast ({qm.shape[0]}×{qm.shape[1]} "
+            f"cells > {max_broadcast_cells}); use a distributed join kernel"
+        )
+    qn = _fold_norms(qm)
+    bq = spark.sparkContext.broadcast((q_ids, qm, qn))
+
+    n_q = len(q_ids)
+
+    def score(batches):
+        ids_b, qm_b, qn_b = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids_all = pdf["nid"].to_numpy().astype("int64")
+            vs_all = pdf["v"].to_numpy()
+            # bound each score tile at ~4M cells whatever Arrow hands us
+            chunk = max(128, min(row_chunk, 4_000_000 // max(n_q, 1)))
+            for lo in range(0, len(nids_all), chunk):
+                hi = min(lo + chunk, len(nids_all))
+                nids = nids_all[lo:hi]
+                c = np.stack(vs_all[lo:hi]).astype(np.float64)  # (B, D)
+                # pre-sort by neighbor id: the stable sim sort below
+                # then inherits the ASC id tie-break of the total order
+                o = np.argsort(nids, kind="stable")
+                nids, c = nids[o], c[o]
+                cn = _fold_norms(c)
+                dots = np.zeros((c.shape[0], qm_b.shape[0]))
+                for i in range(c.shape[1]):
+                    dots += np.outer(c[:, i], qm_b[:, i])
+                sims = _round6(dots / np.outer(cn, qn_b))
+                # self-matches can never be neighbors
+                sims[nids[:, None] == ids_b[None, :]] = -np.inf
+                kk = min(k, sims.shape[0])
+                # stable sort on rounded sims: ties keep id order
+                top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, Q)
+                sim_sel = np.take_along_axis(sims, top, axis=0)
+                keep = np.isfinite(sim_sel)
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(ids_b, (kk, 1))[keep],
+                        "neighbor_id": nids[top][keep],
+                        "sim": sim_sel[keep],
+                    }
+                )
+
+    from ml_data_wrangler_spark.operators._partition import ensure_parallelism
+
+    scored = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).mapInPandas(score, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_reconstruction_report(
     corpus: DataFrame,
     m: int = 8,

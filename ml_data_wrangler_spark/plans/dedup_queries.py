@@ -527,9 +527,13 @@ def qd11(spark, sf_dir):
     )
 
 
-@query(
-    "qd12_containment_pairs",
-    oracle=f"""
+def _qd12_oracle_sql(slice_pred: str = "") -> str:
+    """qd12's oracle text, with an optional extra predicate on the
+    SRC side of the directed posting join. The predicate partitions
+    the OUTPUT keyspace by src (every (src, dst) group carries
+    exactly one src), so the union over a complete set of slice
+    predicates is the unsliced result row-for-row."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {SQL_TOKS} AS l FROM documents
 ), sh AS (
@@ -542,13 +546,52 @@ WITH toks AS (
 ), pairs AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, CAST(COUNT(*) AS BIGINT) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  {slice_pred}
   GROUP BY 1, 2
 )
 SELECT src, dst,
        ROUND(CAST(shared AS DOUBLE) / s.n, 6) AS containment
 FROM pairs JOIN sizes s ON src = s.doc_id
 WHERE CAST(shared AS DOUBLE) / s.n >= 0.8 - 1e-9
-""",
+"""
+
+
+_QD12_SLICES = 16
+
+
+def _qd12_scale_oracle(con):
+    """Scale-tier oracle for qd12: the plain SQL oracle's DIRECTED
+    posting join (`a.doc_id <> b.doc_id` — 2× the row stream and 2×
+    the aggregate keyspace of qd03's undirected `<` twin) exhausted
+    the disk at the 32× tier (DuckDB temp spill past ~60 GB,
+    SCALE_SWEEP_r09_32x_batch2.log) while the undirected oracles
+    survived. Beyond the registered bound the SAME SQL runs in
+    _QD12_SLICES slices, each restricted to `src % K = i` inside the
+    pairs CTE — a partition of the output keyspace by src, so the
+    concatenation is the unsliced result exactly (pinned vs the plain
+    oracle by tests/test_qd12_scale_oracle.py) while each slice's
+    join intermediate, aggregate keyspace, and spill are ~1/K of the
+    whole. Algorithm bounded, semantics untouched; the doc_id-space
+    is non-negative at every tier, so `%` is a clean partition."""
+    cols: list[str] | None = None
+    rows: list = []
+    for i in range(_QD12_SLICES):
+        cur = con.execute(
+            _qd12_oracle_sql(
+                f"WHERE a.doc_id % {_QD12_SLICES} = {i}"
+            )
+        )
+        if cols is None:
+            cols = [d[0] for d in cur.description]
+        rows.extend(cur.fetchall())
+    return cols or ["src", "dst", "containment"], rows
+
+
+@query(
+    "qd12_containment_pairs",
+    oracle=_qd12_oracle_sql(),
+    scale_oracle=_qd12_scale_oracle,
+    oracle_scale_bound=("documents", 100_000),
 )
 def qd12(spark, sf_dir):
     """Directed shingle containment ≥ 0.8 (operators/dedup.

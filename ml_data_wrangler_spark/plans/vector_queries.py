@@ -22,6 +22,7 @@ from ml_data_wrangler_spark.operators.similarity import (
     _lsh_candidate_ids,
     _lsh_normalized,
     brute_force_topk,
+    brute_force_topk_fold,
     ivf_index,
     ivf_search,
 )
@@ -69,10 +70,19 @@ WHERE rank <= 5
 def qv01(spark, sf_dir):
     """Exact brute-force cosine top-5 for a 5% query sample — the ANN
     ground-truth baseline. Query side broadcast; scoring fully
-    distributed over corpus partitions."""
+    distributed over corpus partitions.
+
+    Kernel (round 9): brute_force_topk_fold — chunk-local fold-GEMM
+    emitting only top-k per chunk, bit-identical values to the
+    relational kernel (pinned row-for-row by
+    tests/test_dedup_similarity.py::test_fold_knn_bit_identical_to_jvm
+    and by this query's oracle hash). The relational form shuffled
+    the full |C|×|Q| scored stream into the rank window: 346.8 s at
+    the 32× tier (10.05× over 16× on 4.1× pair growth) vs the fold
+    kernel's chunk-local merge."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 20 == 0)
-    return brute_force_topk(emb, queries, k=5).select(
+    return brute_force_topk_fold(emb, queries, k=5).select(
         "query_id", "neighbor_id", "sim", "rank"
     )
 

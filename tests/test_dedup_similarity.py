@@ -371,6 +371,72 @@ def test_vectorized_knn_matches_jvm(spark, sf_dir):
     assert agree / total >= 0.99
 
 
+def test_fold_knn_bit_identical_to_jvm(spark, sf_dir):
+    """brute_force_topk_fold must reproduce the relational kernel
+    ROW-FOR-ROW — not just neighbor sets: same ascending per-dim
+    fold, same rounding, same total order means identical (query_id,
+    neighbor_id, sim, rank) tuples. This is what lets qv01 swap
+    kernels while staying pinned to its SQL oracle hash."""
+    from ml_data_wrangler_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_fold,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    jvm = sorted(map(tuple, brute_force_topk(emb, queries, k=5).collect()))
+    fold = sorted(map(tuple, brute_force_topk_fold(emb, queries, k=5).collect()))
+    assert len(fold) > 0
+    assert fold == jvm
+
+
+def test_fold_knn_chunk_boundaries_are_value_neutral(spark, sf_dir):
+    """Chunk-local top-k under the final total order must be
+    insensitive to where the chunk boundaries fall — force 1-row
+    score tiles (every chunk degenerates to a single corpus row) and
+    the merged result must not move."""
+    from ml_data_wrangler_spark.operators.similarity import brute_force_topk_fold
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    base = sorted(map(tuple, brute_force_topk_fold(emb, queries, k=5).collect()))
+    tiny = sorted(
+        map(
+            tuple,
+            brute_force_topk_fold(emb, queries, k=5, row_chunk=1).collect(),
+        )
+    )
+    assert base == tiny and len(base) > 0
+
+
+def test_fold_knn_duplicate_ties_break_by_id(spark):
+    """Duplicate-heavy regime (the scale tiers' shape): identical
+    vectors produce identical rounded sims, so top-k must tie-break
+    by ascending neighbor_id — and never emit a self-match."""
+    from pyspark.sql import Row as R2
+
+    from ml_data_wrangler_spark.operators.similarity import brute_force_topk_fold
+
+    rows = [R2(vec_id=i, embedding=[1.0, 0.0]) for i in range(6)]
+    rows += [R2(vec_id=10, embedding=[0.0, 1.0])]
+    emb = spark.createDataFrame(rows)
+    out = brute_force_topk_fold(
+        emb, emb.where(F.col("vec_id") == 3), k=4
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(0, 1), (1, 2), (2, 3), (4, 4)]
+
+
+def test_fold_knn_rejects_non_integral_ids(spark):
+    from pyspark.sql import Row as R2
+
+    from ml_data_wrangler_spark.operators.similarity import brute_force_topk_fold
+
+    emb = spark.createDataFrame([R2(vec_id="a", embedding=[1.0])])
+    with pytest.raises(TypeError, match="integral id"):
+        brute_force_topk_fold(emb, emb, k=1)
+
+
 def test_pq_exactly_representable_corpus_has_zero_error(spark):
     """PQ sanity: a corpus drawn from 16 distinct prototype vectors is
     exactly representable by a k=16 codebook — reconstruction error
