@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
 from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 from ml_data_wrangler_spark.operators.similarity import (
-    brute_force_topk,
+    brute_force_topk_fold,
     ivf_index,
     ivf_search,
 )
@@ -100,7 +100,9 @@ def qv14(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") % 20 == 0)
     assigned, centroids = ivf_index(emb, n_clusters=8, seed=42)
-    exact = brute_force_topk(emb, queries_df, k=3).select(
+    # fold-GEMM kernel (round 9): bit-identical to the relational
+    # form (see qv01) — avoids the full scored-stream window at scale
+    exact = brute_force_topk_fold(emb, queries_df, k=3).select(
         "query_id", F.col("neighbor_id").alias("n_exact_id")
     )
     exact.cache()
@@ -1099,7 +1101,9 @@ def qv21(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     mmr_queries = emb.where(F.col("vec_id") % 20 == 0)
-    cand = brute_force_topk(emb, mmr_queries, k=10).select(
+    # fold-GEMM kernel (round 9): bit-identical to the relational
+    # form (see qv01) — avoids the full scored-stream window at scale
+    cand = brute_force_topk_fold(emb, mmr_queries, k=10).select(
         F.col("query_id").alias("qid"),
         "neighbor_id",
         "sim",

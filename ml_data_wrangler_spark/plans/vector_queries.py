@@ -637,7 +637,10 @@ def qv12(spark, sf_dir):
     ivf = ivf_search(assigned, centroids, queries_df, k=3, nprobe=2).select(
         "query_id", F.col("neighbor_id").alias("n_ivf")
     )
-    exact = brute_force_topk(emb, queries_df, k=3).select(
+    # fold-GEMM kernel (round 9): bit-identical to brute_force_topk —
+    # see qv01's note; the relational form's full scored-stream window
+    # is the measured 32× scale defect
+    exact = brute_force_topk_fold(emb, queries_df, k=3).select(
         "query_id", F.col("neighbor_id").alias("n_exact_id")
     )
     per_query = (
