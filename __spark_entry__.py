@@ -52,27 +52,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation is a red test. Any future never-gated query would still
 # jump the whole rotation.
 _GATED_ROUNDS: list[list[str]] = [
-    # r04 remainder (CORRECTNESS_r04.json: 49 hash-PASS + qv07
-    # rows-only; qd03/qd04/qm05 re-gated r08 and moved to that rank)
-    ["q33", "qw09"]
-    + [f"qc{i:02d}" for i in range(7, 15)]  # qc11 unused (dupe removed)
-    + ["qd05", "qd09", "qd10", "qd11"]
-    + [f"qe{i:02d}" for i in range(8, 21)]
-    + [f"qm{i:02d}" for i in range(6, 13) if i != 7]  # qm05→r08, qm07→r08
-    + ["qs07"]
-    + [f"qt{i:02d}" for i in range(8, 16)]
-    + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"],
-    # r05 (CORRECTNESS_r05.json: 50 hash-PASS, 0 rows-only, 0 errors)
+    # r05 remainder (CORRECTNESS_r05.json: 50 hash-PASS, 0 rows-only,
+    # 0 errors; qj05/qj06/qx06 re-gated r09 and moved to that rank)
     ["qc15", "qc16", "qc17", "qc18", "qc20"]
     + ["qd12", "qd13", "qd14", "qd16", "qd18"]
     + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
        "qe32", "qe34", "qe35", "qe36", "qe38"]
-    + ["qg07", "qg08", "qj05", "qj06"]
+    + ["qg07", "qg08"]
     + ["qm13", "qm14", "qm17", "qm18", "qm19", "qm21"]
     + ["qs08", "qs09", "qs10", "qs11"]
     + ["qt16", "qt17", "qt18"]
     + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
-    + ["qw11", "qx06", "qx07"],
+    + ["qw11", "qx07"],
     # r06 (CORRECTNESS_r06.json: 49 hash-PASS + qm03 rows-only — the
     # 16 final never-driver-gated names; 213/213 coverage complete)
     ["q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
@@ -99,6 +90,19 @@ _GATED_ROUNDS: list[list[str]] = [
     + [f"qt{i:02d}" for i in range(1, 8)]
     + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
     + [f"qx{i:02d}" for i in range(1, 6)],
+    # r09 re-verification (CORRECTNESS_r09.json: 49 hash-PASS + qv07
+    # rows-only by design — the old r04 remainder block plus
+    # qj05/qj06/qx06 from r05; qc11 dropped, never a live name).
+    ["q33", "qw09"]
+    + [f"qc{i:02d}" for i in range(7, 15) if i != 11]
+    + ["qd05", "qd09", "qd10", "qd11"]
+    + [f"qe{i:02d}" for i in range(8, 21)]
+    + ["qj05", "qj06"]
+    + [f"qm{i:02d}" for i in range(6, 13) if i != 7]
+    + ["qs07"]
+    + [f"qt{i:02d}" for i in range(8, 16)]
+    + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
+    + ["qx06"],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

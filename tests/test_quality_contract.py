@@ -261,9 +261,12 @@ def test_gate_fold_is_complete():
     must be folded into _GATED_PASS. Three rounds of manual start-of-
     round folding is two too many (round-5 verdict item 2): a missed
     fold wastes ~50 driver gate slots re-verifying green queries
-    instead of gating fresh ones. A name counts as green when it ran
-    without error and at least the row-count matched (rows-only is the
-    driver's weaker-but-recorded pass for non-SQL ops, e.g. qv07)."""
+    instead of gating fresh ones. Green uses the SAME predicate as the
+    rotation test (round-9 verdict item 3 — rows_match alone would
+    silently fold a value-mismatched query into _GATED_PASS and never
+    re-front it): oracle-bearing queries need hash+schema+rows,
+    rows-only (err == 'no_oracle') queries count when they produced
+    rows, since rows-only IS the driver's recorded pass for those."""
     import glob
     import json
     import os
@@ -278,7 +281,15 @@ def test_gate_fold_is_complete():
         with open(path) as fh:
             results = json.load(fh)
         for name, res in results.items():
-            green = res.get("err") is None and res.get("rows_match")
+            green = (
+                res.get("err") is None
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ) or (
+                res.get("err") == "no_oracle"
+                and (res.get("spark_rows") or 0) > 0
+            )
             if green and e._short(name) not in e._GATED_PASS:
                 unfolded.add((os.path.basename(path), e._short(name)))
     assert not unfolded, f"green driver-gated queries missing from _GATED_PASS: {sorted(unfolded)}"
