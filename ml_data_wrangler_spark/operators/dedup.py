@@ -331,6 +331,105 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_banded_near_dup_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Hand-rolled banded MinHash-LSH near-dup pairs — the scale path
+    that replaces the MLlib ``approxSimilarityJoin`` kernel (whose
+    internal candidate stream measured 6.4× growth on 4.13× pair
+    growth at the r09 32× step; ROUND_NOTES r09):
+
+      1. raw 128-hash signatures (``minhash_raw_signatures`` — pure
+         JVM array expressions, deterministic on any partitioning);
+      2. band each signature into ``bands`` buckets of
+         ``rows_per_band`` components, bucket key =
+         xxhash64(band slice) — one explode of (band, bucket, doc_id)
+         triples, 8 bytes of key per band;
+      3. self-join on (band, bucket): candidates are exactly the
+         pairs colliding in ≥1 band, deduplicated by a pair groupBy
+         (map-side partial, so a pair caught in 30 bands ships once
+         per map partition, not 30 rows);
+      4. verify candidates by the unbiased signature-agreement
+         estimate (matching components / n_hashes — qd10's pinned
+         estimator), keep est ≥ ``jaccard_threshold``.
+
+    Shuffle ledger at scale: one exchange of band triples (bands ×
+    |docs| rows, constant width), one pair-key exchange bounded by
+    true collision pairs, two doc_id-key joins against the
+    checkpointed signature relation for the verify stage. Every stage
+    is pair-linear — bucket fan-out is bounded by dup-group size, and
+    the verify never touches shingle sets.
+
+    Differences vs ``minhash_near_dup_pairs`` (MLlib), both
+    deliberate and gate-pinned by
+    tests/test_dedup_similarity.py::test_banded_pairs_agree_with_mllib:
+      * ``est_jaccard`` is the signature-agreement ESTIMATE, not
+        MLlib's exact Jaccard on hashed feature sets — callers that
+        need exact similarity verify against ``ngram_jaccard_pairs``;
+      * the candidate net is (bands × rows_per_band) banding, not
+        ``numHashTables`` single-hash tables — at the (32, 4) default
+        the S-curve crosses ~0.99 catch probability at j = 0.6
+        (qd15's measured operating point).
+    """
+    n_hashes = bands * rows_per_band
+    sigs = minhash_raw_signatures(documents, k=k, n_hashes=n_hashes)
+    # Signatures feed three consumers (band explode + both verify
+    # sides); localCheckpoint computes the n_hashes × |shingles|
+    # hash-min work once and truncates the lineage so Catalyst cannot
+    # re-derive it per consumer (the minhash_near_dup_pairs trap).
+    sigs = sigs.localCheckpoint(eager=False)
+    triples = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = triples.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    b = triples.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.lit(1).alias("_caught"))
+        .drop("_caught")
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        )
+        / F.lit(n_hashes)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash: per token a stable xxhash64; signature bit b is the
     sign of Σ_tokens (±1 by token-hash bit b). Pure JVM expressions —

@@ -91,6 +91,57 @@ def test_minhash_recall_of_exact_pairs(docs):
     assert exact <= approx  # LSH candidates must cover the exact pairs
 
 
+def test_banded_minhash_recall_of_exact_pairs(docs):
+    from ml_data_wrangler_spark.operators.dedup import (
+        minhash_banded_near_dup_pairs,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    approx = {(r["doc_a"], r["doc_b"]) for r in
+              minhash_banded_near_dup_pairs(docs, k=3, jaccard_threshold=0.4).collect()}
+    assert exact <= approx
+
+
+def test_banded_pairs_agree_with_mllib(spark):
+    """Agreement dual pinning the round-10 qd03 kernel swap (the qv11
+    pattern): on the synthetic corpus both MinHash candidate kernels —
+    MLlib approxSimilarityJoin (retired from the scale regime, r09
+    verdict item 2) and the hand-rolled (32, 4) banded path — must
+    catch every exact Jaccard≥0.6 pair at threshold 0.5, i.e. recall
+    1.0 each at the qd03 operating point, so routing qd03 through the
+    banded kernel moves no gate values."""
+    from ml_data_wrangler_spark.operators.dedup import (
+        minhash_banded_near_dup_pairs,
+    )
+    from ml_data_wrangler_spark.sources.readers import read_table
+
+    corpus = read_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(corpus, k=3, threshold=0.6).collect()}
+    assert exact, "fixture corpus must contain exact near-dup pairs"
+    mllib = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_near_dup_pairs(corpus, k=3, jaccard_threshold=0.5, seed=42).collect()}
+    banded = {(r["doc_a"], r["doc_b"]) for r in
+              minhash_banded_near_dup_pairs(corpus, k=3, jaccard_threshold=0.5).collect()}
+    assert exact <= mllib
+    assert exact <= banded
+
+
+def test_banded_est_jaccard_is_signature_agreement(docs):
+    """est_jaccard must be the unbiased signature-agreement estimate:
+    an exact dup pair (identical shingle sets → identical signatures)
+    estimates exactly 1.0, and every estimate lies in [threshold, 1]."""
+    from ml_data_wrangler_spark.operators.dedup import (
+        minhash_banded_near_dup_pairs,
+    )
+
+    rows = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+            minhash_banded_near_dup_pairs(docs, k=3, jaccard_threshold=0.4).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert all(0.4 <= v <= 1.0 for v in rows.values())
+
+
 def test_simhash_identical_docs_same_signature(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2] == sigs[3]
