@@ -581,14 +581,17 @@ def _qd12_scale_oracle(con):
     concatenation is the unsliced result exactly (pinned vs the plain
     oracle by tests/test_qd12_scale_oracle.py) while each slice's
     join intermediate, aggregate keyspace, and spill are ~1/K of the
-    whole. Algorithm bounded, semantics untouched; the doc_id-space
-    is non-negative at every tier, so `%` is a clean partition."""
+    whole. Algorithm bounded, semantics untouched; the residue is
+    taken sign-safe (((x % K) + K) % K — DuckDB `%` returns negative
+    remainders) so the partition stays complete even if a future tier
+    synthesizes negative doc_ids (r09 ADVICE)."""
     cols: list[str] | None = None
     rows: list = []
     for i in range(_QD12_SLICES):
         cur = con.execute(
             _qd12_oracle_sql(
-                f"WHERE a.doc_id % {_QD12_SLICES} = {i}"
+                f"WHERE ((a.doc_id % {_QD12_SLICES}) + {_QD12_SLICES})"
+                f" % {_QD12_SLICES} = {i}"
             )
         )
         if cols is None:
@@ -1022,6 +1025,72 @@ WITH toks AS (
 # accumulate path that only scale-sized graphs hit naturally)
 _QD17_FLUSH_ROWS = 30_000_000
 
+# fork-inherited work arrays for _qd17_wedge_worker (set by
+# _qd17_scale_oracle immediately before forking, cleared after) —
+# passing ~240 MB edge arrays through pickle per worker would dominate
+# small-slice runtimes; fork's copy-on-write shares them for free
+_QD17_WORK: dict = {}
+
+
+def _qd17_wedge_worker(args):
+    """Wedge-closure counting for one residue class of source nodes
+    (s % n_slices == slice_idx) — the exact per-source decomposition
+    of the full kernel: every wedge belongs to exactly one source
+    node, per-corner counts are int64 bincounts, and integer partial
+    sums are order-independent, so Σ over slices is bit-equal to the
+    single-process run (pinned by
+    tests/test_qd17_scale_oracle.py::test_scale_oracle_proc_count_independent).
+    Residue classes (not contiguous ranges) spread the degree-ordered
+    hubs across workers."""
+    import numpy as np
+
+    slice_idx, n_slices = args
+    src = _QD17_WORK["src"]
+    dst = _QD17_WORK["dst"]
+    starts = _QD17_WORK["starts"]
+    ends = _QD17_WORK["ends"]
+    ekeys = _QD17_WORK["ekeys"]
+    n = _QD17_WORK["n"]
+    tri_per_node = np.zeros(n, dtype=np.int64)
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    buf_v: list[np.ndarray] = []
+    buf_w: list[np.ndarray] = []
+    buf_u: list[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buffered, tri_per_node
+        if not buf_v:
+            return
+        v = np.concatenate(buf_v)
+        w = np.concatenate(buf_w)
+        u = np.concatenate(buf_u)
+        buf_v.clear(), buf_w.clear(), buf_u.clear()
+        buffered = 0
+        keys = v * n + w
+        pos = np.searchsorted(ekeys, keys)
+        closed = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)] == keys)
+        if closed.any():
+            corners = np.concatenate([u[closed], v[closed], w[closed]])
+            tri_per_node += np.bincount(corners, minlength=n)
+
+    for s in range(slice_idx, n, n_slices):
+        k = ends[s] - starts[s]
+        if k < 2:
+            continue
+        if k not in triu_cache:
+            triu_cache[k] = np.triu_indices(k, 1)
+        ii, jj = triu_cache[k]
+        neigh = dst[starts[s] : ends[s]]
+        buf_v.append(neigh[ii])
+        buf_w.append(neigh[jj])
+        buf_u.append(np.full(len(ii), s, dtype=np.int64))
+        buffered += len(ii)
+        if buffered >= _QD17_FLUSH_ROWS:
+            flush()
+    flush()
+    return tri_per_node
+
 
 def _qd17_scale_oracle(con):
     """Scale-tier oracle for qd17: the SQL oracle's wedge-close kernel
@@ -1065,44 +1134,33 @@ def _qd17_scale_oracle(con):
     ends = np.searchsorted(src, np.arange(n), side="right")
     # sorted oriented-edge keys for the closing-edge membership test
     ekeys = np.sort(src * n + dst)
-    tri_per_node = np.zeros(n, dtype=np.int64)
-    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    buf_v: list[np.ndarray] = []
-    buf_w: list[np.ndarray] = []
-    buf_u: list[np.ndarray] = []
-    buffered = 0
+    # parallel wedge closure (round 10, verdict item 4): the kernel
+    # decomposes exactly by source node, so SPARK_GRAFT_QD17_ORACLE_PROCS
+    # forked workers each take a residue class and the int64 partials
+    # sum bit-equal to the single-process run — this is what makes the
+    # 32× tier oracle-feasible (~1.5 h single-process, /procs forked)
+    import os as _os
 
-    def flush():
-        nonlocal buffered, tri_per_node
-        if not buf_v:
-            return
-        v = np.concatenate(buf_v)
-        w = np.concatenate(buf_w)
-        u = np.concatenate(buf_u)
-        buf_v.clear(), buf_w.clear(), buf_u.clear()
-        buffered = 0
-        keys = v * n + w
-        pos = np.searchsorted(ekeys, keys)
-        closed = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)] == keys)
-        if closed.any():
-            corners = np.concatenate([u[closed], v[closed], w[closed]])
-            tri_per_node += np.bincount(corners, minlength=n)
+    procs = max(1, int(_os.environ.get("SPARK_GRAFT_QD17_ORACLE_PROCS", "1") or 1))
+    procs = min(procs, n)
+    _QD17_WORK.update(
+        {"src": src, "dst": dst, "starts": starts, "ends": ends,
+         "ekeys": ekeys, "n": n}
+    )
+    try:
+        if procs == 1:
+            tri_per_node = _qd17_wedge_worker((0, 1))
+        else:
+            import multiprocessing as _mp
 
-    for s in range(n):
-        k = ends[s] - starts[s]
-        if k < 2:
-            continue
-        if k not in triu_cache:
-            triu_cache[k] = np.triu_indices(k, 1)
-        ii, jj = triu_cache[k]
-        neigh = dst[starts[s] : ends[s]]
-        buf_v.append(neigh[ii])
-        buf_w.append(neigh[jj])
-        buf_u.append(np.full(len(ii), s, dtype=np.int64))
-        buffered += len(ii)
-        if buffered >= _QD17_FLUSH_ROWS:
-            flush()
-    flush()
+            ctx = _mp.get_context("fork")
+            with ctx.Pool(procs) as pool:
+                parts = pool.map(
+                    _qd17_wedge_worker, [(i, procs) for i in range(procs)]
+                )
+            tri_per_node = np.sum(np.stack(parts), axis=0)
+    finally:
+        _QD17_WORK.clear()
     total = int(tri_per_node.sum()) // 3
     hit = np.flatnonzero(tri_per_node > 0)
     # ORDER BY triangles DESC, doc_id LIMIT 20; ROUND half-up like both

@@ -478,6 +478,60 @@ def test_fold_knn_duplicate_ties_break_by_id(spark):
     assert got == [(0, 1), (1, 2), (2, 3), (4, 4)]
 
 
+def test_fold_knn_distributed_slices_match_broadcast(spark, sf_dir):
+    """Above max_broadcast_cells the kernel must auto-dispatch to the
+    hash-sliced distributed path (round-10 verdict item 3) and return
+    EXACTLY the broadcast path's rows — slices partition query ids
+    disjointly under the unchanged total order. Forcing a tiny cap
+    (queries = 125 ids × 64 dims = 8000 cells > 2000-cell cap → 16
+    slices per the quarter-budget sizing) exercises the real slice
+    machinery on the real corpus."""
+    from ml_data_wrangler_spark.operators.similarity import brute_force_topk_fold
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    base = sorted(map(tuple, brute_force_topk_fold(emb, queries, k=5).collect()))
+    sliced = sorted(
+        map(
+            tuple,
+            brute_force_topk_fold(
+                emb, queries, k=5, max_broadcast_cells=2000
+            ).collect(),
+        )
+    )
+    assert sliced == base and len(base) > 0
+
+
+def test_fold_knn_rejects_degenerate_vectors(spark):
+    """r09 ADVICE: zero-norm, null, and ragged embeddings must raise
+    loudly instead of silently diverging from the relational kernel
+    (which ranks NaN sims first under DESC)."""
+    from pyspark.sql import Row as R2
+
+    from ml_data_wrangler_spark.operators.similarity import brute_force_topk_fold
+
+    clean = spark.createDataFrame(
+        [R2(vec_id=1, embedding=[1.0, 0.0]), R2(vec_id=2, embedding=[0.0, 1.0])]
+    )
+    zero = spark.createDataFrame(
+        [R2(vec_id=1, embedding=[0.0, 0.0]), R2(vec_id=2, embedding=[1.0, 0.0])]
+    )
+    with pytest.raises(Exception, match="zero-norm or non-finite"):
+        brute_force_topk_fold(zero, zero.where(F.col("vec_id") == 2), k=1).collect()
+    null = spark.createDataFrame(
+        [R2(vec_id=1, embedding=[1.0, 0.0]), R2(vec_id=2, embedding=None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null"):
+        brute_force_topk_fold(null, clean, k=1).collect()
+    ragged = spark.createDataFrame(
+        [R2(vec_id=1, embedding=[1.0, 0.0]), R2(vec_id=2, embedding=[1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        brute_force_topk_fold(ragged, clean, k=1).collect()
+
+
 def test_fold_knn_rejects_non_integral_ids(spark):
     from pyspark.sql import Row as R2
 

@@ -47,6 +47,29 @@ def test_slice_count_irrelevant(sf_dir, qname, monkeypatch):
     assert compare(qname, p_cols, p_rows, o_cols, o_rows) == []
 
 
+def test_slices_complete_under_negative_ids(qname):
+    """DuckDB `%` returns negative remainders, so a naive
+    `doc_id % K = i` partition silently drops every negative-id row
+    (r09 ADVICE) — the sign-safe residue must keep slice-union ==
+    plain on a corpus with negative doc_ids."""
+    import duckdb
+
+    import ml_data_wrangler_spark.plans.dedup_queries as dq
+
+    con = duckdb.connect()
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(-7, '{base} one'), (-3, '{base} one'), "
+        f"(2, '{base} two'), (5, '{base} two'), (9, 'unrelated text entirely')"
+        ") AS t(doc_id, text)"
+    )
+    o_cols, o_rows = run_oracle(con, registry.oracle_sql()[qname])
+    assert any(r[0] < 0 for r in o_rows), "fixture must emit negative-src pairs"
+    p_cols, p_rows = dq._qd12_scale_oracle(con)
+    assert compare(qname, p_cols, p_rows, o_cols, o_rows) == []
+
+
 def test_scale_bound_registered(qname):
     """The bound must sit ABOVE the 16× step-up tier (80k documents —
     the plain oracle still completed there in 109 s) and AT/BELOW the

@@ -47,6 +47,21 @@ def test_scale_oracle_small_buffer_flush(sf_dir, qname, monkeypatch):
     assert compare(qname, small_cols, small_rows, base_cols, base_rows) == []
 
 
+def test_scale_oracle_proc_count_independent(sf_dir, qname, monkeypatch):
+    """SPARK_GRAFT_QD17_ORACLE_PROCS forks the wedge closure across
+    source-node residue classes (round 10, what makes 32×
+    oracle-feasible) — partials are int64 bincounts, so any process
+    count must reproduce the single-process result byte-for-byte."""
+    con = duckdb_connection(sf_dir)
+    py = registry.scale_oracles()[qname]
+    monkeypatch.delenv("SPARK_GRAFT_QD17_ORACLE_PROCS", raising=False)
+    base_cols, base_rows = py(con)
+    monkeypatch.setenv("SPARK_GRAFT_QD17_ORACLE_PROCS", "3")
+    par_cols, par_rows = py(con)
+    assert base_cols == par_cols
+    assert compare(qname, par_cols, par_rows, base_cols, base_rows) == []
+
+
 def test_scale_bound_registered(qname):
     """The feasibility bound must sit ABOVE the driver-gate tiers
     (sf0.1 = 5k documents) so the SQL oracle still gates them, and
