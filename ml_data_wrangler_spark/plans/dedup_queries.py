@@ -56,9 +56,18 @@ def qd01(spark, sf_dir):
     )
 
 
-@query(
-    "qd02_ngram_jaccard_pairs",
-    oracle=f"""
+# The exact 3-gram-Jaccard pair SQL shared by qd02/qd06 (verbatim)
+# and qd03 (with the recall-gate projection). `pred` injects a slice
+# predicate into the posting self-join — the output is partitioned by
+# doc_a, so a complete residue set's concatenation IS the plain
+# result (the _qd12_scale_oracle pattern, generalized per the r09
+# verdict item 5: at the 64× tier the plain join's aggregate state
+# is the oracle-side bottleneck, and each slice bounds it at ~1/K).
+_PAIR_SLICES = 16
+
+
+def _jaccard_pairs_oracle_sql(pred: str = "", head: str = "") -> str:
+    return f"""
 WITH toks AS (
   SELECT doc_id, {SQL_TOKS} AS l FROM documents
 ), sh AS (
@@ -70,16 +79,50 @@ WITH toks AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id {pred}
   GROUP BY a.doc_id, b.doc_id
-)
+){head}"""
+
+
+_QD02_SELECT = """
 SELECT doc_a, doc_b,
        ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
 FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-""",
+"""
+
+
+def _sliced_pair_oracle(select_sql: str):
+    """K sign-safe residue slices on a.doc_id, concatenated — exact
+    for any projection of the `pairs` relation (each output row
+    belongs to exactly one slice). Sign-safe residue per the r09
+    ADVICE: DuckDB `%` returns negative remainders."""
+
+    def run(con):
+        cols: list[str] | None = None
+        rows: list = []
+        k = _PAIR_SLICES
+        for i in range(k):
+            cur = con.execute(
+                _jaccard_pairs_oracle_sql(
+                    f"AND ((a.doc_id % {k}) + {k}) % {k} = {i}", select_sql
+                )
+            )
+            if cols is None:
+                cols = [d[0] for d in cur.description]
+            rows.extend(cur.fetchall())
+        return cols or [], rows
+
+    return run
+
+
+@query(
+    "qd02_ngram_jaccard_pairs",
+    oracle=_jaccard_pairs_oracle_sql(head=_QD02_SELECT),
+    scale_oracle=_sliced_pair_oracle(_QD02_SELECT),
+    oracle_scale_bound=("documents", 200_000),
 )
 def qd02(spark, sf_dir):
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.6 via the inverted
@@ -98,28 +141,9 @@ def qd02(spark, sf_dir):
 
 @query(
     "qd06_prefix_jaccard_pairs",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {SQL_TOKS} AS l FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(l) - 2),
-                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
-  FROM toks WHERE len(l) >= 3
-), sizes AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-""",
+    oracle=_jaccard_pairs_oracle_sql(head=_QD02_SELECT),
+    scale_oracle=_sliced_pair_oracle(_QD02_SELECT),
+    oracle_scale_bound=("documents", 200_000),
 )
 def qd06(spark, sf_dir):
     """qd02's semantics through the PREFIX-FILTERED All-Pairs/PPJoin
@@ -232,23 +256,7 @@ def qd07(spark, sf_dir):
     )
 
 
-@query(
-    "qd03_minhash_near_dups",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {SQL_TOKS} AS l FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(l) - 2),
-                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
-  FROM toks WHERE len(l) >= 3
-), sizes AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
+_QD03_SELECT = """
 SELECT doc_a, doc_b,
        ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard,
        TRUE AS minhash_recall_ok
@@ -256,7 +264,14 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-""",
+"""
+
+
+@query(
+    "qd03_minhash_near_dups",
+    oracle=_jaccard_pairs_oracle_sql(head=_QD03_SELECT),
+    scale_oracle=_sliced_pair_oracle(_QD03_SELECT),
+    oracle_scale_bound=("documents", 200_000),
 )
 def qd03(spark, sf_dir):
     """MinHash+LSH near-dup candidates, ORACLE-PINNED via the
@@ -1187,6 +1202,130 @@ def _qd17_scale_oracle(con):
     return cols, rows[:20]
 
 
+# Color-triple graph partitioning (round 10): p hash-colors over
+# nodes; an oriented edge with endpoint colors (a, b) replicates to
+# every color-multiset {a, b, x}, x ∈ [p] — exactly p distinct keys
+# per edge. A triangle's three oriented edges are all present in a
+# reducer T iff T ⊇ its corner-color multiset, and counting it ONLY
+# in the reducer T == that multiset makes every triangle (tri-, bi-,
+# and mono-chromatic) counted exactly once, with no correction terms.
+# This is the graph-partition algorithm of Suri & Vassilvitskii,
+# "Counting Triangles and the Curse of the Last Reducer" (WWW 2011):
+# shuffle O(p·|E|) constant-width rows, per-reducer subgraph
+# O(|E|·9/p²) expected — vs the adjacency-intersection plan it
+# replaces, whose second join shipped each edge's full out-neighbor
+# list through the dst exchange: Θ(Σ out-deg²) shuffled BYTES, which
+# filled 80 GB of disk at the 32× tier (SCALE_SWEEP_r10_32x_qd17.log)
+# even though its 16× run passed.
+_QD17_COLORS_CAP = 16  # also the fixed tkey encoding base
+_QD17_EDGES_PER_COLOR = 25_000
+_QD17_KERNEL_FLUSH = 5_000_000
+
+
+def _qd17_pick_colors(n_edges: int) -> int:
+    """Adaptive p: ~p² reducers of ~|E|·9/p² edges each. Gate tiers
+    (thousands of edges) get p=1 — one reducer, zero replication,
+    none of the per-group Arrow overhead (measured: p=16 at sf0.1
+    cost 16.1 s vs 4.3 s, all fan-out fixed cost); the 32× tier
+    (2.7M edges) lands p≈10. Same kernel at every p — p-independence
+    is gate-pinned by tests/test_qd17_colors.py."""
+    p = round((n_edges / _QD17_EDGES_PER_COLOR) ** 0.5)
+    return max(1, min(_QD17_COLORS_CAP, p))
+
+
+def _qd17_color_kernel(key, pdf):
+    """Local triangle counting for one color-triple reducer — the
+    numpy degree-ordered wedge-closure kernel (same algorithm as
+    _qd17_wedge_worker) over the reducer's subgraph, keeping only
+    triangles whose corner-color multiset equals this reducer's key.
+    Emits (node, c) per-corner credits; the global per-node aggregate
+    and Σ/3 total downstream are exact because each triangle is
+    credited by exactly one reducer."""
+    import numpy as np
+    import pandas as pd
+
+    b = _QD17_COLORS_CAP  # fixed encoding base — decode is p-independent
+    tkey = int(key[0])
+    tri_ms = np.sort(np.array([tkey // (b * b), (tkey // b) % b, tkey % b]))
+    empty = pd.DataFrame({"node": np.array([], dtype=np.int64),
+                          "c": np.array([], dtype=np.int64)})
+    if len(pdf) < 3:
+        return empty
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    dsrc = pdf["dsrc"].to_numpy(np.int64)
+    ddst = pdf["ddst"].to_numpy(np.int64)
+    csrc = pdf["csrc"].to_numpy(np.int64)
+    cdst = pdf["cdst"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    cs, cd = inv[: len(src)], inv[len(src):]
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    deg[cs], deg[cd] = dsrc, ddst
+    col = np.zeros(n, dtype=np.int64)
+    col[cs], col[cd] = csrc, cdst
+    # local rank under the GLOBAL orientation order (degree, id):
+    # every shipped edge satisfies rank(src) < rank(dst), so wedge
+    # pairs taken in rank order close through an oriented edge
+    order = np.lexsort((nodes, deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    rs, rd = rank[cs], rank[cd]
+    eorder = np.lexsort((rd, rs))
+    rs, rd = rs[eorder], rd[eorder]
+    starts = np.searchsorted(rs, np.arange(n))
+    ends = np.searchsorted(rs, np.arange(n), side="right")
+    ekeys = rs * n + rd  # sorted by construction (lexsort above)
+    col_r = col[order]
+    node_r = nodes[order]
+    tri_per = np.zeros(n, dtype=np.int64)
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    buf_u: list[np.ndarray] = []
+    buf_v: list[np.ndarray] = []
+    buf_w: list[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buffered, tri_per
+        if not buf_u:
+            return
+        u = np.concatenate(buf_u)
+        v = np.concatenate(buf_v)
+        w = np.concatenate(buf_w)
+        buf_u.clear(), buf_v.clear(), buf_w.clear()
+        buffered = 0
+        keys = v * n + w
+        pos = np.searchsorted(ekeys, keys)
+        closed = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)] == keys)
+        if closed.any():
+            u, v, w = u[closed], v[closed], w[closed]
+            cols3 = np.sort(np.stack([col_r[u], col_r[v], col_r[w]]), axis=0)
+            mine = (cols3 == tri_ms[:, None]).all(axis=0)
+            if mine.any():
+                corners = np.concatenate([u[mine], v[mine], w[mine]])
+                tri_per += np.bincount(corners, minlength=n)
+
+    for s in range(n):
+        k = ends[s] - starts[s]
+        if k < 2:
+            continue
+        if k not in triu_cache:
+            triu_cache[k] = np.triu_indices(k, 1)
+        ii, jj = triu_cache[k]
+        neigh = rd[starts[s]:ends[s]]
+        buf_u.append(np.full(len(ii), s, dtype=np.int64))
+        buf_v.append(neigh[ii])
+        buf_w.append(neigh[jj])
+        buffered += len(ii)
+        if buffered >= _QD17_KERNEL_FLUSH:
+            flush()
+    flush()
+    hit = np.flatnonzero(tri_per > 0)
+    if len(hit) == 0:
+        return empty
+    return pd.DataFrame({"node": node_r[hit], "c": tri_per[hit]})
+
+
 @query(
     "qd17_similarity_triangles",
     oracle=_QD17_E_SQL
@@ -1314,67 +1453,47 @@ def qd17(spark, sf_dir):
     o = ed.select(
         F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
         F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
-    ).localCheckpoint()  # referenced by the edge side and both adjacency sides
-    # Wedge-close via ADJACENCY-LIST INTERSECTION (node-iterator+),
-    # not a wedge join (round 9): the x⋈y-on-src join materialized the
-    # full wedge stream (Σ out-deg² rows) THROUGH the z-join's
-    # shuffle — 354M wedges at 6×; the 16× tier (~19× more) exhausted
-    # 80 GB of spill disk sorting it (SCALE_SWEEP_r09_16x_qd17 first
-    # attempt). Here each oriented edge (u→v) instead fetches the two
-    # out-neighbor lists and closes its triangles as
-    # w ∈ N+(u) ∩ N+(v): a triangle with degree-ordered corners
-    # a<b<c is found exactly once, at edge (a,b) with w=c. The
-    # O(Σ out-deg²) work is unavoidable (it IS the triangle work) but
-    # it becomes array_intersect CPU inside task pipelines; shuffled
-    # bytes are O(|E|) — edges once, adjacency lists twice — and the
-    # degree orientation caps every list at O(√|E|) entries, so no
-    # row outgrows memory. Array-typed relations take shuffle_hash
-    # (never broadcast/SMJ-sort — trap #3).
-    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    closed = (
-        o.join(
-            adj.select("src", F.col("nbrs").alias("_nu")).hint("shuffle_hash"),
-            "src",
+        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("dsrc"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint()
+    # Wedge-close via COLOR-TRIPLE GRAPH PARTITIONING (round 10; see
+    # _qd17_color_kernel's provenance comment). History of this plan:
+    # the x⋈y wedge join materialized Σ out-deg² wedge ROWS through a
+    # shuffle sort (80 GB of spill at 16×, r09); its adjacency-
+    # intersection replacement moved the wedge work into task-local
+    # array_intersect CPU but still shipped each edge's out-neighbor
+    # LIST through the second join's exchange — Θ(Σ out-deg²) shuffled
+    # bytes, which filled the disk at 32× (SCALE_SWEEP_r10_32x_qd17).
+    # Color-triples bound the exchange at p·|E| constant-width rows:
+    # hash-color nodes into p classes, replicate each oriented edge to
+    # the p multiset keys {c(src), c(dst), x}, and let each reducer
+    # count its ~|E|·9/p² subgraph locally (Arrow-batched numpy,
+    # degree-ordered, identical algorithm to the scale oracle), keying
+    # every triangle to exactly one reducer via the corner-color-
+    # multiset rule. Per-node credits then flow through one bounded-
+    # keyspace aggregate, as before.
+    p = _qd17_pick_colors(o.count())  # o is checkpointed — count is free-ish
+    b = _QD17_COLORS_CAP
+    c_src = F.pmod(F.xxhash64("src"), F.lit(p)).cast("long")
+    c_dst = F.pmod(F.xxhash64("dst"), F.lit(p)).cast("long")
+    trip = F.array_sort(F.array(F.col("csrc"), F.col("cdst"), F.col("x")))
+    rep = (
+        o.select("src", "dst", "dsrc", "ddst",
+                 c_src.alias("csrc"), c_dst.alias("cdst"))
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(p - 1)).cast("array<long>")).alias("x"),
         )
-        .join(
-            adj.select(
-                F.col("src").alias("dst"), F.col("nbrs").alias("_nv")
-            ).hint("shuffle_hash"),
-            "dst",
+        .select(
+            (trip[0] * b * b + trip[1] * b + trip[2]).alias("tkey"),
+            "src", "dst", "dsrc", "ddst", "csrc", "cdst",
         )
-        .select("src", "dst", F.array_intersect("_nu", "_nv").alias("_ws"))
     )
-    # single consumption of the closure stream: each edge row emits
-    # its corner credits — |ws| to u, |ws| to v, 1 to each w — through
-    # one explode, pipelined straight into a bounded-keyspace
-    # (≤ |nodes|) partial aggregate: the per-triangle rows are never
-    # shuffled, never sorted, never checkpointed; the map-side combine
-    # collapses each task's credit stream to its distinct nodes before
-    # the exchange. The total count is recovered exactly as
-    # Σ per-node triangles / 3 (each triangle credits 3 corners).
-    def _w_credit(w):
-        return F.struct(w.alias("node"), F.lit(1).cast("long").alias("c"))
-
-    nws = F.size("_ws").cast("long")
     pernode = (
-        closed.select(
-            F.explode(
-                F.concat(
-                    F.array(
-                        F.struct(F.col("src").alias("node"), nws.alias("c")),
-                        F.struct(F.col("dst").alias("node"), nws.alias("c")),
-                    ),
-                    F.transform("_ws", _w_credit),
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.node").alias("node"), F.col("e.c").alias("c"))
+        rep.groupBy("tkey")
+        .applyInPandas(_qd17_color_kernel, schema="node long, c long")
         .groupBy("node")
         .agg(F.sum("c").alias("triangles"))
-        # zero-credit corners (edges that close no triangle) sum to 0;
-        # drop them so pernode stays exactly the triangle-corner set
-        # the SQL oracle's unnest produces
-        .where(F.col("triangles") > 0)
         .localCheckpoint()  # read twice: total + final projection
     )
     total = pernode.agg(
