@@ -1039,6 +1039,30 @@ WITH toks AS (
 # (module-level so tests can shrink it to force the multi-flush
 # accumulate path that only scale-sized graphs hit naturally)
 _QD17_FLUSH_ROWS = 30_000_000
+_QD17_NODE_BLOCK_CELLS = 8_000_000
+
+
+def _qd17_wedge_blocks(neigh):
+    """Yield a node's wedge pairs (v, w), v-before-w in `neigh`'s
+    order, in blocks of ≤ _QD17_NODE_BLOCK_CELLS pairs. The one-shot
+    ``np.triu_indices(k, 1)`` it replaces materialized C(k, 2) index
+    pairs per node — a 15k-out-degree hub in the 32× tier's dense dup
+    graph (avg degree ~740, |E| 118.5M on 160k nodes) is ~112M pairs
+    ≈ 2.7 GB in ONE append, and 14 fork workers each caching such
+    arrays per distinct k OOM-killed the first 32× oracle run
+    (23 GB/worker, dmesg oom-kill). Rectangular triu over row-slices
+    bounds every allocation; callers flush between blocks."""
+    import numpy as np
+
+    k = len(neigh)
+    if k < 2:
+        return
+    block = max(1, _QD17_NODE_BLOCK_CELLS // k)
+    for i0 in range(0, k - 1, block):
+        bl = min(block, k - 1 - i0)
+        ii, jj = np.triu_indices(bl, i0 + 1, k)
+        yield neigh[i0 + ii], neigh[jj]
+
 
 # fork-inherited work arrays for _qd17_wedge_worker (set by
 # _qd17_scale_oracle immediately before forking, cleared after) —
@@ -1067,7 +1091,9 @@ def _qd17_wedge_worker(args):
     ekeys = _QD17_WORK["ekeys"]
     n = _QD17_WORK["n"]
     tri_per_node = np.zeros(n, dtype=np.int64)
-    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    # flush budget splits across workers: every worker's buffers +
+    # concatenate transient must co-exist in one box's memory
+    flush_rows = max(1, _QD17_FLUSH_ROWS // n_slices)
     buf_v: list[np.ndarray] = []
     buf_w: list[np.ndarray] = []
     buf_u: list[np.ndarray] = []
@@ -1090,19 +1116,14 @@ def _qd17_wedge_worker(args):
             tri_per_node += np.bincount(corners, minlength=n)
 
     for s in range(slice_idx, n, n_slices):
-        k = ends[s] - starts[s]
-        if k < 2:
-            continue
-        if k not in triu_cache:
-            triu_cache[k] = np.triu_indices(k, 1)
-        ii, jj = triu_cache[k]
         neigh = dst[starts[s] : ends[s]]
-        buf_v.append(neigh[ii])
-        buf_w.append(neigh[jj])
-        buf_u.append(np.full(len(ii), s, dtype=np.int64))
-        buffered += len(ii)
-        if buffered >= _QD17_FLUSH_ROWS:
-            flush()
+        for v, w in _qd17_wedge_blocks(neigh):
+            buf_v.append(v)
+            buf_w.append(w)
+            buf_u.append(np.full(len(v), s, dtype=np.int64))
+            buffered += len(v)
+            if buffered >= flush_rows:
+                flush()
     flush()
     return tri_per_node
 
@@ -1222,14 +1243,30 @@ _QD17_EDGES_PER_COLOR = 25_000
 _QD17_KERNEL_FLUSH = 5_000_000
 
 
+_QD17_FANOUT_ROWS = 800_000_000
+
+
 def _qd17_pick_colors(n_edges: int) -> int:
-    """Adaptive p: ~p² reducers of ~|E|·9/p² edges each. Gate tiers
-    (thousands of edges) get p=1 — one reducer, zero replication,
-    none of the per-group Arrow overhead (measured: p=16 at sf0.1
-    cost 16.1 s vs 4.3 s, all fan-out fixed cost); the 32× tier
-    (2.7M edges) lands p≈10. Same kernel at every p — p-independence
+    """Adaptive p under two ceilings. Granularity: p grows ~√|E| so
+    reducer subgraphs stay ~_QD17_EDGES_PER_COLOR·9 edges (gate tiers
+    get p≈1-2 — measured: p=16 at sf0.1 cost 16.1 s vs 4.8 s, all
+    per-group Arrow fixed cost). Disk: fan-out is p·|E| rows, and at
+    the 32× tier (118.5M edges — measured, the synthetic dup groups
+    make this graph ~1000× denser than its qd02 pair count suggests)
+    p=16 writes ~76 GB of shuffle and kills the disk exactly like the
+    intersect plan it replaced — _QD17_FANOUT_ROWS caps the
+    replication at a bounded shuffle footprint (32× lands p=6,
+    ~28 GB). Total wedge CPU is p-independent (each wedge lands in
+    exactly one reducer, +|W|/p for monochromatic), so the cap costs
+    only group granularity. Same kernel at every p — p-independence
     is gate-pinned by tests/test_qd17_colors.py."""
-    p = round((n_edges / _QD17_EDGES_PER_COLOR) ** 0.5)
+    p_gran = round((n_edges / _QD17_EDGES_PER_COLOR) ** 0.5)
+    p_budget = _QD17_FANOUT_ROWS // max(n_edges, 1)
+    # the disk budget yields to a parallelism floor of 4 (20 reducers)
+    # on graphs so large even 4·|E| replication exceeds it — a real
+    # cluster's aggregate disk scales with |E|, the budget constant
+    # doesn't
+    p = min(p_gran, max(p_budget, 4))
     return max(1, min(_QD17_COLORS_CAP, p))
 
 
@@ -1253,10 +1290,12 @@ def _qd17_color_kernel(key, pdf):
         return empty
     src = pdf["src"].to_numpy(np.int64)
     dst = pdf["dst"].to_numpy(np.int64)
-    dsrc = pdf["dsrc"].to_numpy(np.int64)
-    ddst = pdf["ddst"].to_numpy(np.int64)
-    csrc = pdf["csrc"].to_numpy(np.int64)
-    cdst = pdf["cdst"].to_numpy(np.int64)
+    pk = pdf["pk"].to_numpy(np.int64)
+    mask21 = (1 << 21) - 1
+    ddst = pk & mask21
+    dsrc = (pk >> 21) & mask21
+    cc = pk >> 42
+    csrc, cdst = cc // b, cc % b
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     cs, cd = inv[: len(src)], inv[len(src):]
     n = len(nodes)
@@ -1279,7 +1318,6 @@ def _qd17_color_kernel(key, pdf):
     col_r = col[order]
     node_r = nodes[order]
     tri_per = np.zeros(n, dtype=np.int64)
-    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     buf_u: list[np.ndarray] = []
     buf_v: list[np.ndarray] = []
     buf_w: list[np.ndarray] = []
@@ -1306,19 +1344,14 @@ def _qd17_color_kernel(key, pdf):
                 tri_per += np.bincount(corners, minlength=n)
 
     for s in range(n):
-        k = ends[s] - starts[s]
-        if k < 2:
-            continue
-        if k not in triu_cache:
-            triu_cache[k] = np.triu_indices(k, 1)
-        ii, jj = triu_cache[k]
         neigh = rd[starts[s]:ends[s]]
-        buf_u.append(np.full(len(ii), s, dtype=np.int64))
-        buf_v.append(neigh[ii])
-        buf_w.append(neigh[jj])
-        buffered += len(ii)
-        if buffered >= _QD17_KERNEL_FLUSH:
-            flush()
+        for v, w in _qd17_wedge_blocks(neigh):
+            buf_u.append(np.full(len(v), s, dtype=np.int64))
+            buf_v.append(v)
+            buf_w.append(w)
+            buffered += len(v)
+            if buffered >= _QD17_KERNEL_FLUSH:
+                flush()
     flush()
     hit = np.flatnonzero(tri_per > 0)
     if len(hit) == 0:
@@ -1477,16 +1510,26 @@ def qd17(spark, sf_dir):
     c_src = F.pmod(F.xxhash64("src"), F.lit(p)).cast("long")
     c_dst = F.pmod(F.xxhash64("dst"), F.lit(p)).cast("long")
     trip = F.array_sort(F.array(F.col("csrc"), F.col("cdst"), F.col("x")))
+    # colors (4+4 bits) and degrees (21+21 bits — degrees are bounded
+    # by the node count, far below 2^21 at any tier) pack into one
+    # long: the replicated row is 4 fields instead of 7, ~40% fewer
+    # shuffle bytes on the plan's dominant exchange
+    pk = (
+        F.shiftleft(F.col("csrc") * b + F.col("cdst"), 42)
+        + F.shiftleft(F.col("dsrc"), 21)
+        + F.col("ddst")
+    )
     rep = (
         o.select("src", "dst", "dsrc", "ddst",
                  c_src.alias("csrc"), c_dst.alias("cdst"))
+        .select("src", "dst", "csrc", "cdst", pk.alias("pk"))
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(p - 1)).cast("array<long>")).alias("x"),
         )
         .select(
             (trip[0] * b * b + trip[1] * b + trip[2]).alias("tkey"),
-            "src", "dst", "dsrc", "ddst", "csrc", "cdst",
+            "src", "dst", "pk",
         )
     )
     pernode = (

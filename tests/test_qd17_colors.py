@@ -39,7 +39,7 @@ def test_pick_colors_shape():
     )
 
     assert _qd17_pick_colors(0) == 1
-    assert _qd17_pick_colors(2_500) == 1       # sf0.1 regime
-    assert 4 <= _qd17_pick_colors(665_000) <= 8   # 16x regime
-    assert 9 <= _qd17_pick_colors(2_700_000) <= _QD17_COLORS_CAP  # 32x
-    assert _qd17_pick_colors(10**12) == _QD17_COLORS_CAP
+    assert _qd17_pick_colors(112_000) == 2          # sf0.1 (measured |E|)
+    assert _qd17_pick_colors(29_600_000) == _QD17_COLORS_CAP   # 16x
+    assert 4 <= _qd17_pick_colors(118_500_000) <= 8  # 32x: disk budget
+    assert _qd17_pick_colors(10**12) == 4            # parallelism floor

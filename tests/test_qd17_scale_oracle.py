@@ -62,6 +62,25 @@ def test_scale_oracle_proc_count_independent(sf_dir, qname, monkeypatch):
     assert compare(qname, par_cols, par_rows, base_cols, base_rows) == []
 
 
+def test_wedge_blocks_cover_all_pairs_bounded(monkeypatch):
+    """Block-sliced wedge enumeration (the 32× OOM fix: a 15k-degree
+    hub's one-shot triu was a 2.7 GB append) must emit exactly the
+    naive triu pair set, each block within the cell budget."""
+    import numpy as np
+
+    import ml_data_wrangler_spark.plans.dedup_queries as dq
+
+    monkeypatch.setattr(dq, "_QD17_NODE_BLOCK_CELLS", 7)
+    for k in (0, 1, 2, 3, 5, 17):
+        neigh = np.arange(100, 100 + k)
+        got = set()
+        for v, w in dq._qd17_wedge_blocks(neigh):
+            assert len(v) <= max(7 // max(k, 1), 1) * k  # bounded-ish
+            got.update(zip(v.tolist(), w.tolist()))
+        ii, jj = np.triu_indices(k, 1)
+        assert got == set(zip(neigh[ii].tolist(), neigh[jj].tolist()))
+
+
 def test_scale_bound_registered(qname):
     """The feasibility bound must sit ABOVE the driver-gate tiers
     (sf0.1 = 5k documents) so the SQL oracle still gates them, and
