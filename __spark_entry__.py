@@ -52,22 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation is a red test. Any future never-gated query would still
 # jump the whole rotation.
 _GATED_ROUNDS: list[list[str]] = [
-    # r05 remainder (CORRECTNESS_r05.json: 50 hash-PASS, 0 rows-only,
-    # 0 errors; qj05/qj06/qx06 re-gated r09 and moved to that rank)
-    ["qc15", "qc16", "qc17", "qc18", "qc20"]
-    + ["qd12", "qd13", "qd14", "qd16", "qd18"]
-    + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
-       "qe32", "qe34", "qe35", "qe36", "qe38"]
-    + ["qg07", "qg08"]
-    + ["qm13", "qm14", "qm17", "qm18", "qm19", "qm21"]
-    + ["qs08", "qs09", "qs10", "qs11"]
-    + ["qt16", "qt17", "qt18"]
-    + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
-    + ["qw11", "qx07"],
-    # r06 (CORRECTNESS_r06.json: 49 hash-PASS + qm03 rows-only — the
-    # 16 final never-driver-gated names; 213/213 coverage complete)
-    ["q34", "qc19", "qc21", "qd15", "qd17", "qe22", "qe33", "qe37",
-     "qe39", "qm16", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"],
+    # r06 remainder (CORRECTNESS_r06.json: 49 hash-PASS + qm03
+    # rows-only — the 16 final never-driver-gated names; 213/213
+    # coverage complete. qd15/qd17/qm16 re-gated r10 and moved to
+    # that rank.)
+    ["q34", "qc19", "qc21", "qe22", "qe33", "qe37",
+     "qe39", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"],
     # r07 re-verification (CORRECTNESS_r07.json: 50/50 hash-PASS —
     # the r01∪r02 block, re-gated green on current testdata)
     [f"q{i:02d}" for i in range(1, 33)]
@@ -103,6 +93,21 @@ _GATED_ROUNDS: list[list[str]] = [
     + [f"qt{i:02d}" for i in range(8, 16)]
     + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
     + ["qx06"],
+    # r10 re-verification (CORRECTNESS_r10.json: 50/50 hash-PASS,
+    # zero rows-only, zero errors — the first all-oracle-bearing
+    # snapshot. The old r05-remainder block plus qd15/qd17/qm16 from
+    # the r06 rank; qd17 re-verified on its rebuilt color-triple
+    # plan.)
+    ["qc15", "qc16", "qc17", "qc18", "qc20"]
+    + ["qd12", "qd13", "qd14", "qd15", "qd16", "qd17", "qd18"]
+    + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
+       "qe32", "qe34", "qe35", "qe36", "qe38"]
+    + ["qg07", "qg08"]
+    + ["qm13", "qm14", "qm16", "qm17", "qm18", "qm19", "qm21"]
+    + ["qs08", "qs09", "qs10", "qs11"]
+    + ["qt16", "qt17", "qt18"]
+    + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
+    + ["qw11", "qx07"],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

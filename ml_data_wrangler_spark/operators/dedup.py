@@ -418,15 +418,20 @@ def minhash_banded_near_dup_pairs(
         )
         / F.lit(n_hashes)
     )
+    # filter on the UNROUNDED estimate (multiples of 1/n_hashes need
+    # >6 decimals at n_hashes>=128, so rounding first can admit a
+    # borderline pair whose true estimate is below the threshold);
+    # round only in the output projection, matching the exact-Jaccard
+    # kernels' round-after-filter pattern
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .where(est >= jaccard_threshold)
         .select(
             "doc_a",
             "doc_b",
             F.round(est, 6).alias("est_jaccard"),
         )
-        .where(F.col("est_jaccard") >= jaccard_threshold)
     )
 
 

@@ -1016,7 +1016,11 @@ def brute_force_topk_fold(
     else:
         # quarter-budget slices absorb hash imbalance (floored at one
         # row per slice for very wide vectors); ids are disjoint
-        # across slices so the union needs no cross-branch merge
+        # across slices so the union needs no cross-branch merge.
+        # Pin the query relation first: each slice re-scans it, and a
+        # non-deterministic source (e.g. a rand() sample) would break
+        # the disjoint/complete slice invariant across those scans.
+        qsel = qsel.localCheckpoint()
         budget = max(max_broadcast_cells // 4, dim)
         n_slices = min(
             max(-(-(n_q_total * dim) // budget), 2), n_q_total

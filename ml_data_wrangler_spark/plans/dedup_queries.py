@@ -1505,7 +1505,19 @@ def qd17(spark, sf_dir):
     # every triangle to exactly one reducer via the corner-color-
     # multiset rule. Per-node credits then flow through one bounded-
     # keyspace aggregate, as before.
-    p = _qd17_pick_colors(o.count())  # o is checkpointed — count is free-ish
+    # one cheap agg on the checkpointed edges: edge count for the
+    # color picker AND a loud guard on the 21-bit degree pack below
+    # (a degree >= 2^21 would silently corrupt ranks/orientation)
+    stats = o.agg(
+        F.count("*").alias("m"),
+        F.max(F.greatest("dsrc", "ddst")).alias("dmax"),
+    ).first()
+    if (stats["dmax"] or 0) >= (1 << 21):
+        raise ValueError(
+            f"qd17: max node degree {stats['dmax']} overflows the "
+            "21-bit pk degree pack — widen the pack before this tier"
+        )
+    p = _qd17_pick_colors(stats["m"])
     b = _QD17_COLORS_CAP
     c_src = F.pmod(F.xxhash64("src"), F.lit(p)).cast("long")
     c_dst = F.pmod(F.xxhash64("dst"), F.lit(p)).cast("long")

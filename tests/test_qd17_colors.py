@@ -3,7 +3,8 @@ WWW 2011) must be p-independent: the corner-color-multiset rule keys
 every triangle to exactly one reducer for ANY color count, so forcing
 p=1 (one reducer, the whole graph), an odd p=3, and the p=16 cap must
 all reproduce the SQL oracle's rows — this is what licenses the
-adaptive _qd17_pick_colors (gate tiers run p=1, the 32× tier ~p=10)
+adaptive _qd17_pick_colors (gate tiers run p=1, the 32× tier p≈4-8
+under the disk budget — _QD17_FANOUT_ROWS clamps the granularity pick)
 while keeping one kernel at every tier (the qm09 dispatch principle)."""
 
 from __future__ import annotations
