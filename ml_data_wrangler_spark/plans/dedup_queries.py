@@ -1243,23 +1243,33 @@ _QD17_EDGES_PER_COLOR = 25_000
 _QD17_KERNEL_FLUSH = 5_000_000
 
 
-_QD17_FANOUT_ROWS = 800_000_000
+# Fan-out budget in ROWS of the single-long packed replica (round 11:
+# the replicated row shrank from four longs ≈ 40 B UnsafeRow to ONE
+# long ≈ 16 B), so the same ~32 GB shuffle-byte ceiling that 800M
+# four-long rows represented now admits ~2B packed rows. The byte
+# ceiling — not the row count — is what killed the r10 p=16 attempt at
+# 32× (76 GB of four-long fan-out); with the pack the 32× tier
+# (118.5M edges) sustains p=16 at ~30 GB.
+_QD17_FANOUT_ROWS = 2_000_000_000
 
 
 def _qd17_pick_colors(n_edges: int) -> int:
     """Adaptive p under two ceilings. Granularity: p grows ~√|E| so
     reducer subgraphs stay ~_QD17_EDGES_PER_COLOR·9 edges (gate tiers
     get p≈1-2 — measured: p=16 at sf0.1 cost 16.1 s vs 4.8 s, all
-    per-group Arrow fixed cost). Disk: fan-out is p·|E| rows, and at
-    the 32× tier (118.5M edges — measured, the synthetic dup groups
-    make this graph ~1000× denser than its qd02 pair count suggests)
-    p=16 writes ~76 GB of shuffle and kills the disk exactly like the
-    intersect plan it replaced — _QD17_FANOUT_ROWS caps the
-    replication at a bounded shuffle footprint (32× lands p=6,
-    ~28 GB). Total wedge CPU is p-independent (each wedge lands in
-    exactly one reducer, +|W|/p for monochromatic), so the cap costs
-    only group granularity. Same kernel at every p — p-independence
-    is gate-pinned by tests/test_qd17_colors.py."""
+    per-group Arrow fixed cost). Disk: fan-out is p·|E| single-long
+    rows, and _QD17_FANOUT_ROWS caps the replication at a bounded
+    shuffle footprint (~32 GB; see its derivation comment). At the
+    32× tier (118.5M edges — measured, the synthetic dup groups make
+    this graph ~1000× denser than its qd02 pair count suggests) the
+    pack admits the full p=16 cap → 816 color-triple reducers, vs the
+    r10 four-long rows whose byte footprint clamped p to 6 (56
+    reducers whose per-group subgraphs were 28× larger — the measured
+    straggler + fan-out-sort overhead behind the r10 8.2×-on-4.01×
+    wall growth). Total wedge CPU is p-independent (each wedge lands
+    in exactly one reducer, +|W|/p for monochromatic), so the cap
+    costs only group granularity. Same kernel at every p —
+    p-independence is gate-pinned by tests/test_qd17_colors.py."""
     p_gran = round((n_edges / _QD17_EDGES_PER_COLOR) ** 0.5)
     p_budget = _QD17_FANOUT_ROWS // max(n_edges, 1)
     # the disk budget yields to a parallelism floor of 4 (20 reducers)
@@ -1271,13 +1281,23 @@ def _qd17_pick_colors(n_edges: int) -> int:
 
 
 def _qd17_color_kernel(key, pdf):
-    """Local triangle counting for one color-triple reducer — the
-    numpy degree-ordered wedge-closure kernel (same algorithm as
-    _qd17_wedge_worker) over the reducer's subgraph, keeping only
+    """Local triangle counting for one color-triple reducer over the
+    single-long packed replica rows
+    (tkey·2^50 | csrc·2^46 | cdst·2^42 | src·2^21 | dst), keeping only
     triangles whose corner-color multiset equals this reducer's key.
-    Emits (node, c) per-corner credits; the global per-node aggregate
-    and Σ/3 total downstream are exact because each triangle is
-    credited by exactly one reducer."""
+
+    Unlike _qd17_wedge_worker (the oracle kernel, which ranks nodes by
+    the shipped global degrees), this kernel needs NO degrees and NO
+    rank order: the global (degree, id) orientation already guarantees
+    each triangle has exactly one out-apex (the only corner with
+    oriented edges to both others), so enumerating each apex's
+    out-neighbor pairs in arbitrary order and probing the closing edge
+    under a CANONICAL undirected key (min·n + max of local indices)
+    counts every triangle exactly once — dropping the two degree
+    fields is what shrinks the replicated row to one long. Emits
+    (node, c) per-corner credits; the global per-node aggregate and
+    Σ/3 total downstream are exact because each triangle is credited
+    by exactly one reducer."""
     import numpy as np
     import pandas as pd
 
@@ -1288,35 +1308,24 @@ def _qd17_color_kernel(key, pdf):
                           "c": np.array([], dtype=np.int64)})
     if len(pdf) < 3:
         return empty
-    src = pdf["src"].to_numpy(np.int64)
-    dst = pdf["dst"].to_numpy(np.int64)
-    pk = pdf["pk"].to_numpy(np.int64)
+    z = pdf["z"].to_numpy(np.int64)
     mask21 = (1 << 21) - 1
-    ddst = pk & mask21
-    dsrc = (pk >> 21) & mask21
-    cc = pk >> 42
-    csrc, cdst = cc // b, cc % b
+    dst = z & mask21
+    src = (z >> 21) & mask21
+    cdst = (z >> 42) & 15
+    csrc = (z >> 46) & 15
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    cs, cd = inv[: len(src)], inv[len(src):]
+    ls, ld = inv[: len(src)], inv[len(src):]
     n = len(nodes)
-    deg = np.zeros(n, dtype=np.int64)
-    deg[cs], deg[cd] = dsrc, ddst
     col = np.zeros(n, dtype=np.int64)
-    col[cs], col[cd] = csrc, cdst
-    # local rank under the GLOBAL orientation order (degree, id):
-    # every shipped edge satisfies rank(src) < rank(dst), so wedge
-    # pairs taken in rank order close through an oriented edge
-    order = np.lexsort((nodes, deg))
-    rank = np.empty(n, dtype=np.int64)
-    rank[order] = np.arange(n)
-    rs, rd = rank[cs], rank[cd]
-    eorder = np.lexsort((rd, rs))
-    rs, rd = rs[eorder], rd[eorder]
-    starts = np.searchsorted(rs, np.arange(n))
-    ends = np.searchsorted(rs, np.arange(n), side="right")
-    ekeys = rs * n + rd  # sorted by construction (lexsort above)
-    col_r = col[order]
-    node_r = nodes[order]
+    col[ls], col[ld] = csrc, cdst
+    # out-adjacency grouped by source (arbitrary within-group order)
+    eorder = np.argsort(ls, kind="stable")
+    ls, ld = ls[eorder], ld[eorder]
+    starts = np.searchsorted(ls, np.arange(n))
+    ends = np.searchsorted(ls, np.arange(n), side="right")
+    # canonical undirected edge keys for the closure probe
+    ekeys = np.sort(np.minimum(ls, ld) * n + np.maximum(ls, ld))
     tri_per = np.zeros(n, dtype=np.int64)
     buf_u: list[np.ndarray] = []
     buf_v: list[np.ndarray] = []
@@ -1332,19 +1341,19 @@ def _qd17_color_kernel(key, pdf):
         w = np.concatenate(buf_w)
         buf_u.clear(), buf_v.clear(), buf_w.clear()
         buffered = 0
-        keys = v * n + w
+        keys = np.minimum(v, w) * n + np.maximum(v, w)
         pos = np.searchsorted(ekeys, keys)
         closed = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)] == keys)
         if closed.any():
             u, v, w = u[closed], v[closed], w[closed]
-            cols3 = np.sort(np.stack([col_r[u], col_r[v], col_r[w]]), axis=0)
+            cols3 = np.sort(np.stack([col[u], col[v], col[w]]), axis=0)
             mine = (cols3 == tri_ms[:, None]).all(axis=0)
             if mine.any():
                 corners = np.concatenate([u[mine], v[mine], w[mine]])
                 tri_per += np.bincount(corners, minlength=n)
 
     for s in range(n):
-        neigh = rd[starts[s]:ends[s]]
+        neigh = ld[starts[s]:ends[s]]
         for v, w in _qd17_wedge_blocks(neigh):
             buf_u.append(np.full(len(v), s, dtype=np.int64))
             buf_v.append(v)
@@ -1356,7 +1365,7 @@ def _qd17_color_kernel(key, pdf):
     hit = np.flatnonzero(tri_per > 0)
     if len(hit) == 0:
         return empty
-    return pd.DataFrame({"node": node_r[hit], "c": tri_per[hit]})
+    return pd.DataFrame({"node": nodes[hit], "c": tri_per[hit]})
 
 
 @query(
@@ -1483,11 +1492,12 @@ def qd17(spark, sf_dir):
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("na") < F.col("nb"))
     )
+    # only the oriented endpoints are checkpointed — the kernel no
+    # longer needs per-edge degrees (see _qd17_color_kernel), which
+    # halves this |E|-row materialization
     o = ed.select(
         F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
         F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
-        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("dsrc"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
     ).localCheckpoint()
     # Wedge-close via COLOR-TRIPLE GRAPH PARTITIONING (round 10; see
     # _qd17_color_kernel's provenance comment). History of this plan:
@@ -1506,46 +1516,48 @@ def qd17(spark, sf_dir):
     # multiset rule. Per-node credits then flow through one bounded-
     # keyspace aggregate, as before.
     # one cheap agg on the checkpointed edges: edge count for the
-    # color picker AND a loud guard on the 21-bit degree pack below
-    # (a degree >= 2^21 would silently corrupt ranks/orientation)
+    # color picker AND a loud guard on the 21-bit node-id pack below
+    # (an id outside [0, 2^21) would silently corrupt the decoded
+    # edge list — doc_ids reach ~325k at the 64× tier, 6.5× headroom)
     stats = o.agg(
         F.count("*").alias("m"),
-        F.max(F.greatest("dsrc", "ddst")).alias("dmax"),
+        F.max(F.greatest("src", "dst")).alias("idmax"),
+        F.min(F.least("src", "dst")).alias("idmin"),
     ).first()
-    if (stats["dmax"] or 0) >= (1 << 21):
+    if (stats["idmax"] or 0) >= (1 << 21) or (stats["idmin"] or 0) < 0:
         raise ValueError(
-            f"qd17: max node degree {stats['dmax']} overflows the "
-            "21-bit pk degree pack — widen the pack before this tier"
+            f"qd17: node ids [{stats['idmin']}, {stats['idmax']}] fall "
+            "outside the 21-bit replica pack — widen the pack before "
+            "this tier"
         )
     p = _qd17_pick_colors(stats["m"])
     b = _QD17_COLORS_CAP
     c_src = F.pmod(F.xxhash64("src"), F.lit(p)).cast("long")
     c_dst = F.pmod(F.xxhash64("dst"), F.lit(p)).cast("long")
     trip = F.array_sort(F.array(F.col("csrc"), F.col("cdst"), F.col("x")))
-    # colors (4+4 bits) and degrees (21+21 bits — degrees are bounded
-    # by the node count, far below 2^21 at any tier) pack into one
-    # long: the replicated row is 4 fields instead of 7, ~40% fewer
-    # shuffle bytes on the plan's dominant exchange
-    pk = (
-        F.shiftleft(F.col("csrc") * b + F.col("cdst"), 42)
-        + F.shiftleft(F.col("dsrc"), 21)
-        + F.col("ddst")
+    # the whole replica packs into ONE long — tkey(12b)·2^50 |
+    # csrc(4b)·2^46 | cdst(4b)·2^42 | src(21b)·2^21 | dst(21b) — so
+    # the plan's dominant exchange ships ~16 B/row (UnsafeRow header +
+    # one field) instead of the r10 four-long ~40 B: that byte ratio
+    # is exactly what lets _qd17_pick_colors keep p=16 at the 32× tier
+    # (816 balanced reducers) where the wider row clamped p to 6
+    z = (
+        F.shiftleft(trip[0] * b * b + trip[1] * b + trip[2], 50)
+        + F.shiftleft(F.col("csrc"), 46)
+        + F.shiftleft(F.col("cdst"), 42)
+        + F.shiftleft(F.col("src"), 21)
+        + F.col("dst")
     )
     rep = (
-        o.select("src", "dst", "dsrc", "ddst",
-                 c_src.alias("csrc"), c_dst.alias("cdst"))
-        .select("src", "dst", "csrc", "cdst", pk.alias("pk"))
+        o.select("src", "dst", c_src.alias("csrc"), c_dst.alias("cdst"))
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(p - 1)).cast("array<long>")).alias("x"),
         )
-        .select(
-            (trip[0] * b * b + trip[1] * b + trip[2]).alias("tkey"),
-            "src", "dst", "pk",
-        )
+        .select(z.alias("z"))
     )
     pernode = (
-        rep.groupBy("tkey")
+        rep.groupBy(F.shiftrightunsigned("z", 50).alias("tkey"))
         .applyInPandas(_qd17_color_kernel, schema="node long, c long")
         .groupBy("node")
         .agg(F.sum("c").alias("triangles"))

@@ -278,6 +278,70 @@ WITH tok AS (
 )"""
 
 
+# fork-inherited work arrays for _qm09_gemm_worker (set by
+# _qm09_scale_oracle immediately before forking, cleared after) —
+# same copy-on-write pattern as _QD17_WORK: the 32× tier's dense
+# weight matrix is ~130 MB and pickling it per worker would dominate
+_QM09_WORK: dict = {}
+
+
+def _qm09_gemm_worker(args):
+    """Chunked-GEMM pair scoring for one residue class of row chunks
+    (chunk_index % n_slices == slice_idx) — the exact per-chunk
+    decomposition of the single-process loop: each 512-row block's
+    GEMM, rounding, and local candidate pruning touch only that
+    block's rows, and the parent's merge re-applies the SAME
+    deterministic sort key over the union of partials, so the fork is
+    bit-equal to the sequential run for ANY worker count (pinned by
+    tests/test_qm09_scale_oracle.py). numpy's OpenBLAS here is built
+    MAX_THREADS=2, so process-level forking is the only way the
+    oracle reaches the box's cores — measured 1345.9 s single-process
+    at the 32× tier (r09)."""
+    import numpy as np
+
+    slice_idx, n_slices = args
+    mat = _QM09_WORK["mat"]
+    bin_mat = _QM09_WORK["bin_mat"]
+    nrm = _QM09_WORK["nrm"]
+    ids = _QM09_WORK["ids"]
+    n = len(ids)
+    chunk = 512
+    winners: list[tuple[float, int, int, int, float]] = []
+    for ci, lo in enumerate(range(0, n, chunk)):
+        if ci % n_slices != slice_idx:
+            continue
+        hi = min(lo + chunk, n)
+        dot = mat[lo:hi] @ mat.T
+        shared = (bin_mat[lo:hi] @ bin_mat.T).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / (nrm[lo:hi, None] * nrm[None, :])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF-UP, like ROUND()
+        valid = (ids[lo:hi, None] < ids[None, :]) & (shared > 0)
+        key = np.where(np.isnan(cos), np.inf, cos)
+        key = np.where(valid, key, -1.0)
+        flat = key.ravel()
+        nv = int(valid.sum())
+        if nv == 0:
+            continue
+        if nv > 20:
+            top = np.argpartition(-flat, 19)[:20]
+            cand = np.flatnonzero(flat >= flat[top].min())
+        else:
+            cand = np.flatnonzero(flat > -1.0)
+        ca, cb = np.unravel_index(cand, key.shape)
+        for c_i, a_i, b_i in zip(cand, ca, cb):
+            winners.append(
+                (
+                    -flat[c_i],
+                    int(ids[lo + a_i]),
+                    int(ids[b_i]),
+                    int(shared[a_i, b_i]),
+                    float(cos[a_i, b_i]),
+                )
+            )
+    return winners
+
+
 def _qm09_scale_oracle(con):
     """Scale-tier oracle for qm09: the SQL oracle's pair kernel is an
     O(n²)-KEY aggregate (Σdf² join rows into a GROUP BY over all
@@ -291,7 +355,13 @@ def _qm09_scale_oracle(con):
     oracle's own CTEs, textually shared via _QM09_W_SQL) and numpy
     computes the quadratic kernel as a chunked GEMM with the same
     rounding/tie/NaN discipline as the engine — an independent
-    single-process implementation of the same value definition."""
+    implementation of the same value definition.
+    SPARK_GRAFT_QM09_ORACLE_PROCS forks the row-chunk loop across
+    workers (round 11, the qd17-oracle pattern): partial winner lists
+    merge under the same deterministic sort key, bit-equal to the
+    single-process run for any worker count."""
+    import os as _os
+
     import numpy as np
 
     w_rows = con.execute(
@@ -328,38 +398,21 @@ def _qm09_scale_oracle(con):
             mat[i, j] = float(wu)
             bin_mat[i, j] = 1.0
     nrm = np.sqrt(np.array([float(norm_u2[int(d)]) for d in ids]))
-    winners: list[tuple[float, int, int, int, float]] = []
-    chunk = 512
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        dot = mat[lo:hi] @ mat.T
-        shared = (bin_mat[lo:hi] @ bin_mat.T).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dot / (nrm[lo:hi, None] * nrm[None, :])
-        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF-UP, like ROUND()
-        valid = (ids[lo:hi, None] < ids[None, :]) & (shared > 0)
-        key = np.where(np.isnan(cos), np.inf, cos)
-        key = np.where(valid, key, -1.0)
-        flat = key.ravel()
-        nv = int(valid.sum())
-        if nv == 0:
-            continue
-        if nv > 20:
-            top = np.argpartition(-flat, 19)[:20]
-            cand = np.flatnonzero(flat >= flat[top].min())
+    procs = max(1, int(_os.environ.get("SPARK_GRAFT_QM09_ORACLE_PROCS", "1") or 1))
+    _QM09_WORK.update(mat=mat, bin_mat=bin_mat, nrm=nrm, ids=ids)
+    try:
+        if procs == 1:
+            winners = _qm09_gemm_worker((0, 1))
         else:
-            cand = np.flatnonzero(flat > -1.0)
-        ca, cb = np.unravel_index(cand, key.shape)
-        for c_i, a_i, b_i in zip(cand, ca, cb):
-            winners.append(
-                (
-                    -flat[c_i],
-                    int(ids[lo + a_i]),
-                    int(ids[b_i]),
-                    int(shared[a_i, b_i]),
-                    float(cos[a_i, b_i]),
+            import multiprocessing as mp
+
+            with mp.get_context("fork").Pool(procs) as pool:
+                parts = pool.map(
+                    _qm09_gemm_worker, [(i, procs) for i in range(procs)]
                 )
-            )
+            winners = [w for part in parts for w in part]
+    finally:
+        _QM09_WORK.clear()
     winners.sort(key=lambda t: (t[0], t[1], t[2]))
     return cols, [(a, b, s, c) for _, a, b, s, c in winners[:20]]
 

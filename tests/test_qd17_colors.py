@@ -3,9 +3,10 @@ WWW 2011) must be p-independent: the corner-color-multiset rule keys
 every triangle to exactly one reducer for ANY color count, so forcing
 p=1 (one reducer, the whole graph), an odd p=3, and the p=16 cap must
 all reproduce the SQL oracle's rows — this is what licenses the
-adaptive _qd17_pick_colors (gate tiers run p=1, the 32× tier p≈4-8
-under the disk budget — _QD17_FANOUT_ROWS clamps the granularity pick)
-while keeping one kernel at every tier (the qm09 dispatch principle)."""
+adaptive _qd17_pick_colors (gate tiers run p=1; the 16× and 32× tiers
+both land the p=16 cap now that the single-long replica pack keeps
+the _QD17_FANOUT_ROWS byte budget satisfied at 32×) while keeping one
+kernel at every tier (the qm09 dispatch principle)."""
 
 from __future__ import annotations
 
@@ -42,5 +43,7 @@ def test_pick_colors_shape():
     assert _qd17_pick_colors(0) == 1
     assert _qd17_pick_colors(112_000) == 2          # sf0.1 (measured |E|)
     assert _qd17_pick_colors(29_600_000) == _QD17_COLORS_CAP   # 16x
-    assert 4 <= _qd17_pick_colors(118_500_000) <= 8  # 32x: disk budget
+    # 32x: the single-long pack keeps the byte budget satisfied at the
+    # full cap (r10's four-long rows clamped this tier to p=6)
+    assert _qd17_pick_colors(118_500_000) == _QD17_COLORS_CAP
     assert _qd17_pick_colors(10**12) == 4            # parallelism floor
