@@ -311,32 +311,62 @@ def _qm09_gemm_worker(args):
         if ci % n_slices != slice_idx:
             continue
         hi = min(lo + chunk, n)
+        # The chunk loop is memory-BANDWIDTH bound, not FLOP bound
+        # (dim is tiny, the (B, n) matrices are ~650 MB each at the
+        # 32× tier): the original whole-matrix phrasing materialized
+        # six of them per chunk (cos, valid, two np.where keys, the
+        # int64 shared cast, the negated partition input) and forked
+        # workers saturated the bus at ~2.7× scaling. This in-place
+        # row-wise phrasing keeps two (dot mutated into the rank key,
+        # float32 shared) — every arithmetic step is the SAME IEEE
+        # op sequence on the same operands, so values are bit-equal:
+        #   row/(nrm[g]*nrm) == dot/(outer)   elementwise
+        #   floor(row*1e6+0.5)/1e6            identical rounding
+        #   NaN→inf then invalid→-1           identical mask order
+        # wu ≥ 0 (tf·ln(n/df) with df ≤ n) ⇒ rounded cosines ≥ 0, so
+        # the -1 sentinel can never collide with a valid value, and
+        # shared counts ≤ dim « 2^24 are exact in the float32 GEMM.
         dot = mat[lo:hi] @ mat.T
-        shared = (bin_mat[lo:hi] @ bin_mat.T).astype(np.int64)
+        shared_f = bin_mat[lo:hi] @ bin_mat.T
+        nv = 0
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dot / (nrm[lo:hi, None] * nrm[None, :])
-        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF-UP, like ROUND()
-        valid = (ids[lo:hi, None] < ids[None, :]) & (shared > 0)
-        key = np.where(np.isnan(cos), np.inf, cos)
-        key = np.where(valid, key, -1.0)
-        flat = key.ravel()
-        nv = int(valid.sum())
+            for a in range(hi - lo):
+                g = lo + a
+                row = dot[a]
+                row /= nrm[g] * nrm
+                np.multiply(row, 1e6, out=row)
+                np.add(row, 0.5, out=row)
+                np.floor(row, out=row)
+                np.divide(row, 1e6, out=row)  # HALF-UP, like ROUND()
+                row[np.isnan(row)] = np.inf
+                # valid ⟺ (ids[g] < ids[b]) & shared > 0; ids sorted
+                # unique ⇒ the id test is just the column index
+                row[: g + 1] = -1.0
+                invalid = shared_f[a] <= 0
+                invalid[: g + 1] = False  # don't double-count
+                row[invalid] = -1.0
+                nv += (n - g - 1) - int(np.count_nonzero(invalid[g + 1:]))
         if nv == 0:
             continue
+        flat = dot.ravel()
         if nv > 20:
-            top = np.argpartition(-flat, 19)[:20]
+            kth = flat.size - 20
+            top = np.argpartition(flat, kth)[kth:]
             cand = np.flatnonzero(flat >= flat[top].min())
         else:
             cand = np.flatnonzero(flat > -1.0)
-        ca, cb = np.unravel_index(cand, key.shape)
+        ca, cb = np.unravel_index(cand, dot.shape)
         for c_i, a_i, b_i in zip(cand, ca, cb):
+            keyv = flat[c_i]
             winners.append(
                 (
-                    -flat[c_i],
+                    -keyv,
                     int(ids[lo + a_i]),
                     int(ids[b_i]),
-                    int(shared[a_i, b_i]),
-                    float(cos[a_i, b_i]),
+                    int(shared_f[a_i, b_i]),
+                    # the stored cosine is the rounded value, which a
+                    # NaN→inf substitution must not leak into
+                    float("nan") if np.isinf(keyv) else float(keyv),
                 )
             )
     return winners
