@@ -35,6 +35,78 @@ _SQL_COS = (
 )
 
 
+_QV01_ORACLE_CHUNK = 4096
+
+
+def _qv01_scale_oracle(con):
+    """Scale-tier oracle for qv01: the SQL oracle MATERIALIZES the
+    |Q|×|C| scored stream before its rank window — at the 64× tier
+    (6.4k queries × 128k vectors) DuckDB's temp spill for that
+    ~819M-row materialization filled the box's disk (measured,
+    SCALE_SWEEP_r11_64x_vectors.log). Same value definition, feasible
+    algorithm (the qm09/qd17 oracle-py pattern): numpy scores corpus
+    chunks against the query block with the engine kernels' exact
+    discipline — ascending per-dimension fold from a 0.0 accumulator
+    (bit-identical to DuckDB's sequential list_dot_product),
+    half-away-from-zero 6-decimal rounding, (sim DESC, neighbor_id
+    ASC) total order with chunk-local top-5 then an exact global
+    merge (any global top-5 row is within its chunk's top-5 under the
+    same order)."""
+    import numpy as np
+
+    res = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    cols = ["query_id", "neighbor_id", "sim", "rank"]
+    if not res:
+        return cols, []
+    ids = np.array([r[0] for r in res], dtype=np.int64)
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in res])
+
+    def fold_norms(v):
+        sq = np.zeros(v.shape[0])
+        for i in range(v.shape[1]):
+            sq += v[:, i] * v[:, i]
+        return np.sqrt(sq)
+
+    def round6(x):
+        s = x * 1e6
+        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 1e6
+
+    nrm = fold_norms(m)
+    qmask = ids % 20 == 0
+    q_ids, qm, qn = ids[qmask], m[qmask], nrm[qmask]
+    if len(q_ids) == 0:
+        return cols, []
+    # chunk-local top-5 per query under the final total order, then an
+    # exact global merge — candidates are (n_chunks × 5) per query
+    cand: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+    chunk = _QV01_ORACLE_CHUNK  # module-level so tests can shrink it
+    for lo in range(0, len(ids), chunk):
+        hi = min(lo + chunk, len(ids))
+        c, cn, nids = m[lo:hi], nrm[lo:hi], ids[lo:hi]
+        dots = np.zeros((hi - lo, len(q_ids)))
+        for i in range(m.shape[1]):
+            dots += np.outer(c[:, i], qm[:, i])
+        sims = round6(dots / np.outer(cn, qn))
+        sims[nids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+        kk = min(5, sims.shape[0])
+        top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # id tiebreak
+        for qi, q in enumerate(q_ids):
+            for r in range(kk):
+                s = sims[top[r, qi], qi]
+                if np.isfinite(s):
+                    cand[int(q)].append((float(s), int(nids[top[r, qi]])))
+    rows = []
+    for q in q_ids:
+        best = sorted(cand[int(q)], key=lambda t: (-t[0], t[1]))[:5]
+        rows.extend(
+            (int(q), nid, s, r + 1) for r, (s, nid) in enumerate(best)
+        )
+    return cols, rows
+
+
 @query(
     "qv01_knn_bruteforce",
     # the |Q|x|C| scoring is MATERIALIZED to scalars before the window:
@@ -66,6 +138,12 @@ FROM (
 )
 WHERE rank <= 5
 """,
+    scale_oracle=_qv01_scale_oracle,
+    # the materialized |Q|×|C| scored stream spills ~|Q|·|C|·30 B of
+    # temp; the measured feasibility edge on this box sits between the
+    # 32× tier (64k vectors, ran green r09) and the 64× tier (128k
+    # vectors, filled the disk)
+    oracle_scale_bound=("embeddings", 100_000),
 )
 def qv01(spark, sf_dir):
     """Exact brute-force cosine top-5 for a 5% query sample — the ANN
