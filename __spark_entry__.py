@@ -52,18 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation is a red test. Any future never-gated query would still
 # jump the whole rotation.
 _GATED_ROUNDS: list[list[str]] = [
-    # r06 remainder (CORRECTNESS_r06.json: 49 hash-PASS + qm03
-    # rows-only — the 16 final never-driver-gated names; 213/213
-    # coverage complete. qd15/qd17/qm16 re-gated r10 and moved to
-    # that rank.)
-    ["q34", "qc19", "qc21", "qe22", "qe33", "qe37",
-     "qe39", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"],
-    # r07 re-verification (CORRECTNESS_r07.json: 50/50 hash-PASS —
-    # the r01∪r02 block, re-gated green on current testdata)
-    [f"q{i:02d}" for i in range(1, 33)]
-    + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
-    + ["qj01", "qj02", "qj03"]
-    + [f"qw{i:02d}" for i in range(1, 9)],
+    # r07 remainder (CORRECTNESS_r07.json gated the full r01∪r02
+    # block; the r11 snapshot re-verified its head — q01-q10,
+    # q13-q19, q22-q23, qe/qg/qj/qw — and moved it to the r11 rank,
+    # leaving these 13 as the stalest-verified names fronting r12.)
+    ["q11", "q12", "q20", "q21"] + [f"q{i:02d}" for i in range(24, 33)],
     # r08 re-verification (CORRECTNESS_r08.json: 44 hash-PASS + 6
     # rows-only by design — qm03/qm04/qm07 LDA+coherence, qv05 IVF,
     # qv08 tiered GEMM, qd08 raw SimHash. Rotation policy: a
@@ -108,6 +101,17 @@ _GATED_ROUNDS: list[list[str]] = [
     + ["qt16", "qt17", "qt18"]
     + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
     + ["qw11", "qx07"],
+    # r11 re-verification (CORRECTNESS_r11.json: 50/50 hash-PASS,
+    # zero rows-only, zero errors — the full r06-remainder block
+    # plus the head of the r07 rank: q01-q10, q13-q19, q22-q23,
+    # qe01/qe02, qg01-qg05, qj01-qj03, qw01-qw08.)
+    ["q34", "qc19", "qc21", "qe22", "qe33", "qe37",
+     "qe39", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"]
+    + [f"q{i:02d}" for i in range(1, 11)]
+    + ["q13", "q14", "q15", "q16", "q17", "q18", "q19", "q22", "q23"]
+    + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
+    + ["qj01", "qj02", "qj03"]
+    + [f"qw{i:02d}" for i in range(1, 9)],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

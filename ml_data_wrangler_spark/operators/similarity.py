@@ -1098,6 +1098,17 @@ def brute_force_topk_fold(
                 )
             q_ids = qpdf["qid"].to_numpy().astype("int64")
             qm = _stack_checked(qpdf["v"].to_numpy(), "query")
+            if qm.size > 4 * max_broadcast_cells:
+                # same loud skew guard as scored_branch (r11 ADVICE):
+                # slices target quarter-budget, so 16× headroom —
+                # only pathological qid-hash skew reaches this, and it
+                # must fail loudly, not materialize an oversized query
+                # slice inside every grid cell
+                raise ValueError(
+                    f"grid-cogroup query slice over budget ({qm.shape[0]}×"
+                    f"{qm.shape[1]} cells > 4×{max_broadcast_cells}) — "
+                    "pathological qid-hash skew"
+                )
             qn = _fold_norms(qm)
             parts = list(
                 _tile_topk(

@@ -428,7 +428,29 @@ def _qm09_scale_oracle(con):
             mat[i, j] = float(wu)
             bin_mat[i, j] = 1.0
     nrm = np.sqrt(np.array([float(norm_u2[int(d)]) for d in ids]))
+    # SPARK_GRAFT_QM09_ORACLE_PROCS > 1 requires the fork start method
+    # (the workers inherit _QM09_WORK's arrays by fork; spawn would
+    # re-import this module without them). fork is Linux-only-safe and
+    # can deadlock when forking a driver process with live JVM/py4j
+    # threads — this env-gated path is for the dedicated scale-sweep
+    # runner (no live SparkSession at oracle time); default procs=1
+    # never forks. On platforms without fork, fall back to procs=1
+    # with a warning rather than deadlocking (r11 ADVICE item 3).
     procs = max(1, int(_os.environ.get("SPARK_GRAFT_QM09_ORACLE_PROCS", "1") or 1))
+    if procs > 1:
+        import multiprocessing as _mp
+
+        if "fork" not in _mp.get_all_start_methods():
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_QM09_ORACLE_PROCS ignored: the fork start "
+                "method is unavailable on this platform; running the "
+                "qm09 scale oracle single-process",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            procs = 1
     _QM09_WORK.update(mat=mat, bin_mat=bin_mat, nrm=nrm, ids=ids)
     try:
         if procs == 1:
@@ -570,16 +592,30 @@ def qm09(spark, sf_dir):
     # itself above it (per-block broadcast ≤ QM09_DENSE_CELL_CAP), so
     # the dense regime never falls back to the postings self-join
     # that dies on dense vocabularies at scale.
-    vocab = [
-        r["token"]
-        for r in dfc.where(F.col("df") >= 2)
-        .select("token")
-        .orderBy("token")
-        .collect()
-    ]
+    # The dispatch probe must itself be scale-safe (round-11 verdict
+    # item 1): on a 100 TB corpus the df≥2 vocab is 10^8-10^9 tokens,
+    # so collecting it just to COUNT it would OOM the driver before
+    # the sparse fallback — the correct plan for that regime — ever
+    # engages. LIMIT cap+1 bounds the transfer to ≤ cap+1 rows for
+    # ANY vocab size (order is irrelevant to the ≤cap decision); the
+    # ordered full collect happens only inside the ≤cap branch, where
+    # it is ≤ cap rows by the probe's own verdict.
     import ml_data_wrangler_spark.plans.ml_queries as _self
 
-    if 0 < len(vocab) <= _self.QM09_DENSE_VOCAB_CAP:
+    probe = (
+        dfc.where(F.col("df") >= 2)
+        .select("token")
+        .limit(_self.QM09_DENSE_VOCAB_CAP + 1)
+        .collect()
+    )
+    if 0 < len(probe) <= _self.QM09_DENSE_VOCAB_CAP:
+        vocab = [
+            r["token"]
+            for r in dfc.where(F.col("df") >= 2)
+            .select("token")
+            .orderBy("token")
+            .collect()
+        ]
         idx_df = F.broadcast(
             spark.createDataFrame(
                 [(tkn, i) for i, tkn in enumerate(vocab)], "token string, idx int"

@@ -75,6 +75,18 @@ def _qv01_scale_oracle(con):
         return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 1e6
 
     nrm = fold_norms(m)
+    # mirror the engine's zero-norm contract (similarity.py raises on
+    # zero-norm/non-finite vectors) rather than silently filtering:
+    # the SQL oracle this substitutes ranks NaN FIRST under DuckDB's
+    # ORDER BY sim DESC, so a zero-norm embedding at a scale tier
+    # would make the two oracles diverge silently (r11 ADVICE item 2)
+    if not np.isfinite(nrm).all() or (nrm == 0).any():
+        bad = ids[~np.isfinite(nrm) | (nrm == 0)][:5]
+        raise ValueError(
+            "qv01 scale oracle: zero-norm or non-finite embedding(s) "
+            f"(vec_id sample {bad.tolist()}) — cosine undefined; the "
+            "SQL oracle and this py-oracle would diverge silently"
+        )
     qmask = ids % 20 == 0
     q_ids, qm, qn = ids[qmask], m[qmask], nrm[qmask]
     if len(q_ids) == 0:

@@ -46,6 +46,48 @@ def test_gemm_path_is_active_on_fixture(spark, sf_dir, qname):
     assert mq.QM09_DENSE_VOCAB_CAP >= 31
 
 
+def test_dispatch_probe_is_bounded(spark, sf_dir, qname, monkeypatch):
+    """Round-11 verdict item 1: the dense-dispatch probe must never
+    collect the full df>=2 vocabulary to the driver — on a 100 TB
+    corpus that vocab is 10^8-10^9 tokens and the probe itself would
+    OOM before the sparse fallback (the correct plan there) engages.
+    With the cap shrunk below the fixture vocab (~31 tokens), plan
+    construction must (a) fall back to the sparse postings plan and
+    (b) transfer at most cap+1 rows in ANY driver collect: the probe
+    is `.limit(cap+1)`, and the ordered full collect is only reached
+    inside the <=cap branch, where it is <=cap rows by the probe's
+    own verdict."""
+    try:  # pyspark>=4: the concrete class overrides the abstract base
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pyspark 3.x
+        from pyspark.sql import DataFrame
+
+    import ml_data_wrangler_spark.plans.ml_queries as mq
+
+    cap = 4
+    monkeypatch.setattr(mq, "QM09_DENSE_VOCAB_CAP", cap)
+    sizes: list[int] = []
+    real_collect = DataFrame.collect
+
+    def counted(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counted)
+    qs = registry.queries()
+    df = qs[qname](spark, sf_dir)
+    assert sizes, "the dispatch probe must run at plan-construction time"
+    assert max(sizes) <= cap + 1, (
+        f"a plan-time collect transferred {max(sizes)} rows > cap+1="
+        f"{cap + 1} — the dispatch probe is unbounded again"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, (
+        "vocab above the cap must dispatch to the sparse postings plan"
+    )
+
+
 def test_gemm_equals_postings_path(spark, sf_dir, qname, monkeypatch):
     """Force the sparse postings plan by shrinking the dense caps and
     assert the two physical strategies return identical rows."""
