@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ml_data_wrangler_spark.functions.text import tokenize
 from ml_data_wrangler_spark.functions.textstats import doc_fingerprint
+from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 from ml_data_wrangler_spark.operators.dedup import (
     _shingles_from_tokens,
     ngram_jaccard_pairs,
@@ -1450,17 +1451,38 @@ def qd17(spark, sf_dir):
     prefix/LSH duals at 100 TB); shuffled bytes are O(|E|) — the
     wedge/triangle stream never crosses an exchange (the wedge-JOIN
     dual spilled 80+ GB sorting 6.7B wedge rows at the 16× tier)."""
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", tokenize(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= 3)
+    # Edge build reworked to qd02's posting shape (round 12, guide
+    # §2.3/§2.4): the old form tokenized+shingled via a global
+    # DISTINCT then self-joined the distinct relation — Catalyst
+    # planned the (doc, shingle) subtree TWICE (two full tokenize
+    # passes, both single-task on the 1-split parquet) and joined by
+    # BROADCASTING one copy (never exchange-reused, and broadcasting
+    # a posting list is exactly what ngram_jaccard_pairs bans at
+    # 100 TB). Now: repartition the RAW text once (trap #1), dedup
+    # shingles PER ROW with array_distinct (same (doc, shingle) set,
+    # no global distinct exchange), and self-join shuffle-hash so
+    # both sides reuse ONE exchange on shingle. Same edge set by
+    # construction; measured 5.05 s → ~1.7 s for the edge checkpoint
+    # at sf0.1, plan 2 tokenize subtrees → 1.
+    raw = ensure_parallelism(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        spark.sparkContext.defaultParallelism,
     )
-    sh = docs.select(
-        "doc_id",
-        F.explode(_shingles_from_tokens(F.col("toks"), 3)).alias("shingle"),
-    ).distinct()
+    toks = tokenize(F.col("text"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(_shingles_from_tokens(F.col("toks"), 3)),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        raw.select("doc_id", toks.alias("toks"))
+        .select("doc_id", shingles.alias("sh"))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+    )
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
     e = (
         a.join(
             b,
