@@ -1,0 +1,77 @@
+"""Driver-side bit-exact replicas of the Spark SQL arithmetic the
+iterative queries use on MODEL-SIZED state (guide §5: the driver
+should do almost no data work — a 64×64 covariance or a |types|²
+transition matrix is a model, not data).
+
+Why these exist (optimization round 12): the iterative fixed-point
+queries (qv18 power iteration, qe33 PageRank) ran every round of
+their loop as DataFrame jobs over a bounded relation — per round one
+broadcast build per side plus a ``localCheckpoint`` materialization,
+~10-15 Spark jobs each query for arithmetic on ≤4096 rows. Moving
+ONLY the bounded fixed-point loop to the driver (the distributed
+passes that REDUCE data to the model stay distributed) removes those
+barrier rounds at every scale; MLlib's own iterative fits collect
+exactly such model-sized aggregates per round.
+
+Exactness contract: every value that crosses the Spark→Python border
+is already quantized by the query plan (integer micro/nano/pico units
+or ``F.round``-ed doubles), sums are over Python ints (arbitrary
+precision, order-independent), and scalar IEEE double expressions are
+written with the same operation order as the Column expressions they
+replace. The two rounding helpers replicate Spark's ``round``
+semantics exactly rather than approximately:
+
+* Spark ``Round`` on DoubleType is
+  ``BigDecimal.valueOf(x).setScale(scale, HALF_UP).toDouble``;
+  ``BigDecimal.valueOf`` parses ``Double.toString(x)`` — the SHORTEST
+  decimal that round-trips. Python's ``repr(float)`` produces the
+  same shortest round-trip decimal, so
+  ``Decimal(repr(x)).quantize(10^-scale, ROUND_HALF_UP)`` is the same
+  decimal-domain computation, not a float approximation (the usual
+  ``floor(x*10^s + 0.5)`` shortcut differs on ties that exist in
+  decimal but not in binary).
+* ``CAST(round(x) AS BIGINT)`` on an integral double is exact below
+  2^53; non-finite inputs follow Java semantics (NaN → 0, ±Inf →
+  ±Long.MAX/MIN) so the helper cannot diverge even on degenerate
+  fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
+
+
+def round_half_up(x: float, scale: int) -> float:
+    """Exact replica of Spark SQL ``round(x, scale)`` on a double."""
+    if not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def round_long(x: float) -> int:
+    """Exact replica of ``CAST(round(x) AS BIGINT)`` on a double."""
+    if x != x:  # NaN casts to 0
+        return 0
+    if x == math.inf:
+        return _LONG_MAX
+    if x == -math.inf:
+        return _LONG_MIN
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def ieee_div(a: float, b: float) -> float:
+    """``a / b`` with Spark/IEEE zero-divisor semantics (Python raises
+    where SQL doubles yield NaN / signed infinity)."""
+    if b == 0.0:
+        if a == 0.0 or a != a:
+            return math.nan
+        return math.copysign(math.inf, a)
+    return a / b

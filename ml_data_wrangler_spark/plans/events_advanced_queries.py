@@ -13,8 +13,56 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ml_data_wrangler_spark.functions.driver_exact import (
+    round_half_up,
+    round_long,
+)
 from ml_data_wrangler_spark.plans._util import money, t
 from ml_data_wrangler_spark.plans.registry import query
+
+# qe33 driver-loop dispatch bounds (round 12): the PageRank loop runs
+# on the driver when the transition graph is model-sized — probed with
+# limit(cap+1) so the probe itself transfers a bounded row count for
+# ANY keyspace (the qm09 dispatch discipline). Above either cap the
+# pre-round-12 distributed loop runs unchanged.
+QE33_DRIVER_NODE_CAP = 4096
+QE33_DRIVER_EDGE_CAP = 65536
+
+
+def _qe33_driver_loop(spark, node_rows, p_rows):
+    """Driver-side replica of qe33's 3-round damped PageRank over the
+    model-sized transition matrix — bit-exact vs the DataFrame loop:
+    pico-quantized terms are summed as Python ints (order-free), the
+    damping expression keeps the Column expression's operation order,
+    and Spark's ROUND is replicated in the decimal domain
+    (functions/driver_exact.py)."""
+    out_schema = "event_type string, pagerank double"
+    nodes = [r["node"] for r in node_rows]
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    edges = [(r["src"], r["dst"], r["pij"]) for r in p_rows]
+    srcs = {src for src, _, _ in edges}
+    rank = {nd: round_half_up(1.0 / n, 9) + 0.0 for nd in nodes}
+    for _ in range(3):
+        dm = sum(
+            round_long(rank[nd] * 1e12) for nd in nodes if nd not in srcs
+        )
+        s: dict = {}
+        for src, dst, pij in edges:
+            if src in rank:
+                s[dst] = s.get(dst, 0) + round_long(rank[src] * pij * 1e12)
+        rank = {
+            nd: round_half_up(
+                0.15 / n
+                + 0.85 * (s.get(nd, 0) / 1e12 + dm / 1e12 / n),
+                9,
+            )
+            + 0.0
+            for nd in nodes
+        }
+    rows = [(nd, round_half_up(rank[nd], 6) + 0.0) for nd in nodes]
+    return spark.createDataFrame(rows, out_schema).orderBy("event_type")
 
 
 def _qe33_sql_step(k: int) -> str:
@@ -91,22 +139,20 @@ def qe33(spark, sf_dir):
 
     Shape at scale: the 100-TB work is the ONE user-partitioned lag
     window + pair count (same shuffle as qe15); the graph itself
-    collapses to |types|² edges and is ``localCheckpoint``-ed before
-    the iterations (qd07's discipline — iterative lineage otherwise
-    branches the plan exponentially and re-runs the raw-event pass
-    per iteration; materializing the bounded edge relation once is
-    exactly what a 100-TB run must do). Each iteration is then a
-    bounded-relation broadcast join over the materialized leaf — no
-    collect. With a billion-node graph (user-user edges) the
-    identical plan shape shuffles on dst instead of broadcasting;
-    the quantization trick is partitioning-proof either way."""
+    collapses to |types|² edges — MODEL-sized (event types are a
+    bounded enum), so the fixed-point loop runs on the DRIVER over
+    the collected transition matrix (round 12, guide §5): the old
+    DataFrame loop paid ~12 broadcast-build + localCheckpoint jobs
+    per query for arithmetic on ≤|types|² rows, a pure barrier tax at
+    every scale. The dispatch is probe-bounded (limit(cap+1), the
+    qm09 discipline — the probe transfers ≤ cap+1 rows for ANY
+    keyspace); above the caps the pre-round-12 distributed loop runs
+    unchanged, which is also the path a billion-node user-user graph
+    would take (shuffling on dst instead of broadcasting). Both
+    paths quantize sums to exact integers, so they are bit-equal by
+    construction (pinned by tests/test_qe33_driver_loop.py)."""
     ev = t(spark, sf_dir, "events")
-    nodes = (
-        ev.select(F.col("event_type").alias("node"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nn = nodes.agg(F.count("*").alias("n"))
+    nodes_df = ev.select(F.col("event_type").alias("node")).distinct()
     seq = ev.select(
         "event_type",
         F.lag("event_type")
@@ -119,18 +165,26 @@ def qe33(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tn"))
-    p = (
-        pairs.join(F.broadcast(tot), "prev_type")
-        .select(
-            F.col("prev_type").alias("src"),
-            F.col("event_type").alias("dst"),
-            (
-                F.round(F.col("n").cast("double") / F.col("tn"), 9)
-                + F.lit(0.0)
-            ).alias("pij"),
-        )
-        .localCheckpoint()
+    p_df = pairs.join(F.broadcast(tot), "prev_type").select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        (
+            F.round(F.col("n").cast("double") / F.col("tn"), 9)
+            + F.lit(0.0)
+        ).alias("pij"),
     )
+    node_rows = nodes_df.limit(QE33_DRIVER_NODE_CAP + 1).collect()
+    p_rows = None
+    if len(node_rows) <= QE33_DRIVER_NODE_CAP:
+        p_rows = p_df.limit(QE33_DRIVER_EDGE_CAP + 1).collect()
+        if len(p_rows) > QE33_DRIVER_EDGE_CAP:
+            p_rows = None
+    if p_rows is not None:
+        return _qe33_driver_loop(spark, node_rows, p_rows)
+    # distributed fallback: the pre-round-12 loop, unchanged
+    nodes = nodes_df.localCheckpoint()
+    nn = nodes.agg(F.count("*").alias("n"))
+    p = p_df.localCheckpoint()
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.round(F.lit(1.0) / F.col("n"), 9) + F.lit(0.0)).alias("r")
     )

@@ -32,6 +32,7 @@ from ml_data_wrangler_spark.functions.textstats import (
     subword_count,
     token_count,
 )
+from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 from ml_data_wrangler_spark.plans._util import t
 from ml_data_wrangler_spark.plans.registry import query
 
@@ -51,9 +52,13 @@ LIMIT 20
 )
 def qt01(spark, sf_dir):
     """Corpus-wide top-20 token counts (the flagship text query:
-    tokenize → explode → count → top-k)."""
+    tokenize → explode → count → top-k). The raw text is
+    repartitioned before the tokenize map (trap #1 / round 12): the
+    1-split parquet otherwise runs the whole
+    tokenize-explode-partial-agg stage as a single task (measured
+    ~1.3 s serial at sf0.1; a no-op on any multi-split scan)."""
     return (
-        t(spark, sf_dir, "documents")
+        ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
         .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -1130,7 +1135,10 @@ def bm25_rankings(spark, sf_dir, top: int):
     vocabulary is ~31 near-stopword tokens, so no cut is applied
     here)."""
     docs = t(spark, sf_dir, "documents")
-    dt = docs.select(
+    # repartition raw text before the tokenize map (trap #1, round
+    # 12): the 1-split scan otherwise tokenizes the whole corpus in
+    # one task before tf's checkpoint; no-op on multi-split scans
+    dt = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
     # tf is consumed by FOUR branches (weights, doc lengths, document
@@ -1367,7 +1375,9 @@ def qt20(spark, sf_dir):
     pair-count aggregation over types, with the 1-row argmax
     broadcast."""
     wt = (
-        t(spark, sf_dir, "documents")
+        # repartition raw text before the tokenize map (trap #1,
+        # round 12) — the 1-split scan otherwise tokenizes serially
+        ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
         .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("f"))
@@ -1388,6 +1398,10 @@ def qt20(spark, sf_dir):
         )
         .localCheckpoint()
     )
+    out_schema = (
+        "step long, pair string, merged string, pair_count long, "
+        "vocab_size_after long, corpus_symbols_after long"
+    )
     steps = []
     for step in (1, 2, 3):
         arr = F.split(F.trim(F.col("sym")), " ")
@@ -1407,53 +1421,60 @@ def qt20(spark, sf_dir):
                 )
             ).alias("pair"),
         )
+        # the argmax is ONE row — collect it and fold the merge
+        # pattern in as string literals (round 12): the old loop
+        # localCheckpoint-ed the 1-row argmax and crossJoin-broadcast
+        # it into every word row, paying ~5 jobs per merge step for a
+        # model-sized decision (same driver-side principle as qv18 /
+        # qe33; the per-step wt checkpoints fall away with it because
+        # wt is now a pure projection chain over the ONE checkpointed
+        # word-type leaf)
         best = (
             pairs.groupBy("pair")
             .agg(F.sum("f").alias("c"))
             .orderBy(F.desc("c"), "pair")
             .limit(1)
-            .select(
-                "pair", F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("m"), "c"
-            )
-            .localCheckpoint()
+            .collect()
         )
+        if not best:
+            # no pair anywhere (empty corpus or all-single-symbol
+            # words): the old plan's empty-broadcast crossJoin
+            # emptied every remaining step — emit nothing
+            break
+        pair, merged, cnt = best[0]["pair"], best[0]["pair"].replace(" ", ""), best[0]["c"]
         # doubled-delimiter merge (see _qt20_sql_step): double spaces,
         # replace the doubled pattern, collapse — so back-to-back
         # occurrences of the pair each merge in this pass
-        doubled = F.replace(F.col("sym"), F.lit(" "), F.lit("  "))
-        pat = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        rep = F.concat(F.lit(" "), F.col("m"), F.lit(" "))
-        wt = (
-            wt.crossJoin(F.broadcast(best))
-            .select(
-                "token",
-                "f",
+        wt = wt.select(
+            "token",
+            "f",
+            F.replace(
                 F.replace(
-                    F.replace(doubled, pat, rep), F.lit("  "), F.lit(" ")
-                ).alias("sym"),
-            )
-            .localCheckpoint()
+                    F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(" " + merged + " "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            ).alias("sym"),
         )
         sym_col = F.explode(F.split(F.trim(F.col("sym")), " ")).alias("s")
-        exploded = wt.select("f", sym_col)
-        stats = exploded.agg(
+        stats = wt.select("f", sym_col).agg(
             F.count_distinct("s").alias("vocab"),
             F.sum("f").alias("total"),
         )
         steps.append(
-            best.crossJoin(F.broadcast(stats)).select(
+            stats.select(
                 F.lit(step).cast("long").alias("step"),
-                "pair",
-                F.col("m").alias("merged"),
-                F.col("c").alias("pair_count"),
+                F.lit(pair).alias("pair"),
+                F.lit(merged).alias("merged"),
+                F.lit(cnt).cast("long").alias("pair_count"),
                 F.col("vocab").alias("vocab_size_after"),
                 F.col("total").alias("corpus_symbols_after"),
             )
         )
+    if not steps:
+        return spark.createDataFrame([], out_schema)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
