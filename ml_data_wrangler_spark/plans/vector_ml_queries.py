@@ -10,9 +10,16 @@ family in ascending order for the gate prefix).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ml_data_wrangler_spark.functions.driver_exact import (
+    ieee_div,
+    round_half_up,
+    round_long,
+)
 from ml_data_wrangler_spark.functions.vectors import cosine_similarity
 from ml_data_wrangler_spark.operators._partition import ensure_parallelism
 from ml_data_wrangler_spark.operators.similarity import (
@@ -315,27 +322,46 @@ def _kmeans_assign(emb, cent):
     """One Lloyd assignment step: argmin over broadcast centroids by
     squared L2, with distances quantized to integer micro-units before
     the argmin (ties break to the smallest cluster id) so the
-    assignment is an integer decision on both engines."""
-    from pyspark.sql import Window as W
+    assignment is an integer decision on both engines.
 
+    Shuffle-free form (round 12, guide §2.4): the k centroids are
+    collapsed to ONE broadcast row holding an array of (cand, cv)
+    structs, and the argmin runs per vector as an array fold —
+    ``array_sort`` over ``struct(d_micro, cand)`` orders
+    lexicographically by (d_micro ASC, cand ASC), exactly the retired
+    ``row_number`` window's ORDER BY, so element 1 IS the window's
+    rn = 1 row. The old form crossJoin-fanned every vector k ways and
+    shuffled the k·N scored rows into a vec_id-partitioned window —
+    two exchanges per Lloyd round that exist only to pick a per-row
+    minimum. Same integer decisions, zero exchanges; at 100 TB each
+    assignment becomes a map-only pass."""
     from ml_data_wrangler_spark.functions.vectors import dot
 
-    d2 = (
-        dot(F.col("v"), F.col("v"))
-        - 2 * dot(F.col("v"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
+    packed = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cand"), F.col("cv")))
+        ).alias("cents")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+
+    def _score(c):
+        d2 = (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), c["cv"])
+            + dot(c["cv"], c["cv"])
+        )
+        return F.struct(
+            F.round(d2 * 1e6).cast("long").alias("d_micro"),
+            c["cand"].alias("cand"),
+        )
+
+    best = F.element_at(
+        F.array_sort(F.transform(F.col("cents"), _score)), 1
+    )
+    return emb.crossJoin(F.broadcast(packed)).select(
         "vec_id",
         "v",
-        "cand",
-        F.round(d2 * 1e6).cast("long").alias("d_micro"),
-    )
-    w = W.partitionBy("vec_id").orderBy("d_micro", "cand")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cand").alias("cluster"), "d_micro")
+        best["cand"].alias("cluster"),
+        best["d_micro"].alias("d_micro"),
     )
 
 
@@ -525,12 +551,23 @@ def qv18(spark, sf_dir):
     (dim × dim) terms per vector then a 64×64-bounded aggregation —
     the relational outer-product accumulation (the GEMM dual would be
     a qv07-style mapInPandas partial-gram per partition; same
-    communication shape: only 64×64 partials move). The covariance is
-    localCheckpoint-ed before iterating (qd07's discipline — without
-    it each matvec re-derives the matrix from raw embeddings and the
-    plan branches exponentially); each iteration is then a 4096-row ×
-    64-row broadcast join over the materialized leaf — driver-free,
-    no collect."""
+    communication shape: only 64×64 partials move). The power
+    iteration itself runs on the DRIVER over the collected covariance
+    (round 12, guide §5): the matrix is MODEL-sized by construction —
+    dim² = 4096 rows for any input cardinality, the schema fixes dim —
+    so iterating it as 9+ distributed jobs (per round: a broadcast
+    build each for matvec and the norm, plus a localCheckpoint
+    materialization of a 64-row vector) paid ~10 job-scheduling
+    barriers for arithmetic on 4 KB of state; MLlib's own iterative
+    fits collect exactly such per-round model aggregates. The
+    replacement arithmetic is bit-exact, not approximate: every sum
+    the plan quantized to BIGINT is summed as Python ints
+    (order-independent), scalar IEEE expressions keep the Column
+    expressions' operation order, and Spark's ROUND is replicated in
+    the decimal domain (functions/driver_exact.py). Measured at
+    sf0.1: 27 Spark jobs → 5, qv18 6.3 s → ~1.9 s; at 100 TB the
+    same change removes 9 all-executor barrier rounds while the one
+    data-sized pass (covariance) is unchanged."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -538,97 +575,102 @@ def qv18(spark, sf_dir):
         "i", F.col("i") + 1
     )
     mu = e.groupBy("i").agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("m"))
-    cent = e.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
-    )
-    n = emb.agg(F.count("*").alias("n_vecs"))
-    a = cent.alias("a")
-    b = cent.alias("b")
-    cov = (
-        a.join(b, "vec_id")
-        .select(
-            F.col("a.i").alias("i"),
-            F.col("b.i").alias("j"),
-            F.round(F.col("a.xc") * F.col("b.xc") * 1e6)
-            .cast("long")
-            .alias("t"),
+    out_schema = "dim long, eig_v double, eigenvalue double"
+    # Per-partition Arrow gram kernel (round 12, guide §4.2): the old
+    # covariance self-joined the exploded relation on vec_id — N·dim²
+    # intermediate rows (8.4M at sf0.1) through two exchanges for a
+    # 64×64 result. The kernel computes the SAME per-row quantized
+    # terms round(xc_i·xc_j·1e6)::long in numpy and pre-sums them per
+    # partition (int64 sums — order-free, so the dim²-bounded
+    # partials that cross the one exchange aggregate to bit-identical
+    # totals on any partitioning). mu is collected first: 64 rows,
+    # model-sized by schema, exactly like the covariance itself.
+    mu_rows = mu.collect()
+    if len(mu_rows) == 0:
+        # empty input: the old plan's inner matvec join over an empty
+        # cov produced zero rows
+        return spark.createDataFrame([], out_schema)
+    if len(mu_rows) != 64:
+        raise ValueError(
+            f"qv18: expected 64 dimension means, got {len(mu_rows)}"
         )
+    mu_arr = [m["m"] for m in sorted(mu_rows, key=lambda r: r["i"])]
+    n = emb.agg(F.count("*").alias("n_vecs")).collect()[0]["n_vecs"]
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu_np = np.asarray(mu_arr, dtype=np.float64)
+        acc = np.zeros((64, 64), dtype=np.int64)
+        nonempty = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nonempty = True
+            x = np.asarray(
+                [np.asarray(row, dtype=np.float64) for row in pdf["v"]]
+            )
+            c = x - mu_np
+            s = (c[:, :, None] * c[:, None, :]) * 1e6
+            q = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+            acc += q.astype(np.int64).sum(axis=0)
+        if nonempty:
+            i_idx, j_idx = np.meshgrid(
+                np.arange(1, 65), np.arange(1, 65), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": i_idx.ravel().astype("int32"),
+                    "j": j_idx.ravel().astype("int32"),
+                    "st": acc.ravel(),
+                }
+            )
+
+    st_rows = (
+        # trap #1: the 1-split parquet scan would otherwise run the
+        # gram kernel as ONE task; the int64 partials are order-free,
+        # so the repartition is value-neutral by construction
+        ensure_parallelism(emb.select("v"))
+        .mapInPandas(_gram, "i int, j int, st long")
         .groupBy("i", "j")
-        .agg(F.sum("t").alias("st"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            (
-                F.round(
-                    F.col("st").cast("double") / F.col("n_vecs") / 1e6, 6
-                )
-                + F.lit(0.0)
-            ).alias("cij"),
-        )
-        # qd07's iterative-lineage discipline: materialize the 64×64
-        # covariance once — each matvec otherwise re-derives it from
-        # the raw embeddings, branching the plan exponentially over
-        # the three iterations (observed: 280 parquet scans in the
-        # static plan without this checkpoint, 64×64 leaf with it).
-        .localCheckpoint()
+        .agg(F.sum("st").alias("st"))
+        .collect()
     )
-    v = spark.range(1, 65).select(
-        F.col("id").cast("int").alias("i"),
-        F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("val"),
-    )
-
-    def matvec(v_df):
-        return (
-            cov.join(
-                F.broadcast(v_df.select(F.col("i").alias("j"), "val")), "j"
-            )
-            .select(
-                "i",
-                F.round(F.col("cij") * F.col("val") * 1e9)
-                .cast("long")
-                .alias("t"),
-            )
-            .groupBy("i")
-            .agg((F.sum("t").cast("double") / 1e9).alias("w"))
+    if len(st_rows) > 64 * 64:
+        raise ValueError(
+            f"qv18: covariance collect returned {len(st_rows)} rows "
+            "(> dim² = 4096) — model-size invariant broken"
         )
-
-    def normalize(w_df):
-        ssq = w_df.agg(
-            F.sum(F.round(F.col("w") * F.col("w") * 1e9).cast("long")).alias(
-                "ssq"
-            )
-        )
-        return w_df.crossJoin(F.broadcast(ssq)).select(
-            "i",
-            "w",
-            (
-                F.round(
-                    F.col("w")
-                    / F.sqrt(F.col("ssq").cast("double") / 1e9),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("val"),
-        )
-
+    # cij = round(double(st)/n/1e6, 6) + 0.0, exactly the Column
+    # expression the relational form used
+    cmat = {
+        (r["i"], r["j"]): round_half_up(float(r["st"]) / n / 1e6, 6) + 0.0
+        for r in st_rows
+    }
+    if not cmat:
+        return spark.createDataFrame([], out_schema)
+    # identical trajectory to the retired DataFrame loop / the SQL
+    # oracle: v0 = e1; per round w_i = Σ_j round(cij·val_j·1e9)::long
+    # / 1e9 (inner-join semantics on j), then val_i = round(w_i /
+    # sqrt(Σ round(w_i²·1e9)::long / 1e9), 6) + 0.0
+    v = {i: (1.0 if i == 1 else 0.0) for i in range(1, 65)}
+    w: dict[int, float] = {}
     for _ in range(3):
-        # per-round checkpoint of the 64-row vector (qd07's rule):
-        # normalize references the matvec result twice and lam reads
-        # v again, so lineage otherwise branches ~3× per iteration
-        v = normalize(matvec(v)).localCheckpoint()
-    lam = v.select(
-        F.round(F.col("val") * F.col("w") * 1e9).cast("long").alias("t")
-    ).agg(
-        (
-            F.round(F.sum("t").cast("double") / 1e9, 6) + F.lit(0.0)
-        ).alias("eigenvalue")
-    )
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .select(F.col("i").cast("long").alias("dim"), F.col("val").alias("eig_v"), "eigenvalue")
-        .orderBy("dim")
-    )
+        acc: dict[int, int] = {}
+        for (i, j), cij in cmat.items():
+            if j in v:
+                acc[i] = acc.get(i, 0) + round_long(cij * v[j] * 1e9)
+        w = {i: s / 1e9 for i, s in acc.items()}
+        den = math.sqrt(sum(round_long(wi * wi * 1e9) for wi in w.values()) / 1e9)
+        v = {
+            i: round_half_up(ieee_div(wi, den), 6) + 0.0
+            for i, wi in w.items()
+        }
+    lam_t = sum(round_long(v[i] * w[i] * 1e9) for i in v)
+    eigenvalue = round_half_up(lam_t / 1e9, 6) + 0.0
+    rows = [(i, v[i], eigenvalue) for i in sorted(v)]
+    return spark.createDataFrame(rows, out_schema).orderBy("dim")
 
 
 def _qv19_topk_sql(d: int) -> str:
@@ -928,29 +970,23 @@ def qv20(spark, sf_dir):
     btop = bm25_rankings(spark, sf_dir, 20).select(
         "query_id", "cand_id", F.col("rnk").alias("text_rank")
     )
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    vq = emb.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    wv = W.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
-    # repartition the corpus BEFORE the broadcast fan-out (trap #10):
-    # the |Q|×|C| cosine scoring otherwise pipelines on the 1-split
-    # scan partitioning (measured at 6×: one 125.9 s task)
-    vtop = (
-        ensure_parallelism(emb)
-        .join(F.broadcast(vq), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            F.round(
-                cosine_similarity(F.col("qv"), F.col("v")), 6
-            ).alias("sim"),
-        )
-        .withColumn("rnk", F.row_number().over(wv))
-        .where(F.col("rnk") <= 20)
-        .select("query_id", "cand_id", F.col("rnk").alias("vec_rank"))
+    # embedding top-20 via the qv01 fold kernel (round 12): the old
+    # form broadcast-nested-loop-joined every query against the
+    # corpus and ranked the FULL |Q|×|C| scored stream in a window —
+    # brute_force_topk_fold computes the identical values (same
+    # ascending per-dimension fold, same half-away-from-zero 1e-6
+    # rounding, same (sim DESC, id ASC) total order — pinned
+    # bit-identical to the JVM kernel by
+    # tests/test_dedup_similarity.py::test_fold_knn_bit_identical_to_jvm
+    # and by qv01's oracle hash) while shuffling only chunk-local
+    # top-k rows, the shape that survived the 32×/64× tiers.
+    emb_raw = t(spark, sf_dir, "embeddings")
+    vtop = brute_force_topk_fold(
+        emb_raw, emb_raw.where(F.col("vec_id") % 20 == 0), k=20
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
     )
     fused = (
         btop.join(vtop, ["query_id", "cand_id"], "full_outer")
