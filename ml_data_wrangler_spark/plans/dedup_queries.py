@@ -1507,6 +1507,11 @@ def qd17(spark, sf_dir):
         .unionAll(e.select(F.col("nb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        # |V|-row checkpoint (round 12): deg is read twice (edge
+        # orientation below + the final clustering projection) — the
+        # checkpoint moved here from the |E|-row oriented edge list,
+        # which is now consumed exactly once and needs none
+        .localCheckpoint()
     )
     ed = (
         e.join(
@@ -1521,13 +1526,15 @@ def qd17(spark, sf_dir):
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("na") < F.col("nb"))
     )
-    # only the oriented endpoints are checkpointed — the kernel no
-    # longer needs per-edge degrees (see _qd17_color_kernel), which
-    # halves this |E|-row materialization
+    # the oriented edge list is consumed exactly once (the replicate
+    # step below) now that the id/count stats probe reads the
+    # checkpointed e instead — so it stays LAZY (round 12, guide §5:
+    # the former |E|-row localCheckpoint here materialized the whole
+    # oriented relation only to re-read it once)
     o = ed.select(
         F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
         F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
-    ).localCheckpoint()
+    )
     # Wedge-close via COLOR-TRIPLE GRAPH PARTITIONING (round 10; see
     # _qd17_color_kernel's provenance comment). History of this plan:
     # the x⋈y wedge join materialized Σ out-deg² wedge ROWS through a
@@ -1547,11 +1554,15 @@ def qd17(spark, sf_dir):
     # one cheap agg on the checkpointed edges: edge count for the
     # color picker AND a loud guard on the 21-bit node-id pack below
     # (an id outside [0, 2^21) would silently corrupt the decoded
-    # edge list — doc_ids reach ~325k at the 64× tier, 6.5× headroom)
-    stats = o.agg(
+    # edge list — doc_ids reach ~325k at the 64× tier, 6.5× headroom).
+    # Probed on the checkpointed e, not o: per row {src,dst} ==
+    # {na,nb}, so count/greatest/least are identical and the probe
+    # costs one scan of an existing materialization instead of
+    # forcing the oriented relation
+    stats = e.agg(
         F.count("*").alias("m"),
-        F.max(F.greatest("src", "dst")).alias("idmax"),
-        F.min(F.least("src", "dst")).alias("idmin"),
+        F.max(F.greatest("na", "nb")).alias("idmax"),
+        F.min(F.least("na", "nb")).alias("idmin"),
     ).first()
     if (stats["idmax"] or 0) >= (1 << 21) or (stats["idmin"] or 0) < 0:
         raise ValueError(

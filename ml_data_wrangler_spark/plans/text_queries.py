@@ -1137,9 +1137,23 @@ def bm25_rankings(spark, sf_dir, top: int):
     docs = t(spark, sf_dir, "documents")
     # repartition raw text before the tokenize map (trap #1, round
     # 12): the 1-split scan otherwise tokenizes the whole corpus in
-    # one task before tf's checkpoint; no-op on multi-split scans
-    dt = ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    # one task before tf's checkpoint; no-op on multi-split scans.
+    # dl (per-doc token count) rides the SAME pass as a carried
+    # constant — size(toks) before the explode — instead of being
+    # re-aggregated from tf and equi-joined back at posting grain
+    # (round 12, guide §2.4: that was one groupBy exchange + one join
+    # exchange existing only to recompute a value the tokenize pass
+    # already held). Grouping by (doc_id, dl, token) == (doc_id,
+    # token) because dl is functionally dependent on doc_id, so tf is
+    # row-identical and every downstream value is unchanged.
+    dt = (
+        ensure_parallelism(docs.select("doc_id", "text"))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
     )
     # tf is consumed by FOUR branches (weights, doc lengths, document
     # frequencies, the query side) — materialize the one
@@ -1147,14 +1161,15 @@ def bm25_rankings(spark, sf_dir, top: int):
     # branch (the iterative-lineage rule; measured 18.8s → 14.4s for
     # qt19 at sf0.1)
     tf = (
-        dt.groupBy("doc_id", "token")
+        dt.groupBy("doc_id", "dl", "token")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint()
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # Σ_(doc,token) tf == Σ_doc dl — total_tokens aggregates straight
+    # off tf, retiring the dl relation the old corp read
     corp = (
-        dl.agg(F.sum("dl").alias("total_tokens"))
+        tf.agg(F.sum("tf").alias("total_tokens"))
         .crossJoin(docs.agg(F.count("*").alias("n_docs")))
         .select(
             "n_docs",
@@ -1189,9 +1204,8 @@ def bm25_rankings(spark, sf_dir, top: int):
     )
     # query-independent per-posting weight, quantized BEFORE the
     # query×posting fan-out: idf (vocab-sized) and corp (1 row)
-    # broadcast; dl is doc-count-sized so its join stays an equi-join
-    # on doc_id at posting cardinality (AQE broadcasts it at fixture
-    # scale) — still far below the old fan-out-sized joins
+    # broadcast; dl is already ON the posting row (carried through
+    # tf's checkpoint), so the old doc-grain dl equi-join is gone
     # repartition the weighted postings BEFORE the broadcast fan-out:
     # AQE coalesces the small (~|postings|-row) aggregate to very few
     # partitions, but the join below EXPLODES each posting row by the
@@ -1201,7 +1215,6 @@ def bm25_rankings(spark, sf_dir, top: int):
     parallelism = spark.sparkContext.defaultParallelism
     wgt = (
         tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corp))
         .select(
             F.col("doc_id").alias("cand_id"),
