@@ -51,37 +51,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest CORRECTNESS file's names hold the newest rank, so a stalled
 # rotation is a red test. Any future never-gated query would still
 # jump the whole rotation.
+#
+# Rotation-policy amendment (round 13, r12 verdict item 2/5): an
+# IMPLEMENTATION change resets a name's staleness. The rotation was
+# keyed to name-verification age only, so the queries rewritten in
+# the r12 optimization round (qe33 driver PageRank, qv17 argmin fold,
+# qv18 gram kernel, qv20/qt19 bm25+fold, qt20 literalized argmax,
+# qd17 one-pass edge build, qm09 bounded probe) would have waited a
+# full rotation cycle before the driver oracle ever saw the new code.
+# They now jump to rank 0 (the never-gated slot) until a CORRECTNESS
+# snapshot hash-passes them on the new implementation. qt01's rewrite
+# WAS driver-gated in r12 (hash-PASS on the repartitioned plan), so
+# it folds to the newest rank with the rest of the r12 snapshot.
 _GATED_ROUNDS: list[list[str]] = [
-    # r07 remainder (CORRECTNESS_r07.json gated the full r01∪r02
-    # block; the r11 snapshot re-verified its head — q01-q10,
-    # q13-q19, q22-q23, qe/qg/qj/qw — and moved it to the r11 rank,
-    # leaving these 13 as the stalest-verified names fronting r12.)
-    ["q11", "q12", "q20", "q21"] + [f"q{i:02d}" for i in range(24, 33)],
-    # r08 re-verification (CORRECTNESS_r08.json: 44 hash-PASS + 6
-    # rows-only by design — qm03/qm04/qm07 LDA+coherence, qv05 IVF,
-    # qv08 tiered GEMM, qd08 raw SimHash. Rotation policy: a
-    # rows-only query counts as re-verified when it ran without
-    # value-comparable oracle (err == 'no_oracle') and produced rows,
-    # so the whole 50-name snapshot moves to this rank together —
-    # mirrored in tests/test_quality_contract.py's green predicate.
-    # The old r03 block plus qd03/qd04/qm05 from r04.)
-    [f"qc{i:02d}" for i in range(1, 7)]
-    + ["qd01", "qd02", "qd03", "qd04", "qd06", "qd07", "qd08"]
-    + ["qe03", "qe04", "qe05", "qe06", "qe07", "qg06", "qj04"]
-    + ["qm01", "qm02", "qm03", "qm04", "qm05", "qm07"]
-    + [f"qs{i:02d}" for i in range(1, 7)]
-    + [f"qt{i:02d}" for i in range(1, 8)]
-    + ["qv01", "qv02", "qv03", "qv04", "qv05", "qv08"]
-    + [f"qx{i:02d}" for i in range(1, 6)],
+    # r13 front: implementation changed in round 12, never
+    # driver-gated on the new code (see the policy amendment above).
+    ["qe33", "qv17", "qv18", "qv20", "qt19", "qt20", "qd17", "qm09"],
+    # r08-block remainder (the r12 snapshot re-verified 37 of the 50
+    # r08-rank names; these 13 are the stalest NAME-verified queries).
+    ["qc05", "qc06", "qd04", "qd08", "qe06", "qe07", "qg06",
+     "qm05", "qs05", "qs06", "qt06", "qt07", "qv05"],
     # r09 re-verification (CORRECTNESS_r09.json: 49 hash-PASS + qv07
     # rows-only by design — the old r04 remainder block plus
-    # qj05/qj06/qx06 from r05; qc11 dropped, never a live name).
+    # qj05/qj06/qx06 from r05; qc11 dropped, never a live name;
+    # qm09 moved to the r13 front on its r12 rewrite).
     ["q33", "qw09"]
     + [f"qc{i:02d}" for i in range(7, 15) if i != 11]
     + ["qd05", "qd09", "qd10", "qd11"]
     + [f"qe{i:02d}" for i in range(8, 21)]
     + ["qj05", "qj06"]
-    + [f"qm{i:02d}" for i in range(6, 13) if i != 7]
+    + [f"qm{i:02d}" for i in range(6, 13) if i not in (7, 9)]
     + ["qs07"]
     + [f"qt{i:02d}" for i in range(8, 16)]
     + ["qv06", "qv07", "qv09", "qv10", "qv11", "qv12"]
@@ -89,29 +88,42 @@ _GATED_ROUNDS: list[list[str]] = [
     # r10 re-verification (CORRECTNESS_r10.json: 50/50 hash-PASS,
     # zero rows-only, zero errors — the first all-oracle-bearing
     # snapshot. The old r05-remainder block plus qd15/qd17/qm16 from
-    # the r06 rank; qd17 re-verified on its rebuilt color-triple
-    # plan.)
+    # the r06 rank; qv18/qd17 moved to the r13 front on their r12
+    # rewrites.)
     ["qc15", "qc16", "qc17", "qc18", "qc20"]
-    + ["qd12", "qd13", "qd14", "qd15", "qd16", "qd17", "qd18"]
+    + ["qd12", "qd13", "qd14", "qd15", "qd16", "qd18"]
     + ["qe21", "qe24", "qe25", "qe27", "qe28", "qe29", "qe30", "qe31",
        "qe32", "qe34", "qe35", "qe36", "qe38"]
     + ["qg07", "qg08"]
     + ["qm13", "qm14", "qm16", "qm17", "qm18", "qm19", "qm21"]
     + ["qs08", "qs09", "qs10", "qs11"]
     + ["qt16", "qt17", "qt18"]
-    + ["qv13", "qv14", "qv15", "qv16", "qv18", "qv19", "qv21"]
+    + ["qv13", "qv14", "qv15", "qv16", "qv19", "qv21"]
     + ["qw11", "qx07"],
     # r11 re-verification (CORRECTNESS_r11.json: 50/50 hash-PASS,
     # zero rows-only, zero errors — the full r06-remainder block
     # plus the head of the r07 rank: q01-q10, q13-q19, q22-q23,
-    # qe01/qe02, qg01-qg05, qj01-qj03, qw01-qw08.)
-    ["q34", "qc19", "qc21", "qe22", "qe33", "qe37",
-     "qe39", "qm20", "qt19", "qt20", "qv17", "qv20", "qv22"]
+    # qe01/qe02, qg01-qg05, qj01-qj03, qw01-qw08; qe33/qt19/qt20/
+    # qv17/qv20 moved to the r13 front on their r12 rewrites.)
+    ["q34", "qc19", "qc21", "qe22", "qe37", "qe39", "qm20", "qv22"]
     + [f"q{i:02d}" for i in range(1, 11)]
     + ["q13", "q14", "q15", "q16", "q17", "q18", "q19", "q22", "q23"]
     + ["qe01", "qe02", "qg01", "qg02", "qg03", "qg04", "qg05"]
     + ["qj01", "qj02", "qj03"]
     + [f"qw{i:02d}" for i in range(1, 9)],
+    # r12 re-verification (CORRECTNESS_r12.json: 46 hash-PASS + 4
+    # rows-only by design — qm03/qm04/qm07 LDA+coherence, qv08 tiered
+    # GEMM. The r07-remainder block plus the head of the r08 rank;
+    # qt01 hash-PASSED here on its r12-rewritten plan.)
+    ["q11", "q12", "q20", "q21"] + [f"q{i:02d}" for i in range(24, 33)]
+    + ["qc01", "qc02", "qc03", "qc04"]
+    + ["qd01", "qd02", "qd03", "qd06", "qd07"]
+    + ["qe03", "qe04", "qe05", "qj04"]
+    + ["qm01", "qm02", "qm03", "qm04", "qm07"]
+    + ["qs01", "qs02", "qs03", "qs04"]
+    + [f"qt{i:02d}" for i in range(1, 6)]
+    + ["qv01", "qv02", "qv03", "qv04", "qv08"]
+    + [f"qx{i:02d}" for i in range(1, 6)],
 ]
 
 _GATED_PASS = frozenset(n for rnd in _GATED_ROUNDS for n in rnd)

@@ -1376,6 +1376,62 @@ def _qd17_color_kernel(key, pdf):
     return pd.DataFrame({"node": nodes[hit], "c": tri_per[hit]})
 
 
+def _qd17_edges(spark, sf_dir):
+    """qd17's PRE-checkpoint edge-build relation: docs sharing ≥ 2
+    distinct 3-gram shingles, as (na < nb) pairs.
+
+    Edge build reworked to qd02's posting shape (round 12, guide
+    §2.3/§2.4): the old form tokenized+shingled via a global DISTINCT
+    then self-joined the distinct relation — Catalyst planned the
+    (doc, shingle) subtree TWICE (two full tokenize passes, both
+    single-task on the 1-split parquet) and joined by BROADCASTING one
+    copy (never exchange-reused, and broadcasting a posting list is
+    exactly what ngram_jaccard_pairs bans at 100 TB). Now: repartition
+    the RAW text once (trap #1), dedup shingles PER ROW with
+    array_distinct (same (doc, shingle) set, no global distinct
+    exchange), and self-join shuffle-hash so both sides reuse ONE
+    exchange on shingle. Same edge set by construction; measured
+    5.05 s → ~1.7 s for the edge checkpoint at sf0.1, plan 2 tokenize
+    subtrees → 1.
+
+    Module-level (round 13, r12 verdict item 8) so capture_plans can
+    explain THIS plan: qd17's own final plan truncates at the
+    localCheckpoint's ExistingRDD leaf, hiding the single tokenize
+    subtree + ShuffledHashJoin this function exists to prove."""
+    raw = ensure_parallelism(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ),
+        spark.sparkContext.defaultParallelism,
+    )
+    toks = tokenize(F.col("text"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(_shingles_from_tokens(F.col("toks"), 3)),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        raw.select("doc_id", toks.alias("toks"))
+        .select("doc_id", shingles.alias("sh"))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+    )
+    a = sh.alias("a")
+    b = sh.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("na"), F.col("b.doc_id").alias("nb")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("na", "nb")
+    )
+
+
 @query(
     "qd17_similarity_triangles",
     oracle=_QD17_E_SQL
@@ -1451,57 +1507,12 @@ def qd17(spark, sf_dir):
     prefix/LSH duals at 100 TB); shuffled bytes are O(|E|) — the
     wedge/triangle stream never crosses an exchange (the wedge-JOIN
     dual spilled 80+ GB sorting 6.7B wedge rows at the 16× tier)."""
-    # Edge build reworked to qd02's posting shape (round 12, guide
-    # §2.3/§2.4): the old form tokenized+shingled via a global
-    # DISTINCT then self-joined the distinct relation — Catalyst
-    # planned the (doc, shingle) subtree TWICE (two full tokenize
-    # passes, both single-task on the 1-split parquet) and joined by
-    # BROADCASTING one copy (never exchange-reused, and broadcasting
-    # a posting list is exactly what ngram_jaccard_pairs bans at
-    # 100 TB). Now: repartition the RAW text once (trap #1), dedup
-    # shingles PER ROW with array_distinct (same (doc, shingle) set,
-    # no global distinct exchange), and self-join shuffle-hash so
-    # both sides reuse ONE exchange on shingle. Same edge set by
-    # construction; measured 5.05 s → ~1.7 s for the edge checkpoint
-    # at sf0.1, plan 2 tokenize subtrees → 1.
-    raw = ensure_parallelism(
-        t(spark, sf_dir, "documents").select(
-            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
-        ),
-        spark.sparkContext.defaultParallelism,
-    )
-    toks = tokenize(F.col("text"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.array_distinct(_shingles_from_tokens(F.col("toks"), 3)),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        raw.select("doc_id", toks.alias("toks"))
-        .select("doc_id", shingles.alias("sh"))
-        .select("doc_id", F.explode_outer("sh").alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-    )
-    a = sh.alias("a")
-    b = sh.hint("shuffle_hash").alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("na"), F.col("b.doc_id").alias("nb")
-        )
-        .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= 2)
-        .select("na", "nb")
-        # materialize the bounded edge list once (qd07's rule): deg,
-        # orientation, and the three wedge-join sides all reference
-        # it, and without the checkpoint every branch re-runs the
-        # heavy shingle posting join (observed: 248 parquet scans in
-        # the static plan; 0 with the three checkpoints here)
-        .localCheckpoint()
-    )
+    # materialize the bounded edge list once (qd07's rule): deg,
+    # orientation, and the three wedge-join sides all reference it,
+    # and without the checkpoint every branch re-runs the heavy
+    # shingle posting join (observed: 248 parquet scans in the static
+    # plan; 0 with the three checkpoints here)
+    e = _qd17_edges(spark, sf_dir).localCheckpoint()
     deg = (
         e.select(F.col("na").alias("node"))
         .unionAll(e.select(F.col("nb").alias("node")))

@@ -1387,6 +1387,18 @@ def qt20(spark, sf_dir):
     iterative-lineage rule; each merge is a map-side REPLACE plus a
     pair-count aggregation over types, with the 1-row argmax
     broadcast."""
+    return _qt20_impl(spark, sf_dir, checkpoint_per_step=False)
+
+
+def _qt20_impl(spark, sf_dir, checkpoint_per_step: bool):
+    """qt20 body, parameterized for the round-13 recompute-vs-
+    materialize A/B (r12 verdict item 3): ``checkpoint_per_step=True``
+    re-materializes the word-type relation after each merge (step k's
+    argmax and stats then each read a 1-step lineage instead of
+    recomputing the k-step replace chain from the single checkpointed
+    leaf, at +1 checkpoint job per step). Values identical either way
+    — the flag only moves materialization. scripts/ab_qt20.py times
+    both forms interleaved; the query above pins the measured winner."""
     wt = (
         # repartition raw text before the tokenize map (trap #1,
         # round 12) — the 1-split scan otherwise tokenizes serially
@@ -1471,6 +1483,8 @@ def qt20(spark, sf_dir):
                 F.lit(" "),
             ).alias("sym"),
         )
+        if checkpoint_per_step:
+            wt = wt.localCheckpoint()
         sym_col = F.explode(F.split(F.trim(F.col("sym")), " ")).alias("s")
         stats = wt.select("f", sym_col).agg(
             F.count_distinct("s").alias("vocab"),

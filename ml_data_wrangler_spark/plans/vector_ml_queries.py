@@ -601,6 +601,10 @@ def qv18(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from ml_data_wrangler_spark.functions.driver_exact import (
+            round_long_np,
+        )
+
         mu_np = np.asarray(mu_arr, dtype=np.float64)
         acc = np.zeros((64, 64), dtype=np.int64)
         nonempty = False
@@ -613,8 +617,11 @@ def qv18(spark, sf_dir):
             )
             c = x - mu_np
             s = (c[:, :, None] * c[:, None, :]) * 1e6
-            q = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
-            acc += q.astype(np.int64).sum(axis=0)
+            # round_long_np == CAST(round(term·1e6) AS BIGINT) in
+            # Spark's DECIMAL domain, including the 0.4999…94-class
+            # ties where the bare floor(s+0.5) shortcut diverges
+            # (round-12 verdict item 5)
+            acc += round_long_np(s).sum(axis=0)
         if nonempty:
             i_idx, j_idx = np.meshgrid(
                 np.arange(1, 65), np.arange(1, 65), indexing="ij"

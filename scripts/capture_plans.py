@@ -1,13 +1,22 @@
-"""Capture .explain("formatted") for bench queries into plans/r12/.
+"""Capture .explain("formatted") for bench queries into plans/<dir>/.
 
 Usage:
     python scripts/capture_plans.py <tag> [name1,name2,...]
 
-Writes plans/r12/<query>_<tag>.txt for each query (default: the full
-bench tier-1 + tier-2 set). Plan-only — nothing is executed, so it is
-safe to run alongside other work; with AQE on these are the initial
-plans (isFinalPlan=false), the judge-checkable artifact the round
-asks for.
+Writes plans/$SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt for each query
+(default dir r13; default set: the full bench tier-1 + tier-2 set plus
+the PRE-CHECKPOINT component probes below). Plan-only for most
+queries — but queries that probe/collect during build (qd17's stats
+probe, qv18/qe33's driver loops, qt20's argmax) EXECUTE those parts,
+so expect real Spark jobs while this runs. With AQE on these are the
+initial plans (isFinalPlan=false), the judge-checkable artifact the
+round asks for.
+
+Pre-checkpoint probes (round 13, r12 verdict item 8): a query whose
+intermediates are localCheckpoint-ed explains as ExistingRDD leaves,
+hiding the subtree the optimization claims are about. For those, the
+builder of the pre-checkpoint DataFrame is exposed module-level and
+captured here under a component pseudo-name.
 """
 
 from __future__ import annotations
@@ -32,12 +41,25 @@ BENCH_SET = [
 ]
 
 
+def _component_builders():
+    """Pseudo-name → builder(spark, sf_dir) for pre-checkpoint
+    subtrees the final query plans truncate."""
+    from ml_data_wrangler_spark.plans.dedup_queries import _qd17_edges
+
+    return {
+        # the r12 edge-build rework: single tokenize subtree feeding a
+        # ShuffledHashJoin that reuses one exchange on shingle
+        "qd17_edge_build": _qd17_edges,
+    }
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else BENCH_SET
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                           "plans", "r12")
+                           "plans", plans_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     from ml_data_wrangler_spark.plans import registry
@@ -45,8 +67,11 @@ def main() -> None:
 
     spark = get_spark(app_name="mdw-capture-plans")
     queries = registry.queries()
+    components = _component_builders()
+    if names is None:
+        names = BENCH_SET + sorted(components)
     for name in names:
-        fn = queries[name]
+        fn = components.get(name) or queries[name]
         try:
             df = fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -85,3 +85,86 @@ def test_ieee_div_zero_denominator():
     assert ieee_div(1.0, 0.0) == math.inf
     assert ieee_div(-1.0, 0.0) == -math.inf
     assert ieee_div(1.0, 2.0) == 0.5
+
+
+# --- round_long_np: the vectorized kernel quantizer (round-13, -------
+# --- closing the r12 verdict's item 5 on qv18's gram kernel) ---------
+
+# Values where the bare binary shortcut floor(s+0.5)/ceil(s-0.5)
+# PROVABLY diverges from Spark's decimal-domain HALF_UP: the shortest
+# decimal of ±0.49999999999999994 is below the .5 boundary (Spark
+# rounds to 0) but the float64 sum s + 0.5 rounds UP to 1.0 exactly
+# (shortcut yields ±1) — the tie class driver_exact's module docstring
+# warns about, and the exact values the r12 verdict named.
+DIVERGENT_TIES = [0.49999999999999994, -0.49999999999999994]
+
+
+def _adversarial_grid():
+    import numpy as np
+
+    vals = list(TIES) + list(NEAR) + list(SCALED) + DIVERGENT_TIES
+    # one-ulp neighbors of k.5 boundaries at several magnitudes (the
+    # band the correction must catch whether or not they diverge)
+    for k in (0, 1, 2, 7, 1234567, 10**12):
+        for target in (-math.inf, math.inf):
+            vals.append(float(np.nextafter(k + 0.5, target)))
+            vals.append(float(np.nextafter(-(k + 0.5), target)))
+    return vals
+
+
+def test_round_long_np_matches_scalar_on_adversarial_grid():
+    """The vectorized quantizer must agree with the scalar decimal-
+    domain replica everywhere — including the divergent-tie class,
+    where a reversion to the bare floor(s+0.5) shortcut goes red."""
+    import numpy as np
+
+    from ml_data_wrangler_spark.functions.driver_exact import round_long_np
+
+    vals = _adversarial_grid()
+    got = round_long_np(np.array(vals, dtype=np.float64))
+    want = [round_long(v) for v in vals]
+    assert got.tolist() == want
+    # 2-D shape (the gram kernel's (B, 64, 64) tiles reduce to this)
+    arr2 = np.array(vals, dtype=np.float64).reshape(-1, 2)
+    assert round_long_np(arr2).ravel().tolist() == want
+
+
+def test_round_long_np_divergent_ties_are_real():
+    """Self-check that the grid genuinely separates the two roundings:
+    the bare binary shortcut must DISAGREE with Spark semantics on the
+    named tie values (if float semantics ever made them agree, the
+    red-ability of the test above would silently evaporate)."""
+    import numpy as np
+
+    for v in DIVERGENT_TIES:
+        shortcut = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        assert shortcut != round_long(v), v
+        assert abs(round_long(v)) == 0  # decimal domain: below the tie
+
+
+def test_round_long_np_nonfinite_and_empty():
+    import numpy as np
+
+    from ml_data_wrangler_spark.functions.driver_exact import round_long_np
+
+    got = round_long_np(np.array([math.nan, math.inf, -math.inf]))
+    assert got.tolist() == [0, (1 << 63) - 1, -(1 << 63)]
+    assert round_long_np(np.array([], dtype=np.float64)).tolist() == []
+
+
+def test_round_long_np_matches_spark_round(spark):
+    """Direct pin against Spark itself (not just the scalar replica):
+    CAST(round(x) AS BIGINT) over the adversarial grid."""
+    import numpy as np
+
+    from ml_data_wrangler_spark.functions.driver_exact import round_long_np
+
+    vals = _adversarial_grid()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r["r"]
+        for r in df.select(
+            F.round(F.col("x")).cast("long").alias("r")
+        ).collect()
+    ]
+    assert round_long_np(np.array(vals)).tolist() == got_spark
