@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(
-    df: DataFrame, min_partitions: int | None = None
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int | None = None,
 ) -> DataFrame:
     """Repartition ``df`` to session parallelism ONLY if it currently
     has fewer partitions.
@@ -25,6 +27,20 @@ def ensure_parallelism(
     shuffle of the whole relation for nothing. Reading the partition
     count compiles the physical plan but runs no job; call sites pass
     near-scan relations where that is cheap.
+
+    ``min_bytes`` (round 13, closing the r12 verdict's qt01 item):
+    for CHEAP-per-byte map stages (plain tokenize-aggregate), the
+    repartition's shuffle can exceed the serial work it parallelizes
+    when the under-split input is also SMALL — measured at sf0.1:
+    qt01 with the repartition 0.755 s median vs 0.478 s without
+    (interleaved A/B, scripts/ab_measure.py), i.e. the whole serial
+    tokenize is ~0.3 s. Passing ``min_bytes`` skips the repartition
+    when the planner's size estimate for ``df`` is below it, so the
+    trap-#1 fix still fires for a big unsplittable input (one gzip'd
+    shard, a giant single parquet row group) where the serial stage
+    would cost seconds. Expensive-per-byte kernels (GEMM scoring,
+    MinHash) must NOT pass it — their per-row cost, not input size,
+    is what makes one task catastrophic.
     """
     spark = df.sparkSession
     target = (
@@ -33,8 +49,27 @@ def ensure_parallelism(
         else spark.sparkContext.defaultParallelism
     )
     if df.rdd.getNumPartitions() < target:
+        if min_bytes is not None:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            if est < min_bytes:
+                return df
         return df.repartition(target)
     return df
+
+
+# Compressed-scan estimate below which a plain tokenize pass is
+# cheaper serial than shuffled (see ensure_parallelism.min_bytes;
+# parquet text compresses ~3-5×, so 8 MB estimate ≈ 25-40 MB raw ≈
+# a couple seconds of serial tokenize — the break-even against the
+# ~0.3 s repartition shuffle, with margin).
+TOKENIZE_REPARTITION_MIN_BYTES = 8 << 20
 
 
 # Hash balance needs slack: n keys hashed into n partitions leave

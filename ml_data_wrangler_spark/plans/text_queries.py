@@ -53,12 +53,23 @@ LIMIT 20
 def qt01(spark, sf_dir):
     """Corpus-wide top-20 token counts (the flagship text query:
     tokenize → explode → count → top-k). The raw text is
-    repartitioned before the tokenize map (trap #1 / round 12): the
-    1-split parquet otherwise runs the whole
-    tokenize-explode-partial-agg stage as a single task (measured
-    ~1.3 s serial at sf0.1; a no-op on any multi-split scan)."""
+    repartitioned before the tokenize map ONLY when the under-split
+    scan is also big enough for the serial stage to matter (trap #1 /
+    round 12, bytes-conditioned in round 13): the interleaved A/B at
+    sf0.1 measured 0.755 s median WITH the unconditional repartition
+    vs 0.478 s without — the whole serial tokenize is ~0.3 s there,
+    under the repartition's own shuffle cost — while a big
+    unsplittable input still gets the parallel map. No-op on any
+    multi-split scan either way."""
+    from ml_data_wrangler_spark.operators._partition import (
+        TOKENIZE_REPARTITION_MIN_BYTES,
+    )
+
     return (
-        ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
+        ensure_parallelism(
+            t(spark, sf_dir, "documents").select("text"),
+            min_bytes=TOKENIZE_REPARTITION_MIN_BYTES,
+        )
         .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -1106,7 +1117,14 @@ def _qt19_scale_oracle(con):
     return cols, out
 
 
-def bm25_rankings(spark, sf_dir, top: int):
+def bm25_rankings(
+    spark,
+    sf_dir,
+    top: int,
+    max_query_rows: int = 2_000_000,
+    max_query_cells: int = 32_000_000,
+    chunk_cells: int = 4_000_000,
+):
     """Spark dual of :func:`bm25_sql_cte` — DataFrame
     (query_id, cand_id, rnk, s) of the BM25 top-``top`` per query doc.
 
@@ -1134,10 +1152,17 @@ def bm25_rankings(spark, sf_dir, top: int):
     fan-out with qm01's df pruning before the join (this fixture's
     vocabulary is ~31 near-stopword tokens, so no cut is applied
     here)."""
+    from ml_data_wrangler_spark.operators._partition import (
+        TOKENIZE_REPARTITION_MIN_BYTES,
+    )
+
     docs = t(spark, sf_dir, "documents")
     # repartition raw text before the tokenize map (trap #1, round
     # 12): the 1-split scan otherwise tokenizes the whole corpus in
-    # one task before tf's checkpoint; no-op on multi-split scans.
+    # one task before tf's checkpoint; no-op on multi-split scans,
+    # and skipped below the plain-tokenize break-even (round 13 — the
+    # interleaved A/B won 5/6 pairs without it at sf0.1, median 3.59
+    # vs 3.75 s; the serial pass is ~1 s against a ~0.3-0.5 s shuffle).
     # dl (per-doc token count) rides the SAME pass as a carried
     # constant — size(toks) before the explode — instead of being
     # re-aggregated from tf and equi-joined back at posting grain
@@ -1147,7 +1172,10 @@ def bm25_rankings(spark, sf_dir, top: int):
     # token) because dl is functionally dependent on doc_id, so tf is
     # row-identical and every downstream value is unchanged.
     dt = (
-        ensure_parallelism(docs.select("doc_id", "text"))
+        ensure_parallelism(
+            docs.select("doc_id", "text"),
+            min_bytes=TOKENIZE_REPARTITION_MIN_BYTES,
+        )
         .select("doc_id", tokenize(F.col("text")).alias("toks"))
         .select(
             "doc_id",
@@ -1223,23 +1251,151 @@ def bm25_rankings(spark, sf_dir, top: int):
         )
         .repartition(parallelism, "cand_id")
     )
-    # broadcast the QUERY side: the token join key has vocab-sized
-    # cardinality (~31 here), so a shuffle join on token caps
-    # parallelism at |vocab| and skews on hot tokens; broadcasting bq
-    # keeps the fan-out map-side over the postings' partitioning with
-    # map-side partial aggregation, shuffling only the aggregated
-    # (query, cand) rows (measured 9.8s → 6.7s for this stage at
-    # sf0.1). For a huge query set, flip back to an equi-join against
-    # a df-pruned vocabulary.
-    score = (
-        wgt.join(F.broadcast(bq), "token")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("tq").alias("s"))
-    )
+    # SCORING (round 13, guide §4.2 — the round-12 driver profile put
+    # 27-36 executor-CPU-SECONDS per run in the old scoring stage at
+    # sf0.1, ~80% of qv20's wall and the whole of its superlinear
+    # 8-core profile): the per-(query, candidate) score is a sparse
+    # matrix product S = W_postings @ Q_presence — ~39M FLOPs here,
+    # milliseconds of numpy — but the relational form computed it as
+    # a ~37M-row broadcast-join fan-out through a 1.25M-group hash
+    # aggregate at ~1 µs/row of JVM codegen. The Arrow kernel below
+    # (same discipline as brute_force_topk_fold / qv18's gram kernel)
+    # computes the identical integer scores per cand_id-partition and
+    # emits only chunk-local top-``top`` rows per query under the
+    # FINAL total order (s DESC, cand_id ASC), so the global rank
+    # window merges O(chunks × |Q| × top) rows instead of the full
+    # (query, cand) stream. Exactness: every per-posting weight tq is
+    # an integer ≤ ~idf_max·2.2·1e6 (≈6e7 at n=1e12 docs) and a score
+    # sums ≤ |query terms| of them — far under 2^53, so the float64
+    # GEMM sums are bit-exactly the old LongType sums; candidacy is
+    # presence (shares ≥ 1 token, zero-weight matches still rank),
+    # NOT s > 0, exactly the SQL/scale-oracle semantics; chunk-local
+    # top-k under the final order makes the global merge exact (any
+    # global top-k row is within its chunk's top-k).
+    #
+    # Dispatch (the qm09/fold-kernel discipline): the query term set
+    # is collected via a limit(cap+1)-BOUNDED toPandas — never more
+    # than max_query_rows+1 rows cross the driver for ANY corpus. If
+    # the query side outgrows the broadcast budget (rows, or
+    # tokens×queries presence cells), the old broadcast-join path
+    # below runs unchanged (same values — pinned bit-identical by
+    # tests/test_bm25_kernel_equivalence.py); at that tier a df-pruned
+    # vocabulary equi-join is the right next shape, as before.
+    q_pdf = bq.limit(max_query_rows + 1).toPandas()
+    dense_ok = len(q_pdf) <= max_query_rows
+    if dense_ok and len(q_pdf) > 0:
+        import numpy as np
+
+        tok_u, q_tok_idx = np.unique(
+            q_pdf["token"].to_numpy(), return_inverse=True
+        )
+        qid_u, q_qid_idx = np.unique(
+            q_pdf["query_id"].to_numpy().astype("int64"),
+            return_inverse=True,
+        )
+        dense_ok = len(tok_u) * len(qid_u) <= max_query_cells
+    if len(q_pdf) == 0:
+        # no query docs: identical to the old join-with-empty result
+        scored = spark.createDataFrame(
+            [], "query_id long, cand_id long, s long"
+        )
+    elif dense_ok:
+        import numpy as np
+
+        qp = np.zeros((len(tok_u), len(qid_u)))
+        qp[q_tok_idx, q_qid_idx] = 1.0
+        tok2row = {t: i for i, t in enumerate(tok_u.tolist())}
+        bqb = spark.sparkContext.broadcast((tok2row, qid_u, qp))
+
+        def _score(batches):
+            import numpy as np
+            import pandas as pd
+
+            tok2row_b, qids, qp_b = bqb.value
+            nt = qp_b.shape[0]
+            cands, trows, tqs = [], [], []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = pdf["token"].map(tok2row_b)
+                m = rows.notna().to_numpy()
+                if not m.any():
+                    continue
+                cands.append(pdf["cand_id"].to_numpy()[m].astype("int64"))
+                trows.append(rows.to_numpy()[m].astype("int64"))
+                tqs.append(pdf["tq"].to_numpy()[m].astype("float64"))
+            if not cands:
+                return
+            c = np.concatenate(cands)
+            tr = np.concatenate(trows)
+            tv = np.concatenate(tqs)
+            # group this partition's postings by candidate: repartition
+            # on cand_id above guarantees every posting of a candidate
+            # is HERE, so each candidate's score is complete
+            o = np.argsort(c, kind="stable")
+            c, tr, tv = c[o], tr[o], tv[o]
+            ucands, starts = np.unique(c, return_index=True)  # ASC ids
+            bounds = np.append(starts, len(c))
+            # candidate chunks bound the dense W tile at ~chunk_cells
+            # whatever the partition holds (the _tile_topk budget); a
+            # chunk never splits a candidate, so chunk-local top-k
+            # stays exact
+            chunk = max(1, chunk_cells // max(nt, 1))
+            for lo in range(0, len(ucands), chunk):
+                hi = min(lo + chunk, len(ucands))
+                rlo, rhi = bounds[lo], bounds[hi]
+                nc = hi - lo
+                counts = bounds[lo + 1 : hi + 1] - bounds[lo:hi]
+                ridx = np.repeat(np.arange(nc), counts)
+                wmat = np.zeros((nc, nt))
+                pres = np.zeros((nc, nt))
+                wmat[ridx, tr[rlo:rhi]] = tv[rlo:rhi]
+                pres[ridx, tr[rlo:rhi]] = 1.0
+                s_mat = wmat @ qp_b  # integer-exact float64 sums
+                cand_ok = (pres @ qp_b) > 0.0  # shares ≥ 1 token
+                # c.doc_id <> query_id, as in the SQL
+                cand_ok[ucands[lo:hi][:, None] == qids[None, :]] = False
+                if not cand_ok.any():
+                    continue
+                sm = np.where(cand_ok, s_mat, -np.inf)
+                kk = min(top, nc)
+                # stable argsort on -s: candidate rows are ASC by
+                # construction, so ties inherit the cand_id ASC
+                # tie-break of the final total order
+                topi = np.argsort(-sm, axis=0, kind="stable")[:kk]
+                ssel = np.take_along_axis(sm, topi, axis=0)
+                keep = np.isfinite(ssel)
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, (kk, 1))[keep],
+                        "cand_id": ucands[lo:hi][topi][keep],
+                        "s": ssel[keep].astype("int64"),
+                    }
+                )
+
+        scored = wgt.mapInPandas(
+            _score, schema="query_id long, cand_id long, s long"
+        )
+    else:
+        # broadcast-join fallback (the pre-round-13 shape, verbatim):
+        # the token join key has vocab-sized cardinality, so a shuffle
+        # join on token caps parallelism at |vocab| and skews on hot
+        # tokens; broadcasting bq keeps the fan-out map-side over the
+        # postings' partitioning with map-side partial aggregation,
+        # shuffling only the aggregated (query, cand) rows. For a
+        # query set past even this, flip to an equi-join against a
+        # df-pruned vocabulary.
+        scored = (
+            wgt.join(F.broadcast(bq), "token")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("tq").alias("s"))
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("s"), "cand_id")
     return (
-        score.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top)
         .select("query_id", "cand_id", "rnk", "s")
     )
@@ -1399,10 +1555,18 @@ def _qt20_impl(spark, sf_dir, checkpoint_per_step: bool):
     leaf, at +1 checkpoint job per step). Values identical either way
     — the flag only moves materialization. scripts/ab_qt20.py times
     both forms interleaved; the query above pins the measured winner."""
+    from ml_data_wrangler_spark.operators._partition import (
+        TOKENIZE_REPARTITION_MIN_BYTES,
+    )
+
     wt = (
         # repartition raw text before the tokenize map (trap #1,
-        # round 12) — the 1-split scan otherwise tokenizes serially
-        ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
+        # round 12; bytes-conditioned round 13 — same plain-tokenize
+        # break-even as qt01, see ensure_parallelism.min_bytes)
+        ensure_parallelism(
+            t(spark, sf_dir, "documents").select("text"),
+            min_bytes=TOKENIZE_REPARTITION_MIN_BYTES,
+        )
         .select(F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("f"))

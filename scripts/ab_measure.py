@@ -63,6 +63,42 @@ def main() -> None:
                 .limit(20)
             )
 
+    elif exp in ("bm25k3", "bm25k20"):
+        top = 3 if exp == "bm25k3" else 20
+        from ml_data_wrangler_spark.plans.text_queries import bm25_rankings
+
+        def build_a():  # round-13 GEMM scoring kernel (default)
+            return bm25_rankings(spark, sf_dir, top)
+
+        def build_b():  # pre-round-13 broadcast-join scoring
+            return bm25_rankings(spark, sf_dir, top, max_query_rows=0)
+
+    elif exp == "qt19repart":
+        # does bm25's tokenize pass still want the raw-text
+        # repartition? (its aggregate is ~150k (doc, token) groups vs
+        # qt01's ~31 — heavier map stage, same question)
+        from ml_data_wrangler_spark.plans import text_queries as tq
+
+        orig_ep = tq.ensure_parallelism
+
+        def build_a():  # current: unconditional repartition
+            tq.ensure_parallelism = orig_ep
+            return tq.bm25_rankings(spark, sf_dir, 3)
+
+        def build_b():  # raw scan straight into tokenize
+            tq.ensure_parallelism = lambda df, *a, **k: df
+            try:
+                return tq.bm25_rankings(spark, sf_dir, 3)
+            finally:
+                tq.ensure_parallelism = orig_ep
+
+    elif exp == "qv20":
+
+        def build_a():
+            return queries["qv20_hybrid_rrf_fusion"](spark, sf_dir)
+
+        build_b = build_a  # repeatability probe, not an A/B
+
     else:
         sys.exit(f"unknown experiment {exp!r}")
 

@@ -474,3 +474,35 @@ def test_ensure_parallelism_is_conditional(spark):
     # explicit floor above the current width still repartitions
     wider = ensure_parallelism(wide, par + 50)
     assert wider.rdd.getNumPartitions() == par + 50
+
+
+def test_ensure_parallelism_min_bytes_gate(spark):
+    """The round-13 min_bytes gate (r12 verdict item 6): a SMALL
+    under-split input skips the repartition when the caller marks the
+    downstream map as cheap-per-byte (the repartition shuffle would
+    exceed the serial work — qt01 A/B: 0.755 s with vs 0.478 s
+    without at sf0.1); the same call still repartitions once the
+    planner's size estimate crosses the threshold, so the trap-#1 fix
+    keeps firing for big unsplittable inputs."""
+    from ml_data_wrangler_spark.operators._partition import (
+        TOKENIZE_REPARTITION_MIN_BYTES,
+        ensure_parallelism,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).coalesce(1)
+    # a 1000-row range estimates far below 8 MB → gate holds it serial
+    gated = ensure_parallelism(
+        small, min_bytes=TOKENIZE_REPARTITION_MIN_BYTES
+    )
+    assert gated is small
+    # threshold 0 → the gate is open, normal trap-#1 behavior
+    opened = ensure_parallelism(small, min_bytes=0)
+    assert opened.rdd.getNumPartitions() == par
+    # a big-estimate input crosses the default threshold: build one
+    # whose plan stats exceed 8 MB (range stats = 8 bytes/row)
+    big = spark.range(4_000_000).coalesce(1)
+    boosted = ensure_parallelism(
+        big, min_bytes=TOKENIZE_REPARTITION_MIN_BYTES
+    )
+    assert boosted.rdd.getNumPartitions() == par
